@@ -1,0 +1,154 @@
+"""Per-pool KPI aggregation: size, total win, RTP, hit frequency,
+volatility@90%CI, max_win_factor, classification.
+
+Reference semantics (etl/transform.py:165-258 + calculate_volatility
+:98-127 + output-only max_win_factor, SURVEY §0.1/§2.4):
+
+  size        = row count after lenient parse                      (A1)
+  total_win   = sum(game_win)                                      (A2)
+  rtp         = round(total_win / (size*min_bet) * 100, 2)         (A3)
+  hit_freq    = round(count(game_win>0) / size * 100, 2)           (A4)
+  volatility  = round(1.645 * sqrt(sum_i round(f_i*(w_i/bet - rtp/100)^2, 4)), 2)
+                over the distinct-value distribution (A5+A6); the per-term
+                4dp round is observable reference behavior and reproduced
+  max_win_factor = max(game_win) / min_bet                         (A7)
+  all metrics NULL unless min_bet > 0 and size > 0                 (P5)
+
+Execution shape (the 100-TB story): the ONLY full-data shuffle is
+``groupBy(pool, game_win).count()`` — with partial (map-side) aggregation
+this reduces ~1M rows/pool to the pool's distinct-prize-value cardinality
+(~30 rows observed in the reference corpus) before any network transfer.
+Everything after operates on that tiny ``dist`` relation: per-pool stats,
+the rtp-dependent variance pass (a second agg over dist), the dimension
+broadcast join. At 1000 executors the scan dominates; the shuffle payload
+is ~#pools x #distinct_values rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.functions.keys import normalize_pool_id
+from github_etl_pipeline_spark.operators.classify import (
+    is_flat_expr,
+    max_multiplier_expr,
+    tag_expr,
+)
+from github_etl_pipeline_spark.sources.pol import POOL_KEY_COLS
+
+Z_90_CI = 1.645
+
+
+def _rounder(mode: str):
+    if mode == "bankers":
+        return F.bround  # parity with numpy/pandas half-even (golden tests)
+    if mode == "half_up":
+        return F.round  # parity with DuckDB round (oracle queries)
+    raise ValueError(f"unknown rounding mode: {mode}")
+
+
+def pool_distribution(parsed: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """(pool, game_win) -> cnt. The single large shuffle (A5)."""
+    key_cols = key_cols or POOL_KEY_COLS
+    return parsed.groupBy(*key_cols, "game_win").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def pool_kpis(
+    parsed: DataFrame,
+    dim_agg: DataFrame | None = None,
+    inventory: DataFrame | None = None,
+    z: float = Z_90_CI,
+    rounding: str = "bankers",
+    key_cols: list[str] | None = None,
+    with_processed_at: bool = True,
+) -> DataFrame:
+    """Full per-pool KPI record from parsed lines.
+
+    parsed     — output of ``parse_pol_lines`` (or anything with key_cols +
+                 ``game_win``).
+    dim_agg    — output of ``prepare_dim`` (norm_pool_id, min_bet, game_ids);
+                 broadcast-joined. None -> all lookup-dependent metrics NULL.
+    inventory  — output of ``pol_file_inventory``; when given, files whose
+                 every line failed the parse still emit a size=0 record
+                 (reference per-file loop behavior).
+    rounding   — 'bankers' (reference parity) or 'half_up' (DuckDB parity).
+    """
+    key_cols = key_cols or POOL_KEY_COLS
+    rnd = _rounder(rounding)
+
+    dist = pool_distribution(parsed, key_cols)
+    stats = dist.groupBy(*key_cols).agg(
+        F.sum("cnt").alias("size"),
+        F.sum(F.col("game_win") * F.col("cnt")).alias("total_win"),
+        F.sum(F.when(F.col("game_win") > 0, F.col("cnt")).otherwise(F.lit(0))).alias("hits"),
+        F.max("game_win").alias("max_win"),
+    )
+
+    if inventory is not None:
+        inv_keys = [c for c in key_cols if c in inventory.columns]
+        stats = (
+            inventory.select(*inv_keys)
+            .join(stats.select("source_file", "size", "total_win", "hits", "max_win"), "source_file", "left")
+            .withColumn("size", F.coalesce(F.col("size"), F.lit(0)))
+            .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)))
+        )
+
+    if dim_agg is not None:
+        stats = stats.join(
+            F.broadcast(dim_agg.select("norm_pool_id", "min_bet", "game_ids")),
+            normalize_pool_id(F.col("pool_id")) == F.col("norm_pool_id"),
+            "left",
+        ).drop("norm_pool_id")
+    else:
+        stats = stats.withColumn("min_bet", F.lit(None).cast("double")).withColumn(
+            "game_ids", F.lit(None).cast("array<string>")
+        )
+    stats = stats.withColumn("game_ids", F.coalesce("game_ids", F.array()))
+
+    gate = F.col("min_bet").isNotNull() & (F.col("min_bet") > 0) & (F.col("size") > 0)
+    kpi = stats.select(
+        *[c for c in key_cols if c in stats.columns],
+        "size",
+        "total_win",
+        "max_win",
+        "min_bet",
+        "game_ids",
+        F.when(gate, rnd(F.col("total_win") / (F.col("size") * F.col("min_bet")) * 100, 2))
+        .alias("rtp"),
+        F.when(gate, rnd(F.col("hits") / F.col("size") * 100, 2)).alias("hit_frequency"),
+        F.when(
+            F.col("min_bet").isNotNull() & (F.col("min_bet") > 0) & F.col("max_win").isNotNull(),
+            F.col("max_win") / F.col("min_bet"),
+        ).alias("max_win_factor"),
+    )
+
+    # Volatility: second pass over the tiny dist relation with the
+    # pool-level (size, min_bet, rtp) attached. AQE broadcasts the smaller
+    # side at runtime; both inputs are #pools-scale, never raw-data-scale.
+    pool_ctx = kpi.where(F.col("rtp").isNotNull()).select(
+        "source_file", F.col("size").alias("_n"), F.col("min_bet").alias("_bet"), F.col("rtp").alias("_rtp")
+    )
+    var_term = rnd(
+        (F.col("cnt") / F.col("_n"))
+        * F.pow(F.col("game_win") / F.col("_bet") - F.col("_rtp") / 100, F.lit(2)),
+        4,
+    )
+    vols = (
+        dist.select("source_file", "game_win", "cnt")
+        .join(pool_ctx, "source_file")
+        .groupBy("source_file")
+        .agg(rnd(F.lit(z) * F.sqrt(F.sum(var_term)), 2).alias("volatility"))
+    )
+    out = kpi.join(vols, "source_file", "left")
+
+    out = out.select(
+        F.col("file_name").alias("pool_name") if "file_name" in out.columns else F.col("source_file").alias("pool_name"),
+        *[c for c in out.columns],
+        tag_expr("pool_type").alias("tag"),
+        is_flat_expr("pool_type").alias("is_flat"),
+        max_multiplier_expr("pool_type").alias("max_multiplier"),
+    )
+    if with_processed_at:
+        out = out.withColumn("processed_at", F.current_timestamp())
+    return out

@@ -1,0 +1,52 @@
+"""End-to-end batch pipeline (reference EP1, etl/main.py:42-151).
+
+extract (distributed scan) -> transform (single shuffled agg + broadcast
+dim join) -> per-pool KPI records + fleet rollup. Sinks live in
+``github_etl_pipeline_spark.sinks`` and are optional — the DataFrame is
+the IR between stages (reference EP3 seam, etl/__init__.py:8-18).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from github_etl_pipeline_spark.operators.kpis import pool_kpis
+from github_etl_pipeline_spark.operators.rollup import aggregated_summary
+from github_etl_pipeline_spark.sources.lookup import load_game_lookup, prepare_dim
+from github_etl_pipeline_spark.sources.pol import (
+    parse_pol_lines,
+    pol_file_inventory,
+    read_pol_lines,
+)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    repo_root: str | Path,
+    scan_subdir: str = "samples/pools2",
+    rounding: str = "bankers",
+    dim: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Return (per-pool KPI records, single-row aggregated summary).
+
+    ``dim`` overrides the xlsx lookup (used by tests to inject the richer
+    dimension the reference's committed goldens were produced with).
+    """
+    repo_root = Path(repo_root)
+    scan_dir = repo_root / scan_subdir
+    if not scan_dir.exists():
+        scan_dir = repo_root
+
+    lines = read_pol_lines(spark, str(scan_dir))
+    inventory = pol_file_inventory(lines)
+    parsed = parse_pol_lines(lines)
+
+    if dim is None:
+        dim = load_game_lookup(spark, repo_root)
+    dim_agg = prepare_dim(dim) if dim is not None else None
+
+    pools = pool_kpis(parsed, dim_agg=dim_agg, inventory=inventory, rounding=rounding)
+    summary = aggregated_summary(pools, rounding=rounding)
+    return pools, summary

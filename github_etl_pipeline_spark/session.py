@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the target workload.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the configuration is
+written so the same logical plans scale to a multi-executor cluster:
+AQE handles runtime coalescing / skew splitting, shuffle partition count
+defaults to the parallelism of the machine, and Arrow is enabled for the
+few Pandas-UDF paths (similarity / multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "github-etl-pipeline-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession.
+
+    Notes on knobs:
+      * ``spark.sql.shuffle.partitions`` — sized to machine parallelism for
+        local runs. On a real cluster AQE coalesces post-shuffle partitions,
+        so a high static value is safe; an undersized one is not.
+      * ``spark.sql.adaptive.*`` — AQE on: runtime broadcast-join demotion/
+        promotion, skew-join splitting, partition coalescing.
+      * session timezone pinned to UTC — the reference stamps ISO-8601 UTC
+        timestamps (etl/transform.py:253); pinning makes results
+        environment-independent.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

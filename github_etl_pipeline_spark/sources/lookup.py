@@ -1,0 +1,94 @@
+"""Game lookup dimension (reference S7/J1/J2).
+
+The reference loads ``game_id_to_pools.xlsx`` driver-side with pandas and
+memoizes it in a module global (etl/transform.py:27-58), then per pool
+takes the FIRST matching row's Bet and collects ALL matching Game_ids
+(etl/transform.py:213-215).
+
+Spark-first shape: the dimension is tiny (hundreds of rows at fleet
+scale), so it is read driver-side, pre-aggregated to exactly one row per
+normalized pool key, and broadcast — the fact-side join is then a 1:1
+broadcast hash join with no row explosion and no shuffle.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType, StructField, StringType, DoubleType
+
+from github_etl_pipeline_spark.functions.keys import normalize_pool_id
+
+LOOKUP_SCHEMA = StructType(
+    [
+        StructField("Game", StringType()),
+        StructField("Game_id", StringType()),
+        StructField("Pool_id", StringType()),
+        StructField("Bet", DoubleType()),
+    ]
+)
+
+# candidate locations, mirroring etl/transform.py:43-47
+_CANDIDATE_SUBPATHS = ("game_id_to_pools.xlsx", "config/game_id_to_pools.xlsx", "data/game_id_to_pools.xlsx")
+
+
+def load_game_lookup(spark: SparkSession, repo_root: str | Path) -> DataFrame | None:
+    """Probe candidate paths for the xlsx and return the raw dimension
+    DataFrame (Game, Game_id, Pool_id as strings, Bet double), or None."""
+    try:
+        import pandas as pd
+    except ImportError:  # pragma: no cover
+        return None
+    for sub in _CANDIDATE_SUBPATHS:
+        path = Path(repo_root) / sub
+        if path.exists():
+            pdf = pd.read_excel(path)
+            pdf["Game"] = pdf["Game"].astype(str)
+            pdf["Game_id"] = pdf["Game_id"].astype(str)
+            pdf["Pool_id"] = pdf["Pool_id"].astype(str)
+            pdf["Bet"] = pdf["Bet"].astype(float)
+            return spark.createDataFrame(pdf[["Game", "Game_id", "Pool_id", "Bet"]], LOOKUP_SCHEMA)
+    return None
+
+
+def prepare_dim(dim: DataFrame) -> DataFrame:
+    """Pre-aggregate the dimension to one row per normalized pool key.
+
+    * ``min_bet``  — Bet of the FIRST row in source order (the reference's
+      ``tmp['Bet'].iloc[0]``); source order is pinned with a row index so
+      the result is deterministic under Spark parallelism.
+    * ``game_ids`` — ALL Game_ids for the key, in source order.
+
+    Pre-aggregating before the fact join avoids fan-out: the join is 1:1,
+    so a million-row pool never duplicates into (pool_rows x games) rows.
+    """
+    w = Window.orderBy(F.monotonically_increasing_id())
+    indexed = dim.withColumn("_idx", F.row_number().over(w)).withColumn(
+        "norm_pool_id", normalize_pool_id("Pool_id")
+    )
+    agg = indexed.groupBy("norm_pool_id").agg(
+        F.min_by("Bet", "_idx").alias("min_bet"),
+        F.array_sort(F.collect_list(F.struct("_idx", "Game_id"))).alias("_pairs"),
+        F.count_distinct("Pool_id").alias("_n_spellings"),
+    )
+    # J1 edge (SURVEY §4): two source Pool_ids that differ only in zero
+    # padding would have made the reference's exact-match-first fallback
+    # diverge from the normalized join. Surface it instead of guessing.
+    return agg.select(
+        "norm_pool_id",
+        "min_bet",
+        F.transform("_pairs", lambda p: p["Game_id"]).alias("game_ids"),
+        "_n_spellings",
+    )
+
+
+def assert_dim_unambiguous(dim_agg: DataFrame) -> None:
+    bad = dim_agg.where(F.col("_n_spellings") > 1).count()
+    if bad:
+        raise ValueError(
+            f"{bad} normalized pool key(s) map to multiple distinct Pool_id "
+            "spellings in the lookup; the reference's exact-match-first join "
+            "would be ambiguous here."
+        )

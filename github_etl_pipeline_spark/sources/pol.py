@@ -1,0 +1,135 @@
+"""`.pol` pool-file source: distributed scan, metadata, lenient line parse.
+
+Reference behavior re-expressed Spark-first:
+  * S1 recursive glob scan (etl/extract.py:27-52) -> ``spark.read.text`` with
+    ``recursiveFileLookup`` + ``pathGlobFilter``; exclusion dirs become a
+    filter on the hidden ``_metadata.file_path`` column.
+  * S4 multi-encoding read (etl/extract.py:83-105) -> `.pol` data is ASCII
+    in practice; the text source reads UTF-8 with replacement, which
+    subsumes the reference's latin-1/cp1252 fallbacks for this corpus.
+  * S5 file metadata (etl/extract.py:108-131) -> ``_metadata`` struct
+    (file_path, file_name, file_size, file_modification_time) plus string
+    surgery for relative/parent paths.
+  * P1 lenient tokenizer (etl/transform.py:61-95): split on whitespace,
+    ``int(tok0)`` else drop the line, add tok2 when it is an int. Spark:
+    ``split`` + ``try_cast`` + ``coalesce`` — stays entirely inside
+    whole-stage codegen, no Python in the per-line path.
+  * P2 filename -> (pool_id, pool_type) (etl/transform.py:181-186):
+    ``split(strip '.pol', '_')`` and positional extraction; missing parts
+    become NULL exactly like the reference's ``splits[1] if len>1``.
+
+Scale notes: the text source streams each file in splits (no whole-file
+string materialization — contrast etl/extract.py:152); a 100 TB fleet of
+pool files scans partition-parallel with ``maxPartitionBytes`` chunking,
+and every derived column below is a codegen'd expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Reference etl/extract.py:14-23
+EXCLUDED_DIRS = (
+    ".git",
+    ".github",
+    "Meta_data",
+    "__pycache__",
+    ".venv",
+    "venv",
+    "node_modules",
+    "etl",
+)
+
+
+def read_pol_lines(
+    spark: SparkSession,
+    scan_dir: str,
+    glob: str = "*.pol",
+    excluded_dirs: tuple[str, ...] = EXCLUDED_DIRS,
+) -> DataFrame:
+    """Scan ``scan_dir`` recursively for pool files; one row per text line.
+
+    Columns: value (raw line), source_file (path relative to scan_dir,
+    posix), file_name, folder_path, parent_folder, file_size, file_mtime.
+    """
+    df = (
+        spark.read.format("text")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", glob)
+        .load(scan_dir)
+    )
+    path = F.col("_metadata.file_path")
+    for d in excluded_dirs:
+        df = df.filter(~path.contains(f"/{d}/"))
+
+    # file_path is a file: URI; strip everything up to and including the
+    # scan dir to get a posix-relative source_file (reference F6,
+    # etl/load.py:58 keys the consolidated store on posix relative paths).
+    scan_posix = scan_dir.rstrip("/").replace("\\", "/")
+    rel = F.regexp_replace(path, r"^.*?" + _re_escape(scan_posix) + "/", "")
+    folder = F.when(rel.contains("/"), F.regexp_replace(rel, r"/[^/]+$", "")).otherwise(
+        F.lit("root")
+    )
+    return df.select(
+        F.col("value"),
+        rel.alias("source_file"),
+        F.col("_metadata.file_name").alias("file_name"),
+        folder.alias("folder_path"),
+        F.element_at(F.split(folder, "/"), -1).alias("parent_folder"),
+        F.col("_metadata.file_size").alias("file_size"),
+        F.col("_metadata.file_modification_time").alias("file_mtime"),
+    )
+
+
+def _re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+#: columns that identify one pool file in every downstream operator
+POOL_KEY_COLS = ["source_file", "file_name", "folder_path", "parent_folder", "pool_id", "pool_type"]
+
+
+def parse_pol_lines(lines: DataFrame) -> DataFrame:
+    """Lenient-parse raw lines into (pool key cols, game_win, type_code).
+
+    Mirrors reference P1/P2 semantics:
+      * non-integer first token  -> line dropped (try_cast NULL filter)
+      * third token, when integer, is ADDED to the value
+      * type code (second token) is carried along (the reference's current
+        code discards it, but the README-era per-type statistics R12-R14
+        consume it)
+      * filename ``Pool_<pool_id>_<pool_type>.pol`` -> id/type as STRINGS
+        (leading zeros are semantic; never integer-cast)
+    """
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    base = F.get(toks, 0).try_cast("long")
+    extra = F.coalesce(F.get(toks, 2).try_cast("long"), F.lit(0))
+    stem = F.regexp_replace(F.col("file_name"), r"\.pol$", "")
+    parts = F.split(stem, "_")
+
+    return (
+        lines.withColumn("game_win", base + extra)
+        .where(F.col("game_win").isNotNull())
+        .withColumn("type_code", F.nullif(F.get(toks, 1), F.lit("")))
+        .withColumn("pool_id", F.get(parts, 1))
+        .withColumn("pool_type", F.get(parts, 2))
+        .select(*POOL_KEY_COLS, "game_win", "type_code")
+    )
+
+
+def pol_file_inventory(lines: DataFrame) -> DataFrame:
+    """One row per discovered file with raw line_count (S6) — kept separate
+    from the parsed stream so files whose every line fails the lenient parse
+    still produce a (size=0, null-metric) output record like the reference's
+    per-file loop does."""
+    stem = F.regexp_replace(F.col("file_name"), r"\.pol$", "")
+    parts = F.split(stem, "_")
+    return (
+        lines.groupBy("source_file", "file_name", "folder_path", "parent_folder")
+        .agg(F.count(F.lit(1)).alias("line_count"), F.first("file_size").alias("file_size"))
+        .withColumn("pool_id", F.get(parts, 1))
+        .withColumn("pool_type", F.get(parts, 2))
+    )
