@@ -129,11 +129,10 @@ def pool_kpis(
     pool_ctx = kpi.where(F.col("rtp").isNotNull()).select(
         "source_file", F.col("size").alias("_n"), F.col("min_bet").alias("_bet"), F.col("rtp").alias("_rtp")
     )
-    var_term = rnd(
-        (F.col("cnt") / F.col("_n"))
-        * F.pow(F.col("game_win") / F.col("_bet") - F.col("_rtp") / 100, F.lit(2)),
-        4,
-    )
+    # square via multiplication, not pow(): bit-deterministic across
+    # engines/libm implementations (matters for the DuckDB oracle compare)
+    diff = F.col("game_win") / F.col("_bet") - F.col("_rtp") / 100
+    var_term = rnd((F.col("cnt") / F.col("_n")) * diff * diff, 4)
     vols = (
         dist.select("source_file", "game_win", "cnt")
         .join(pool_ctx, "source_file")

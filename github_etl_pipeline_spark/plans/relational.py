@@ -1,0 +1,299 @@
+"""Relational operator queries (SURVEY §2.4 A1-A4, R10-R15; §2.3 J1/J2;
+§2.1 S8-analog) over the driver's TPC-H-ish test tables, each with a
+DuckDB oracle. See registry.py for the hash-stability rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.plans.registry import register
+from github_etl_pipeline_spark.sources.tables import read_table as _t
+
+
+def _dec(col, scale: int = 2):
+    return (F.col(col) if isinstance(col, str) else col).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# A1-A4: fused scan->filter->aggregate (TPC-H Q1 shape; the reference's
+# per-pool size/sum/min/max/avg loop, etl/transform.py:190-225, as one
+# hash aggregate with partial (map-side) combine)
+# --------------------------------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_quantity <= 45
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="A1-A4 fused aggregate with predicate pushdown (filter reaches the scan)",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 45)
+    disc = _dec(F.lit(1) - F.col("l_discount"), 2).cast("decimal(8,2)")
+    tax = _dec(F.lit(1) + F.col("l_tax"), 2).cast("decimal(8,2)")
+    sum_qty = F.sum(_dec("l_quantity")).cast("double")
+    sum_base = F.sum(_dec("l_extendedprice")).cast("double")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum_qty.alias("sum_qty"),
+        sum_base.alias("sum_base_price"),
+        F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+        F.sum(_dec("l_extendedprice") * disc * tax).cast("double").alias("sum_charge"),
+        (sum_qty / F.count(F.lit(1))).alias("avg_qty"),
+        (sum_base / F.count(F.lit(1))).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R10: summary statistics incl. median / stddev / distinct count
+# (README.md:66-76 older-schema surface)
+# --------------------------------------------------------------------------
+@register(
+    "summary_stats_orders",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sumsq,
+         MIN(o_totalprice) AS min_price,
+         MAX(o_totalprice) AS max_price,
+         MEDIAN(o_totalprice) AS median_price,
+         COUNT(DISTINCT o_custkey) AS n_customers
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, total, min_price, max_price,
+       total / n AS avg_price,
+       median_price,
+       ROUND(SQRT((sumsq - total*total/n) / (n - 1)), 4) AS stddev_price,
+       n_customers
+FROM s
+""",
+    doc="R10 count/sum/min/max/avg/median/stddev/countDistinct; stddev from exact decimal sum-of-squares for cross-engine determinism",
+)
+def summary_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = _dec("o_totalprice")
+    s = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).cast("double").alias("total"),
+        F.sum(d * d).cast("double").alias("sumsq"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.median("o_totalprice").alias("median_price"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
+    return s.select(
+        "o_orderpriority",
+        "n",
+        "total",
+        "min_price",
+        "max_price",
+        (F.col("total") / F.col("n")).alias("avg_price"),
+        "median_price",
+        F.round(
+            F.sqrt((F.col("sumsq") - F.col("total") * F.col("total") / F.col("n")) / (F.col("n") - 1)),
+            4,
+        ).alias("stddev_price"),
+        "n_customers",
+    )
+
+
+# --------------------------------------------------------------------------
+# R12: group-count distribution, descending
+# --------------------------------------------------------------------------
+@register(
+    "type_distribution_events",
+    oracle="SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+    doc="R12 type_distribution: count per type code",
+)
+def type_distribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# R13: per-group stats with percentage-of-total (unpartitioned window)
+# --------------------------------------------------------------------------
+@register(
+    "pct_of_total_events",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(*) * 100.0 / SUM(COUNT(*)) OVER () AS pct_count
+FROM events GROUP BY event_type
+""",
+    doc="R13 type_statistics: per-type count/sum + pct-of-total via window over the aggregate",
+)
+def pct_of_total_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "event_type",
+        "cnt",
+        "sum_value",
+        (F.col("cnt") * 100.0 / F.sum("cnt").over(w)).alias("pct_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# R14: fixed-width value histogram with percentages
+# --------------------------------------------------------------------------
+@register(
+    "value_histogram_lineitem",
+    oracle="""
+WITH b AS (
+  SELECT LEAST(CAST(FLOOR(l_extendedprice / 10000) AS BIGINT), 9) AS bucket
+  FROM lineitem
+)
+SELECT bucket, COUNT(*) AS cnt,
+       COUNT(*) * 100.0 / SUM(COUNT(*)) OVER () AS pct
+FROM b GROUP BY bucket
+""",
+    doc="R14 value_distribution: 10k-wide buckets, top-clamped, with pct-of-total",
+)
+def value_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _t(spark, sf_dir, "lineitem").select(
+        F.least(F.floor(F.col("l_extendedprice") / 10000).cast("long"), F.lit(9)).alias("bucket")
+    )
+    g = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    return g.select(
+        "bucket", "cnt", (F.col("cnt") * 100.0 / F.sum("cnt").over(Window.partitionBy())).alias("pct")
+    )
+
+
+# --------------------------------------------------------------------------
+# R15: first-k / last-k rows per group via row_number windows
+# --------------------------------------------------------------------------
+@register(
+    "first_last_k_events",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC,  event_id ASC)  AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events
+)
+SELECT user_id, 'first' AS direction, rn_first AS rn, event_id, value FROM r WHERE rn_first <= 3
+UNION ALL
+SELECT user_id, 'last'  AS direction, rn_last  AS rn, event_id, value FROM r WHERE rn_last  <= 3
+""",
+    doc="R15 first_10/last_10 sampling (k=3) with deterministic tie-break on event_id",
+)
+def first_last_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    wf = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wl = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    first = r.where(F.col("rn_first") <= 3).select(
+        "user_id", F.lit("first").alias("direction"), F.col("rn_first").alias("rn"), "event_id", "value"
+    )
+    last = r.where(F.col("rn_last") <= 3).select(
+        "user_id", F.lit("last").alias("direction"), F.col("rn_last").alias("rn"), "event_id", "value"
+    )
+    return first.unionAll(last)
+
+
+# --------------------------------------------------------------------------
+# J1/J2: small-dimension broadcast joins + list collection
+# --------------------------------------------------------------------------
+@register(
+    "region_rollup",
+    oracle="""
+SELECT r.r_name AS region,
+       COUNT(DISTINCT n.n_nationkey) AS n_nations,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+       (SELECT STRING_AGG(n_name, ',' ORDER BY n_name)
+          FROM (SELECT DISTINCT n2.n_name FROM nation n2 WHERE n2.n_regionkey = r.r_regionkey)) AS nations_csv
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+GROUP BY r.r_regionkey, r.r_name
+""",
+    doc="J1/J2 broadcast dim joins (region->nation->customer) with sorted list collection",
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        F.count_distinct("n_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations_csv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# S8-analog: dedupe keeping the latest version of each logical key
+# --------------------------------------------------------------------------
+@register(
+    "dedup_latest_events",
+    oracle="""
+SELECT user_id, event_type, event_id, value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="S8 upsert semantics as batch: keep newest row per (user_id, event_type)",
+)
+def dedup_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# sorts / limits: global top-k (orderBy + limit -> TakeOrderedAndProject)
+# --------------------------------------------------------------------------
+@register(
+    "top_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+    doc="global top-k: Spark plans TakeOrderedAndProject (no full sort)",
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -26,8 +26,18 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. The events table carries parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects by default —
+    the legacy conf reads it as LongType (nanos since epoch), which is also
+    the safest representation for cross-engine compares (pure ordering, no
+    timezone semantics)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TABLES}
+    return {name: read_table(spark, sf_dir, name) for name in TABLES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
