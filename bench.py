@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness. Runs the registered queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "suite_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, ...extras}
+
+Also times the full .pol ETL over the reference sample corpus (~27.2M
+rows) and reports its rows/sec — the apples-to-apples number against
+BASELINE.md's ~1.72M rows/s single-node transform throughput.
+
+Queries execute via the `noop` sink: full execution, no driver collect,
+no output I/O — measures the engine, not the materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    from github_etl_pipeline_spark.plans import REGISTRY
+    from github_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup, not counted
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        t0 = time.perf_counter()
+        _run(spec.builder(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    extras: dict[str, float] = {}
+    ref_root = "/root/reference"
+    if os.path.isdir(os.path.join(ref_root, "samples", "pools2")):
+        from github_etl_pipeline_spark.pipeline import run_pipeline
+
+        dim = spark.createDataFrame(
+            [("Pharaoh", "9493", "0201", 25.0), ("Pharaoh", "6371", "6371", 10.0)],
+            "Game string, Game_id string, Pool_id string, Bet double",
+        )
+        t0 = time.perf_counter()
+        pools, summary = run_pipeline(spark, ref_root, dim=dim)
+        _run(pools)
+        dt = time.perf_counter() - t0
+        n_rows = 27_199_999  # fixed corpus (28 sample files + 1 dup)
+        timings["pool_etl_reference_corpus"] = round(dt, 3)
+        extras["pool_etl_rows_per_sec"] = round(n_rows / dt)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -77,11 +77,19 @@ def pool_kpis(
     key_cols = key_cols or POOL_KEY_COLS
     rnd = _rounder(rounding)
 
-    dist = pool_distribution(parsed, key_cols)
+    # The single large shuffle. dist is tiny (#pools x distinct prize
+    # values, +1 NULL group per pool in single-pass mode) — persist it so
+    # the stats pass and the rtp-dependent variance pass don't each
+    # re-scan the raw data.
+    dist = pool_distribution(parsed, key_cols).persist()
+    valid = F.col("game_win").isNotNull()
     stats = dist.groupBy(*key_cols).agg(
-        F.sum("cnt").alias("size"),
-        F.sum(F.col("game_win") * F.col("cnt")).alias("total_win"),
-        F.sum(F.when(F.col("game_win") > 0, F.col("cnt")).otherwise(F.lit(0))).alias("hits"),
+        F.sum(F.col("cnt")).alias("line_count"),
+        F.coalesce(F.sum(F.when(valid, F.col("cnt"))), F.lit(0)).alias("size"),
+        F.sum(F.when(valid, F.col("game_win") * F.col("cnt"))).alias("total_win"),
+        F.coalesce(
+            F.sum(F.when(valid & (F.col("game_win") > 0), F.col("cnt"))), F.lit(0)
+        ).alias("hits"),
         F.max("game_win").alias("max_win"),
     )
 
@@ -89,7 +97,11 @@ def pool_kpis(
         inv_keys = [c for c in key_cols if c in inventory.columns]
         stats = (
             inventory.select(*inv_keys)
-            .join(stats.select("source_file", "size", "total_win", "hits", "max_win"), "source_file", "left")
+            .join(
+                stats.select("source_file", "line_count", "size", "total_win", "hits", "max_win"),
+                "source_file",
+                "left",
+            )
             .withColumn("size", F.coalesce(F.col("size"), F.lit(0)))
             .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)))
         )
@@ -109,6 +121,7 @@ def pool_kpis(
     gate = F.col("min_bet").isNotNull() & (F.col("min_bet") > 0) & (F.col("size") > 0)
     kpi = stats.select(
         *[c for c in key_cols if c in stats.columns],
+        "line_count",
         "size",
         "total_win",
         "max_win",
@@ -134,7 +147,8 @@ def pool_kpis(
     diff = F.col("game_win") / F.col("_bet") - F.col("_rtp") / 100
     var_term = rnd((F.col("cnt") / F.col("_n")) * diff * diff, 4)
     vols = (
-        dist.select("source_file", "game_win", "cnt")
+        dist.where(F.col("game_win").isNotNull())
+        .select("source_file", "game_win", "cnt")
         .join(pool_ctx, "source_file")
         .groupBy("source_file")
         .agg(rnd(F.lit(z) * F.sqrt(F.sum(var_term)), 2).alias("volatility"))

@@ -15,11 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from github_etl_pipeline_spark.operators.kpis import pool_kpis
 from github_etl_pipeline_spark.operators.rollup import aggregated_summary
 from github_etl_pipeline_spark.sources.lookup import load_game_lookup, prepare_dim
-from github_etl_pipeline_spark.sources.pol import (
-    parse_pol_lines,
-    pol_file_inventory,
-    read_pol_lines,
-)
+from github_etl_pipeline_spark.sources.pol import parse_pol_lines, read_pol_lines
 
 
 def run_pipeline(
@@ -39,14 +35,16 @@ def run_pipeline(
     if not scan_dir.exists():
         scan_dir = repo_root
 
+    # single-pass mode: invalid lines kept as NULL game_win, so raw line
+    # counts AND size-0 records for unparseable files come out of the same
+    # scan + shuffle (no separate inventory pass over the data)
     lines = read_pol_lines(spark, str(scan_dir))
-    inventory = pol_file_inventory(lines)
-    parsed = parse_pol_lines(lines)
+    parsed = parse_pol_lines(lines, keep_invalid=True)
 
     if dim is None:
         dim = load_game_lookup(spark, repo_root)
     dim_agg = prepare_dim(dim) if dim is not None else None
 
-    pools = pool_kpis(parsed, dim_agg=dim_agg, inventory=inventory, rounding=rounding)
+    pools = pool_kpis(parsed, dim_agg=dim_agg, rounding=rounding)
     summary = aggregated_summary(pools, rounding=rounding)
     return pools, summary

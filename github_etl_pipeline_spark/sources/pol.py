@@ -92,11 +92,15 @@ def _re_escape(s: str) -> str:
 POOL_KEY_COLS = ["source_file", "file_name", "folder_path", "parent_folder", "pool_id", "pool_type"]
 
 
-def parse_pol_lines(lines: DataFrame) -> DataFrame:
+def parse_pol_lines(lines: DataFrame, keep_invalid: bool = False) -> DataFrame:
     """Lenient-parse raw lines into (pool key cols, game_win, type_code).
 
     Mirrors reference P1/P2 semantics:
-      * non-integer first token  -> line dropped (try_cast NULL filter)
+      * non-integer first token  -> line dropped (try_cast NULL filter);
+        with ``keep_invalid=True`` the line is kept with game_win NULL so
+        downstream can count raw lines AND valid rows in ONE scan (the
+        pipeline's single-pass mode — invalid lines are rare, so the
+        extra NULL group per pool in the distribution agg costs nothing)
       * third token, when integer, is ADDED to the value
       * type code (second token) is carried along (the reference's current
         code discards it, but the README-era per-type statistics R12-R14
@@ -110,10 +114,11 @@ def parse_pol_lines(lines: DataFrame) -> DataFrame:
     stem = F.regexp_replace(F.col("file_name"), r"\.pol$", "")
     parts = F.split(stem, "_")
 
+    out = lines.withColumn("game_win", base + extra)
+    if not keep_invalid:
+        out = out.where(F.col("game_win").isNotNull())
     return (
-        lines.withColumn("game_win", base + extra)
-        .where(F.col("game_win").isNotNull())
-        .withColumn("type_code", F.nullif(F.get(toks, 1), F.lit("")))
+        out.withColumn("type_code", F.nullif(F.get(toks, 1), F.lit("")))
         .withColumn("pool_id", F.get(parts, 1))
         .withColumn("pool_type", F.get(parts, 2))
         .select(*POOL_KEY_COLS, "game_win", "type_code")
