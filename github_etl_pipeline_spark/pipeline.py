@@ -24,11 +24,17 @@ def run_pipeline(
     scan_subdir: str = "samples/pools2",
     rounding: str = "bankers",
     dim: DataFrame | None = None,
+    output_dir: str | Path | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (per-pool KPI records, single-row aggregated summary).
 
     ``dim`` overrides the xlsx lookup (used by tests to inject the richer
     dimension the reference's committed goldens were produced with).
+
+    With ``output_dir`` set, also writes the reference's full output
+    surface (EP1, etl/main.py:124-148): consolidated JSON upsert (S8),
+    _pipeline_summary.json with run counters (S9/A9), _index.json (S10)
+    and the flat CSV export (S11).
     """
     repo_root = Path(repo_root)
     scan_dir = repo_root / scan_subdir
@@ -47,4 +53,36 @@ def run_pipeline(
 
     pools = pool_kpis(parsed, dim_agg=dim_agg, rounding=rounding)
     summary = aggregated_summary(pools, rounding=rounding)
+
+    if output_dir is not None:
+        from pyspark.sql import functions as F
+
+        from github_etl_pipeline_spark.sinks.reports import (
+            generate_index_file,
+            save_as_csv,
+            save_summary_report,
+        )
+        from github_etl_pipeline_spark.sinks.upsert import write_consolidated_json
+
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        consolidated = output_dir / "all_pools_data.json"
+        write_consolidated_json(pools, consolidated)
+
+        # A9 counters: a file "failed" when it had raw lines but none
+        # parsed (the reference's per-file try/except surface,
+        # etl/main.py:100-122)
+        counts = pools.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if((F.col("size") == 0) & (F.col("line_count") > 0)).alias("failed"),
+        ).first()
+        counters = {
+            "files_processed": counts["n"],
+            "files_succeeded": counts["n"] - counts["failed"],
+            "files_failed": counts["failed"],
+        }
+        save_summary_report(summary, counters, output_dir / "_pipeline_summary.json")
+        generate_index_file(consolidated, output_dir / "_index.json")
+        save_as_csv(pools, output_dir / "_all_files_summary.csv")
+
     return pools, summary

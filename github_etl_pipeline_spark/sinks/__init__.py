@@ -1,0 +1,14 @@
+from github_etl_pipeline_spark.sinks.upsert import upsert_parquet, write_consolidated_json
+from github_etl_pipeline_spark.sinks.reports import (
+    save_summary_report,
+    generate_index_file,
+    save_as_csv,
+)
+
+__all__ = [
+    "upsert_parquet",
+    "write_consolidated_json",
+    "save_summary_report",
+    "generate_index_file",
+    "save_as_csv",
+]

@@ -92,7 +92,9 @@ def _re_escape(s: str) -> str:
 POOL_KEY_COLS = ["source_file", "file_name", "folder_path", "parent_folder", "pool_id", "pool_type"]
 
 
-def parse_pol_lines(lines: DataFrame, keep_invalid: bool = False) -> DataFrame:
+def parse_pol_lines(
+    lines: DataFrame, keep_invalid: bool = False, with_order: bool = False
+) -> DataFrame:
     """Lenient-parse raw lines into (pool key cols, game_win, type_code).
 
     Mirrors reference P1/P2 semantics:
@@ -117,12 +119,20 @@ def parse_pol_lines(lines: DataFrame, keep_invalid: bool = False) -> DataFrame:
     out = lines.withColumn("game_win", base + extra)
     if not keep_invalid:
         out = out.where(F.col("game_win").isNotNull())
-    return (
+    out = (
         out.withColumn("type_code", F.nullif(F.get(toks, 1), F.lit("")))
         .withColumn("pool_id", F.get(parts, 1))
         .withColumn("pool_type", F.get(parts, 2))
-        .select(*POOL_KEY_COLS, "game_win", "type_code")
     )
+    cols = [*POOL_KEY_COLS, "game_win", "type_code"]
+    if with_order:
+        # file-order sequence for first/last-k sampling (R15): assigned at
+        # scan time, before any shuffle. Within a split this follows file
+        # order; files larger than maxPartitionBytes span splits whose
+        # partition indices follow offset order for a single file listing.
+        out = out.withColumn("_order", F.monotonically_increasing_id())
+        cols.append("_order")
+    return out.select(*cols)
 
 
 def pol_file_inventory(lines: DataFrame) -> DataFrame:

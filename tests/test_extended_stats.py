@@ -1,0 +1,67 @@
+"""M6: README-era extended statistics vs the worked example
+(README.md:53-105 for Pool_0201_395.pol — values verified in SURVEY §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.operators.stats import pool_extended_stats
+from github_etl_pipeline_spark.sources.pol import parse_pol_lines, read_pol_lines
+
+
+@pytest.fixture(scope="module")
+def stats_row(spark):
+    lines = read_pol_lines(spark, "/root/reference/samples/pools2")
+    parsed = parse_pol_lines(lines, with_order=True)
+    df = pool_extended_stats(parsed)
+    rows = [r for r in df.collect() if r.source_file == "Pool_0201_395.pol"]
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_readme_summary_stats(stats_row):
+    r = stats_row
+    assert r.total_records == 100000
+    assert r.total_sum == 118744550
+    assert r.min_value == 375
+    assert r.max_value == 25000
+    assert r.avg_value == 1187.45
+    assert r.median_value == 850.0
+    assert r.std_value == pytest.approx(858.95, abs=0.01)
+    assert r.unique_types == 5
+
+
+def test_readme_type_distribution(stats_row):
+    # README.md:77-83: TB3:29550 TF1:27850 TB2:22750 TB1:19740 TF2:110
+    assert dict(stats_row.type_distribution) == {
+        "TB3": 29550,
+        "TF1": 27850,
+        "TB2": 22750,
+        "TB1": 19740,
+        "TF2": 110,
+    }
+
+
+def test_type_statistics_sorted_with_pct(stats_row):
+    ts = stats_row.type_statistics
+    assert [t.type_code for t in ts] == ["TB3", "TF1", "TB2", "TB1", "TF2"]
+    assert ts[0]["count"] == 29550
+    assert ts[0]["pct"] == pytest.approx(29.55, abs=0.01)
+    assert sum(t["count"] for t in ts) == 100000
+
+
+def test_value_histogram(stats_row):
+    vd = {b.bucket: b["count"] for b in stats_row.value_distribution}
+    assert sum(vd.values()) == 100000
+    assert set(vd) <= {"0-500", "501-1000", "1001-2000", "2001-5000", "5001-10000", "10001+"}
+    pcts = [b["pct"] for b in stats_row.value_distribution]
+    assert abs(sum(pcts) - 100.0) < 0.5
+
+
+def test_first_last_k_match_file(stats_row):
+    # first/last lines of the actual file (order-sensitive sampling)
+    with open("/root/reference/samples/pools2/Pool_0201_395.pol") as f:
+        lines = [l.split()[0] for l in f if l.strip()]
+    expect_first = [int(v) for v in lines[:10]]
+    expect_last = [int(v) for v in lines[-10:]]
+    assert list(stats_row.first_k) == expect_first
+    assert list(stats_row.last_k) == expect_last

@@ -1,0 +1,93 @@
+"""Sink tests: parquet upsert semantics + idempotence (S8 property from
+SURVEY §5), consolidated JSON format parity, reports."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.sinks.upsert import upsert_parquet, write_consolidated_json
+
+
+def _pools_df(spark, rows):
+    return spark.createDataFrame(rows, "source_file string, rtp double")
+
+
+def test_upsert_insert_update_preserve(spark, tmp_path):
+    table = tmp_path / "store"
+    upsert_parquet(spark, _pools_df(spark, [("a", 1.0), ("b", 2.0)]), table)
+    # update a, insert c, preserve b
+    upsert_parquet(spark, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), table)
+    got = {r.source_file: r.rtp for r in spark.read.parquet(str(table)).collect()}
+    assert got == {"a": 9.0, "b": 2.0, "c": 3.0}
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    table = tmp_path / "store"
+    df = _pools_df(spark, [("a", 1.0), ("b", 2.0)])
+    upsert_parquet(spark, df, table)
+    once = sorted(map(str, spark.read.parquet(str(table)).collect()))
+    upsert_parquet(spark, df, table)
+    twice = sorted(map(str, spark.read.parquet(str(table)).collect()))
+    assert once == twice
+
+
+def test_consolidated_json_upsert_and_shape(spark, tmp_path):
+    out = tmp_path / "all_pools_data.json"
+    full = spark.createDataFrame(
+        [
+            (
+                "Pool_0201_395.pol", "0201", "395", ["9493"], 25.0, 1000.0, 4749.78,
+                56.52, 0, ["GAB", "PFB"], 100000, None, "p/Pool_0201_395.pol",
+                "Pool_0201_395.pol", "p", 100.0,
+            )
+        ],
+        "pool_name string, pool_id string, pool_type string, game_ids array<string>, "
+        "min_bet double, max_win_factor double, rtp double, volatility double, "
+        "is_flat int, tag array<string>, size long, max_multiplier string, "
+        "source_file string, file_name string, folder_path string, hit_frequency double",
+    ).withColumn("processed_at", F.current_timestamp())
+    write_consolidated_json(full, out)
+    data = json.loads(out.read_text())
+    rec = data["p/Pool_0201_395.pol"]
+    # reference record shape (etl/transform.py:237-256)
+    assert rec["rtp"] == 4749.78 and rec["tag"] == ["GAB", "PFB"]
+    assert rec["metadata"]["hit_frequency"] == 100.0
+    assert set(rec) == {
+        "pool_name", "pool_id", "pool_type", "game_ids", "min_bet", "max_win_factor",
+        "rtp", "volatility", "is_flat", "tag", "size", "max_multiplier", "metadata",
+    }
+    # upsert: second write updates in place, no duplicate keys
+    write_consolidated_json(full, out)
+    assert len(json.loads(out.read_text())) == 1
+
+
+def test_full_output_surface(spark, tmp_path):
+    from github_etl_pipeline_spark.pipeline import run_pipeline
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "Pool_0201_941.pol").write_text("100\n0 TB1\n250 TB2 10\n")
+    (d / "Pool_0202_888.pol").write_text("garbage\n")
+    dim = spark.createDataFrame(
+        [("G", "9493", "201", 25.0)], "Game string, Game_id string, Pool_id string, Bet double"
+    )
+    out = tmp_path / "Meta_data"
+    run_pipeline(spark, d, dim=dim, output_dir=out)
+
+    data = json.loads((out / "all_pools_data.json").read_text())
+    assert len(data) == 2
+    rec = data["Pool_0201_941.pol"]
+    assert rec["size"] == 3 and rec["game_ids"] == ["9493"]
+
+    summary = json.loads((out / "_pipeline_summary.json").read_text())
+    assert summary["files_processed"] == 2
+    assert summary["files_succeeded"] == 1
+    assert summary["files_failed"] == 1
+    assert summary["aggregated_summary"]["total_records_across_all_files"] == 3
+
+    index = json.loads((out / "_index.json").read_text())
+    assert index["total_files"] == 2
+    csv_text = (out / "_all_files_summary.csv").read_text()
+    assert csv_text.splitlines()[0].startswith("source_file,pool_name")
+    assert len(csv_text.strip().splitlines()) == 3

@@ -1,0 +1,51 @@
+"""M7: incremental processing via streaming file source + checkpoint
+(reference S2/S3/EP2 — the git-diff loop re-expressed as Structured
+Streaming with Trigger.AvailableNow)."""
+
+import pytest
+
+from github_etl_pipeline_spark.sources.lookup import prepare_dim
+from github_etl_pipeline_spark.streaming.incremental import run_incremental
+
+
+@pytest.fixture()
+def dim_agg(spark):
+    dim = spark.createDataFrame(
+        [("G", "9493", "201", 25.0)], "Game string, Game_id string, Pool_id string, Bet double"
+    )
+    return prepare_dim(dim)
+
+
+def test_incremental_two_runs(spark, tmp_path, dim_agg):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    ckpt = tmp_path / "ckpt"
+    store = tmp_path / "store"
+
+    (corpus / "Pool_0201_941.pol").write_text("100\n200\n")
+    n1 = run_incremental(spark, corpus, ckpt, store, dim_agg)
+    assert n1 >= 1
+    got1 = {r.source_file: r.size for r in spark.read.parquet(str(store)).collect()}
+    assert got1 == {"Pool_0201_941.pol": 2}
+
+    # second run with a NEW file: only it is processed; old record preserved
+    (corpus / "Pool_0201_395.pol").write_text("50\n")
+    n2 = run_incremental(spark, corpus, ckpt, store, dim_agg)
+    assert n2 >= 1
+    got2 = {r.source_file: r.size for r in spark.read.parquet(str(store)).collect()}
+    assert got2 == {"Pool_0201_941.pol": 2, "Pool_0201_395.pol": 1}
+
+    # third run, nothing new -> no batches with data, store unchanged
+    n3 = run_incremental(spark, corpus, ckpt, store, dim_agg)
+    got3 = {r.source_file: r.size for r in spark.read.parquet(str(store)).collect()}
+    assert got3 == got2
+
+
+def test_incremental_kpis_match_batch(spark, tmp_path, dim_agg):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "Pool_0201_941.pol").write_text("0\n100\n200\n300\n")
+    run_incremental(spark, corpus, tmp_path / "ck", tmp_path / "st", dim_agg)
+    row = spark.read.parquet(str(tmp_path / "st")).first()
+    # size=4, total=600, bet=25: rtp = 600/(4*25)*100 = 600.0
+    assert row.size == 4 and row.rtp == 600.0 and row.hit_frequency == 75.0
