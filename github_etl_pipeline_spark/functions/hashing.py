@@ -1,0 +1,52 @@
+"""Portable hashing primitives used by dedup / fingerprinting operators.
+
+Cross-engine requirement: the DuckDB oracles must compute bit-identical
+hashes, so everything derives from md5 (identical in Spark, DuckDB,
+Python) rather than engine-native hash functions (Spark xxhash64 and
+DuckDB hash() disagree).
+
+``portable_hash32`` = first 8 hex chars of md5 as an unsigned 32-bit
+integer. MinHash permutations are the classic (a*h + b) mod P universal
+family with P the smallest prime > 2^32; a/b are fixed odd constants so
+signatures are deterministic across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# smallest prime > 2^32
+MINHASH_P = 4_294_967_311
+
+# deterministic permutation parameters (i-th hash: (A[i]*h + B[i]) % P)
+NUM_MINHASHES = 16
+MINHASH_A = [2 * i + 1 for i in range(1, NUM_MINHASHES + 1)]
+MINHASH_B = [10_007 * i + 12_345 for i in range(NUM_MINHASHES)]
+
+
+def portable_hash32(col: Column) -> Column:
+    """md5-derived unsigned 32-bit hash, identical across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash32_sql(expr: str) -> str:
+    """DuckDB SQL producing the same value as ``portable_hash32``."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def portable_hash48(col: Column) -> Column:
+    """48-bit variant (for SimHash bit sampling)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def portable_hash48_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
+
+
+def minhash_perm(h: Column, i: int) -> Column:
+    return (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+
+
+def minhash_perm_sql(expr: str, i: int) -> str:
+    return f"(({MINHASH_A[i]} * {expr} + {MINHASH_B[i]}) % {MINHASH_P})"

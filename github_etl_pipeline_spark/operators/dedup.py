@@ -1,0 +1,216 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the 100-TB story):
+  * Exact dedup is a hash-groupBy — one shuffle on a 16-byte key, never
+    on the document bodies.
+  * MinHash+LSH is the linear-time near-dup path: per-doc signatures are
+    pure column expressions over the shingle array (no UDFs, no
+    cross-join); candidate generation shuffles only (band_id, band_hash,
+    doc_id) tuples; the quadratic verify step runs per-bucket on
+    candidate groups, which LSH keeps tiny.
+  * The brute-force Jaccard operator is the small-data oracle/baseline —
+    quadratic by construction; use LSH beyond ~10^4 docs.
+  * SimHash reduces each doc to one 48-bit integer; near-dup = small
+    Hamming distance, joinable by band-of-bits at scale.
+
+All hashes are md5-derived (functions/hashing.py) so the DuckDB oracles
+reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.functions.hashing import (
+    NUM_MINHASHES,
+    minhash_perm,
+    portable_hash32,
+    portable_hash48,
+)
+from github_etl_pipeline_spark.operators.text import TOKEN_RE
+
+SIMHASH_BITS = 48
+
+
+def normalized_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text: one row per
+    distinct content with the surviving (minimum) id and the duplicate
+    count. Shuffles 16-byte keys only."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(col: Column | str, k: int = 2) -> Column:
+    """Distinct word k-gram shingle array."""
+    toks = F.regexp_extract_all(F.col(col) if isinstance(col, str) else col, F.lit(TOKEN_RE), 0)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    gram = F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+            )
+        ),
+    ).otherwise(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
+    return gram
+
+
+def shingle_hashes(col: Column | str, k: int = 2) -> Column:
+    """Distinct 32-bit shingle hash array (the MinHash input set)."""
+    return F.array_distinct(
+        F.transform(
+            shingles(col, k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 2
+) -> DataFrame:
+    """doc_id + sig_0..sig_{n-1} MinHash signature columns (pure
+    expressions over the shingle-hash array; empty docs get NULL sigs)."""
+    sh = shingle_hashes(text_col, k)
+    out = df.select(F.col(id_col), sh.alias("_sh"))
+
+    def sig(i: int):
+        # closure keeps the lambda unary — F.transform treats a binary
+        # lambda as (element, index)
+        return F.when(
+            F.size("_sh") > 0,
+            F.array_min(F.transform("_sh", lambda h: minhash_perm(h, i))),
+        ).alias(f"sig_{i}")
+
+    return out.select(id_col, *[sig(i) for i in range(NUM_MINHASHES)])
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Banded-LSH candidate pairs from a signature DataFrame: docs
+    agreeing on ALL rows of at least one band. Output (id_a, id_b),
+    id_a < id_b, distinct."""
+    rows_per_band = NUM_MINHASHES // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
+        )
+    exploded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    grouped = exploded.groupBy("band", "bh").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    pairs = (
+        grouped.where(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda a, i: F.transform(
+                            F.slice("ids", i + 2, F.size("ids")), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs (or brute-force
+    all-pairs when ``candidates`` is None — the small-data baseline).
+    Output (id_a, id_b, jaccard) with jaccard >= threshold."""
+    sh = df.select(F.col(id_col).alias("_id"), shingle_hashes(text_col, k).alias("_sh"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    if candidates is not None:
+        joined = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: signature -> banded LSH candidates ->
+    exact Jaccard verify >= threshold."""
+    sig = minhash_signature(df, text_col, id_col, k)
+    cand = lsh_candidate_pairs(sig, id_col, bands)
+    return jaccard_pairs(df, text_col, id_col, k, threshold, candidates=cand)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """48-bit SimHash per document via exploded-token bit-vote aggregation
+    (plain SQL aggregates — cross-engine reproducible, map-side combined).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).alias("tok"),
+    ).select(id_col, portable_hash48(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = toks.groupBy(id_col).agg(*votes)
+    acc = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+    return g.select(id_col, acc.alias("simhash"))
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs >= threshold (brute-force pairs —
+    the oracle path; LSH-bucketed variant in similarity.py scales it)."""
+    from github_etl_pipeline_spark.operators.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cos")
+    ).where(F.col("cos") >= threshold)

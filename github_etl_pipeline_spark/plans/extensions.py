@@ -1,0 +1,305 @@
+"""M8 extension queries: dedup / similarity / text analysis / multimodal,
+each registered with a DuckDB oracle generated from the SAME constants as
+the Spark builders (functions/hashing.py, operators/text.py) so both
+engines compute bit-identical hashes and counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.functions.hashing import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    NUM_MINHASHES,
+)
+from github_etl_pipeline_spark.operators import dedup as D
+from github_etl_pipeline_spark.operators import similarity as S
+from github_etl_pipeline_spark.operators.multimodal import extract_features
+from github_etl_pipeline_spark.operators.text import (
+    BPEISH_RE,
+    CJK_RANGE,
+    PUNCT_RE,
+    STOPWORDS,
+    TOKEN_RE,
+    WORD_RE,
+    text_profile,
+)
+from github_etl_pipeline_spark.plans.registry import register
+from github_etl_pipeline_spark.sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB), mirrors of the Spark expressions
+# ---------------------------------------------------------------------------
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_SHINGLES_SQL = f"""
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS sh
+  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks FROM documents)
+"""
+_SHASH_SQL = (
+    "list_distinct(list_transform(sh, s -> CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)))"
+)
+
+
+def _sig_sql_terms() -> list[str]:
+    return [
+        f"CASE WHEN len(hs) > 0 THEN list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P})) END AS sig_{i}"
+        for i in range(NUM_MINHASHES)
+    ]
+
+
+_SIG_CTE = f"""
+WITH g AS ({_SHINGLES_SQL}),
+h AS (SELECT doc_id, {_SHASH_SQL} AS hs FROM g),
+sig AS (SELECT doc_id, {', '.join(_sig_sql_terms())} FROM h)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "text_profile_documents",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+         len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+         len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct,
+         len(regexp_extract_all(lower(text), '{STOPWORDS["en"]}')) AS s_en,
+         len(regexp_extract_all(lower(text), '{STOPWORDS["de"]}')) AS s_de,
+         len(regexp_extract_all(lower(text), '{STOPWORDS["es"]}')) AS s_es,
+         len(regexp_extract_all(lower(text), '{STOPWORDS["fr"]}')) AS s_fr,
+         len(regexp_extract_all(text, '{CJK_RANGE}')) AS s_zh,
+         len(regexp_extract_all(text, '{BPEISH_RE}')) AS n_bpeish_tokens
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_bpeish_tokens,
+  round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN n_tokens > 0 THEN CAST(s_en AS DOUBLE)/n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+  CASE WHEN s_zh > 0 THEN 'zh'
+       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+       WHEN s_fr > 0 THEN 'fr'
+       ELSE 'und' END AS lang_pred,
+  round(0.25 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END)
+      + 0.25 * least(CASE WHEN n_tokens > 0 THEN CAST(n_words AS DOUBLE)/n_tokens ELSE 0.0 END, 1.0)
+      + 0.25 * (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(s_en AS DOUBLE)/n_tokens ELSE 0.0 END) > 0.02 THEN 1.0 ELSE 0.5 END)
+      + 0.25 * (CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) > 0.2 THEN 0.5 ELSE 1.0 END), 4) AS quality,
+  CAST(('0x' || substr(md5({_NORM_SQL}), 1, 12)) AS BIGINT) AS fingerprint
+FROM f
+""",
+    doc="text analysis: token counts, lang-ID heuristic, quality score, fingerprint — all JVM-side expressions",
+)
+def text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact
+# ---------------------------------------------------------------------------
+@register(
+    "exact_dedup_documents",
+    oracle=f"""
+SELECT md5({_NORM_SQL}) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+    doc="exact dedup: hash-groupBy on md5(normalized text); shuffles 16-byte keys, not documents",
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash signatures + end-to-end LSH near-dup pairs
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_signatures_documents",
+    oracle=_SIG_CTE + "SELECT * FROM sig",
+    doc="MinHash signatures (16 md5-derived universal hashes over distinct word-bigram shingles)",
+)
+def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signature(read_table(spark, sf_dir, "documents"))
+
+
+def _band_sql(bands: int = 4) -> str:
+    rows = NUM_MINHASHES // bands
+    parts = []
+    for b in range(bands):
+        cols = " || ',' || ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bh FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "minhash_dup_pairs_documents",
+    oracle=_SIG_CTE
+    + f""",
+bandkeys AS ({_band_sql(4)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+hs AS (SELECT doc_id, {_SHASH_SQL} AS hs FROM g)
+SELECT id_a, id_b,
+       round(CASE WHEN len(list_distinct(x.hs || y.hs)) > 0
+             THEN CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / len(list_distinct(x.hs || y.hs))
+             ELSE 0.0 END, 6) AS jaccard
+FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b
+WHERE CASE WHEN len(list_distinct(x.hs || y.hs)) > 0
+      THEN CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / len(list_distinct(x.hs || y.hs))
+      ELSE 0.0 END >= 0.2
+""",
+    doc="end-to-end MinHash+LSH near-dup: signatures -> 4-band buckets -> candidate pairs -> exact Jaccard >= 0.2",
+)
+def minhash_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_dedup_pairs(read_table(spark, sf_dir, "documents"), threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: brute-force n-gram Jaccard (the baseline/oracle path)
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_pairs_documents",
+    oracle=_SIG_CTE.replace("sig AS", "sig_unused AS")
+    + f""",
+hs AS (SELECT doc_id, {_SHASH_SQL} AS hs FROM g)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / len(list_distinct(a.hs || b.hs)), 6) AS jaccard
+FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+WHERE len(list_distinct(a.hs || b.hs)) > 0
+  AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / len(list_distinct(a.hs || b.hs)) >= 0.5
+""",
+    doc="brute-force shingle-Jaccard pairs >= 0.5 (quadratic small-data baseline; LSH is the scale path)",
+)
+def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(read_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash (generated 48-bit bit-vote SQL on both sides)
+# ---------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS tok FROM documents
+),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok),1,12)) AS BIGINT) AS h FROM t),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM v
+"""
+
+
+@register(
+    "simhash_documents",
+    oracle=_simhash_oracle(),
+    doc="48-bit SimHash per document via exploded-token bit votes (map-side combined aggregate)",
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "ann_topk_bruteforce",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.ev, q.qv) / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+""",
+    doc="exact brute-force cosine top-k (ranks only — float-sum-order safe); the ANN baseline",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=None,  # Spark-specific bucketed plan; recall vs brute force measured in tests
+    doc="approximate top-k via random-hyperplane LSH banding + exact rerank (rows-only driver check)",
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ann_lsh_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_high_sim_pairs",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+""",
+    doc="embedding-cosine near-dup pairs >= 0.45 (ids only; brute-force baseline of the LSH path)",
+)
+def embedding_high_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.embedding_dup_pairs(read_table(spark, sf_dir, "embeddings")).select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (Pandas-UDF path with a real oracle via the
+# deterministic fake decoder)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features_documents",
+    oracle="""
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash,
+       CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS feat_mean,
+       CAST(octet_length(encode(text)) % 512 + 1 AS INTEGER) AS feat_dim
+FROM documents
+""",
+    doc="multimodal binary-column plumbing: mapInPandas (Arrow-batched) feature extraction with deterministic fake decode",
+)
+def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("png").alias("format"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_features(media)

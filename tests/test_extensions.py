@@ -1,0 +1,110 @@
+"""M8 operator property tests: dedup finds planted duplicates, LSH ANN
+recall vs brute force, multimodal plumbing shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.operators import dedup as D
+from github_etl_pipeline_spark.operators import similarity as S
+from github_etl_pipeline_spark.operators.multimodal import (
+    extract_features,
+    fake_decode,
+    frame_sample_plan,
+)
+from github_etl_pipeline_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+        (3, "completely different content about spark shuffle partitions and joins"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (5, "spark shuffle partitions and joins are completely different topics"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted_dup(spark, docs_with_dups):
+    groups = {r.keep_id: r.n_dups for r in D.exact_dedup(docs_with_dups).collect()}
+    assert groups[1] == 2  # docs 1 and 4 collapse
+    assert sum(groups.values()) == 5
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs_with_dups):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_dedup_pairs(docs_with_dups, threshold=0.2).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup always caught
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup caught by some band
+    assert (1, 3) not in pairs
+
+
+def test_brute_jaccard_agrees_with_lsh_verified(spark, docs_with_dups):
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(docs_with_dups, threshold=0.2).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_dedup_pairs(docs_with_dups, threshold=0.2).collect()
+    }
+    # LSH pairs are a subset of brute-force pairs with identical jaccard
+    for pair, j in lsh.items():
+        assert brute[pair] == j
+
+
+def test_simhash_near_for_near_dups(spark, docs_with_dups):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs_with_dups).collect()}
+    assert sh[1] == sh[4]  # identical text -> identical simhash
+    ham_near = bin(sh[1] ^ sh[2]).count("1")
+    ham_far = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ann_lsh_recall(spark):
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id) for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in S.ann_lsh_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random-hyperplane LSH on near-random embeddings: expect imperfect
+    # but non-trivial recall; the point is the bucketed plan works
+    assert recall >= 0.2, f"LSH recall {recall}"
+    # candidate reduction actually happened (not a disguised brute force):
+    # every approx neighbor must also be rankable — sanity only
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", "png", bytearray(b"fake-image-bytes"), None, None, None),
+            (2, "video", "mp4", bytearray(b"fake-video"), None, None, 3500),
+        ],
+        "media_id long, kind string, format string, content binary, "
+        "width int, height int, duration_ms long",
+    )
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 16
+    mean, dim = fake_decode(b"fake-image-bytes")
+    assert feats[1].feat_mean == mean and feats[1].feat_dim == dim
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_decode_image_is_stubbed():
+    from github_etl_pipeline_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"x", "png")
