@@ -30,6 +30,24 @@ from github_etl_pipeline_spark.operators.text import (
 from github_etl_pipeline_spark.plans.registry import register
 from github_etl_pipeline_spark.sources.tables import read_table
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, repartitioned to machine parallelism: the test
+    parquet is a single small file (1 scan task), while the per-row work
+    here (regex tokenize, shingle hashing, minhash perms) is CPU-heavy and
+    interpreted (higher-order exprs are not codegen'd). At fleet scale the
+    many input files provide this parallelism for free; locally an
+    explicit round-robin repartition of ~MBs is the right trade."""
+    return read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB), mirrors of the Spark expressions
 # ---------------------------------------------------------------------------
@@ -103,7 +121,7 @@ FROM f
     doc="text analysis: token counts, lang-ID heuristic, quality score, fingerprint — all JVM-side expressions",
 )
 def text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_profile(read_table(spark, sf_dir, "documents"))
+    return text_profile(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -118,7 +136,7 @@ FROM documents GROUP BY 1
     doc="exact dedup: hash-groupBy on md5(normalized text); shuffles 16-byte keys, not documents",
 )
 def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(read_table(spark, sf_dir, "documents"))
+    return D.exact_dedup(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -130,7 +148,7 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash signatures (16 md5-derived universal hashes over distinct word-bigram shingles)",
 )
 def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_signature(read_table(spark, sf_dir, "documents"))
+    return D.minhash_signature(_docs(spark, sf_dir))
 
 
 def _band_sql(bands: int = 4) -> str:
@@ -166,7 +184,7 @@ WHERE CASE WHEN len(list_distinct(x.hs || y.hs)) > 0
     doc="end-to-end MinHash+LSH near-dup: signatures -> 4-band buckets -> candidate pairs -> exact Jaccard >= 0.2",
 )
 def minhash_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_dedup_pairs(read_table(spark, sf_dir, "documents"), threshold=0.2)
+    return D.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.2)
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +204,7 @@ WHERE len(list_distinct(a.hs || b.hs)) > 0
     doc="brute-force shingle-Jaccard pairs >= 0.5 (quadratic small-data baseline; LSH is the scale path)",
 )
 def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.jaccard_pairs(read_table(spark, sf_dir, "documents"), threshold=0.5)
+    return D.jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +235,7 @@ SELECT doc_id, {bits} AS simhash FROM v
     doc="48-bit SimHash per document via exploded-token bit votes (map-side combined aggregate)",
 )
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(read_table(spark, sf_dir, "documents"))
+    return D.simhash(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -241,7 +259,7 @@ SELECT query_id, rank, neighbor_id FROM (
     doc="exact brute-force cosine top-k (ranks only — float-sum-order safe); the ANN baseline",
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -254,7 +272,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="approximate top-k via random-hyperplane LSH banding + exact rerank (rows-only driver check)",
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -272,7 +290,7 @@ WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list
     doc="embedding-cosine near-dup pairs >= 0.45 (ids only; brute-force baseline of the LSH path)",
 )
 def embedding_high_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_dup_pairs(read_table(spark, sf_dir, "embeddings")).select("id_a", "id_b")
+    return D.embedding_dup_pairs(_emb(spark, sf_dir)).select("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -292,7 +310,7 @@ FROM documents
     doc="multimodal binary-column plumbing: mapInPandas (Arrow-batched) feature extraction with deterministic fake decode",
 )
 def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),

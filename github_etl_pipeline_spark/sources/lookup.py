@@ -34,22 +34,83 @@ LOOKUP_SCHEMA = StructType(
 _CANDIDATE_SUBPATHS = ("game_id_to_pools.xlsx", "config/game_id_to_pools.xlsx", "data/game_id_to_pools.xlsx")
 
 
+def _read_xlsx_rows(path: Path) -> list[dict]:
+    """Minimal stdlib xlsx reader (zip of XML): first sheet, first row as
+    headers. Used when openpyxl is unavailable — the lookup is a simple
+    rectangular sheet, which this covers; anything fancier should go
+    through pandas.read_excel."""
+    import re
+    import zipfile
+    from xml.etree import ElementTree
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ElementTree.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or "" for t in si.iter(f"{{{ns['m']}}}t")) for si in root]
+        sheet_name = next(
+            n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet1\.xml", n)
+        )
+        root = ElementTree.fromstring(z.read(sheet_name))
+        rows: list[dict[int, str]] = []
+        for row in root.iter(f"{{{ns['m']}}}row"):
+            cells: dict[int, str] = {}
+            for c in row.iter(f"{{{ns['m']}}}c"):
+                ref = c.attrib.get("r", "A1")
+                col = 0
+                for ch in ref:
+                    if ch.isalpha():
+                        col = col * 26 + (ord(ch.upper()) - 64)
+                v = c.find(f"{{{ns['m']}}}v")
+                raw = v.text if v is not None else None
+                if raw is not None and c.attrib.get("t") == "s":
+                    raw = shared[int(raw)]
+                cells[col - 1] = raw
+            rows.append(cells)
+    if not rows:
+        return []
+    headers = rows[0]
+    out = []
+    for cells in rows[1:]:
+        if not cells:
+            continue
+        out.append({headers.get(i): cells.get(i) for i in headers})
+    return out
+
+
 def load_game_lookup(spark: SparkSession, repo_root: str | Path) -> DataFrame | None:
     """Probe candidate paths for the xlsx and return the raw dimension
-    DataFrame (Game, Game_id, Pool_id as strings, Bet double), or None."""
-    try:
-        import pandas as pd
-    except ImportError:  # pragma: no cover
-        return None
+    DataFrame (Game, Game_id, Pool_id as strings, Bet double), or None.
+
+    Prefers pandas.read_excel (openpyxl); falls back to a stdlib xlsx
+    parser when openpyxl is not installed."""
     for sub in _CANDIDATE_SUBPATHS:
         path = Path(repo_root) / sub
-        if path.exists():
+        if not path.exists():
+            continue
+        try:
+            import pandas as pd
+
             pdf = pd.read_excel(path)
-            pdf["Game"] = pdf["Game"].astype(str)
-            pdf["Game_id"] = pdf["Game_id"].astype(str)
-            pdf["Pool_id"] = pdf["Pool_id"].astype(str)
-            pdf["Bet"] = pdf["Bet"].astype(float)
-            return spark.createDataFrame(pdf[["Game", "Game_id", "Pool_id", "Bet"]], LOOKUP_SCHEMA)
+            records = pdf.to_dict("records")
+        except ImportError:
+            records = _read_xlsx_rows(path)
+        rows = []
+        for r in records:
+            if r.get("Pool_id") is None:
+                continue
+
+            def _s(x):
+                # integer-valued floats (xlsx numerics) -> '6371' not '6371.0'
+                if isinstance(x, float) and x == int(x):
+                    return str(int(x))
+                if isinstance(x, str) and x.endswith(".0") and x[:-2].isdigit():
+                    return x[:-2]
+                return str(x)
+
+            rows.append((_s(r.get("Game")), _s(r.get("Game_id")), _s(r.get("Pool_id")), float(r.get("Bet"))))
+        return spark.createDataFrame(rows, LOOKUP_SCHEMA)
     return None
 
 
