@@ -297,3 +297,201 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP subtotals (grouping-set aggregate)
+# --------------------------------------------------------------------------
+@register(
+    "rollup_orders",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+    doc="hierarchical subtotals via ROLLUP grouping sets",
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated quantiles (R10 extension)
+# --------------------------------------------------------------------------
+@register(
+    "quantiles_lineitem",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="exact interpolated quantiles per group (Spark percentile == DuckDB quantile_cont)",
+)
+def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlation from exact decimal moments (order-independent float math)
+# --------------------------------------------------------------------------
+@register(
+    "corr_quantity_price",
+    oracle="""
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n*sxy - sx*sy) / (SQRT(n*sx2 - sx*sx) * SQRT(n*sy2 - sy*sy)), 6) AS corr_qty_price
+FROM m
+""",
+    doc="Pearson correlation from exact decimal co-moments — deterministic across engines (engine-native corr() is accumulation-order dependent)",
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dq, dp = _dec("l_quantity"), _dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(dp).cast("double").alias("sy"),
+        F.sum(dq * dp).cast("double").alias("sxy"),
+        F.sum(dq * dq).cast("double").alias("sx2"),
+        F.sum(dp * dp).cast("double").alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sx2") - sx * sx) * F.sqrt(n * F.col("sy2") - sy * sy)
+    )
+    return m.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+
+
+# --------------------------------------------------------------------------
+# Sessionization (gap-based session windows over an event stream)
+# --------------------------------------------------------------------------
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in microseconds
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+m AS (
+  SELECT user_id, event_id, tsu,
+         CASE WHEN tsu - LAG(tsu) OVER w > {SESSION_GAP_US} OR LAG(tsu) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+s AS (
+  SELECT user_id, event_id, tsu,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM m
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       CAST((MAX(tsu) - MIN(tsu)) // 1000 AS BIGINT) AS duration_ms
+FROM s GROUP BY user_id, session_idx
+""",
+    doc="gap-based sessionization (30-min inactivity) via lag + running sum; micros on both engines (DuckDB truncates parquet NANOS)",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.floor(F.col("ts") / 1000).alias("tsu")
+    )
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    m = e.withColumn(
+        "is_new",
+        F.when(
+            (F.col("tsu") - F.lag("tsu").over(w) > SESSION_GAP_US)
+            | F.lag("tsu").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = m.withColumn(
+        "session_idx", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor((F.max("tsu") - F.min("tsu")) / 1000).cast("long").alias("duration_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (latest prior event of another type) — merge-style via window
+# --------------------------------------------------------------------------
+@register(
+    "asof_click_before_error",
+    oracle="""
+WITH err AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'error'),
+clk AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS tsu FROM events WHERE event_type = 'click')
+SELECT err.user_id, err.error_id, clk.click_id
+FROM err ASOF LEFT JOIN clk ON err.user_id = clk.user_id AND clk.tsu <= err.tsu
+""",
+    doc="as-of join: most recent click at-or-before each error, per user — implemented as a merge (union + last_value window), one shuffle, vs DuckDB's native ASOF JOIN",
+)
+def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("ts") / 1000).alias("tsu"),
+    ).where(F.col("event_type").isin("error", "click"))
+    # union-merge: order each user's clicks+errors by time; carry the last
+    # click forward; emit error rows. Clicks sort BEFORE errors at equal
+    # timestamps (as-of is inclusive), via a type rank.
+    ordered = e.withColumn("trank", F.when(F.col("event_type") == "click", 0).otherwise(1))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu", "trank", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = ordered.withColumn(
+        "click_id",
+        F.last(F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return carried.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "click_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (existence checks)
+# --------------------------------------------------------------------------
+@register(
+    "semi_anti_customers",
+    oracle="""
+SELECT 'with_orders' AS grp, COUNT(*) AS cnt FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders' AS grp, COUNT(*) AS cnt FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="left-semi and left-anti joins (existence / absence checks)",
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(F.lit("with_orders").alias("grp"), "cnt")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select(F.lit("without_orders").alias("grp"), "cnt")
+    return with_orders.unionAll(without)
