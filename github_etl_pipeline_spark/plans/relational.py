@@ -495,3 +495,25 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     ).select(F.lit("without_orders").alias("grp"), "cnt")
     return with_orders.unionAll(without)
+
+
+# --------------------------------------------------------------------------
+# Streaming-unified tumbling window aggregation (batch semantics checked
+# against the oracle; the same code runs on a stream with a watermark)
+# --------------------------------------------------------------------------
+@register(
+    "windowed_event_counts",
+    oracle="""
+WITH e AS (SELECT epoch_us(ts) AS tsu, event_type, value FROM events)
+SELECT (tsu // 3600000000) * 3600000000 AS window_start_us,
+       (tsu // 3600000000) * 3600000000 + 3600000000 AS window_end_us,
+       event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM e GROUP BY 1, 2, 3
+""",
+    doc="tumbling 1h event-time windows (unified batch/streaming operator; streaming adds a watermark)",
+)
+def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(_t(spark, sf_dir, "events"))

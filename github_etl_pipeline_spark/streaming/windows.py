@@ -1,0 +1,140 @@
+"""Streaming windowed aggregation + custom stateful processing.
+
+The reference has no in-engine streaming (SURVEY §2.6) — its CI loop is
+micro-batch incremental, covered by streaming/incremental.py. These
+operators supply the Structured Streaming surface a training-data
+pipeline needs on event streams:
+
+  * ``windowed_event_counts`` — tumbling event-time windows with a
+    watermark for late data: the canonical
+    ``readStream -> withWatermark -> groupBy(window(...)) -> writeStream``
+    shape. Works identically on a batch DataFrame (Spark's unified
+    semantics) — tests exercise both, so correctness is checkable
+    without wall-clock waits.
+  * ``sessionize_stateful`` — gap-based session windows via
+    ``applyInPandasWithState``: the custom-stateful-operator escape
+    hatch for semantics window functions can't express incrementally.
+    State = (last_ts, session_start, n_events) per user; a session is
+    emitted when the inactivity gap passes or the group times out.
+
+Scale notes: watermark bounds state size (late rows beyond it are
+dropped); state-store shuffles are keyed by user — skewed users would
+need salting at the keyBy (same lever as batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# event-time column is integer NANOS since epoch (see sources/tables.py);
+# convert to a real timestamp for window()/watermark semantics
+def _event_time(col: str = "ts") -> F.Column:
+    return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts + decimal-exact value sums per event_type.
+
+    ``events`` may be a streaming OR batch DataFrame; with streaming input
+    the watermark bounds state and drops data later than ``watermark``.
+    Output: window_start/window_end (epoch micros), event_type, cnt,
+    sum_value.
+    """
+    et = _event_time(time_col).alias("_et")
+    w = F.window("_et", window_duration)
+    df = events.select(et, "event_type", "value")
+    if df.isStreaming:
+        df = df.withWatermark("_et", watermark)
+    agg = df.groupBy(w.alias("_w"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return agg.select(
+        F.unix_micros(F.col("_w.start")).alias("window_start_us"),
+        F.unix_micros(F.col("_w.end")).alias("window_end_us"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
+
+
+SESSION_STATE_SCHEMA = "last_us long, start_us long, n long"
+SESSION_OUTPUT_SCHEMA = "user_id long, session_start_us long, n_events long, duration_ms long"
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    time_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based sessions via applyInPandasWithState (streaming) with the
+    same semantics as plans/relational.py::sessionize_events (batch).
+
+    Event-time timeouts: a session closes when the WATERMARK passes its
+    last event + gap — deterministic under Trigger.AvailableNow (a
+    processing-time timeout would re-arm 'cleaning up state' batches
+    forever and never terminate). A user's final session stays open (and
+    unreported) until later data advances the watermark past it.
+
+    Streaming-only operator: on a batch DataFrame use the window-based
+    ``sessionize_events`` plan instead. Self-contained closure (see
+    multimodal.extract_features for why).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_ms * 1000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        sessions = []
+        if state.exists:
+            last_us, start_us, n = state.get
+        else:
+            last_us, start_us, n = None, None, 0
+
+        if state.hasTimedOut:
+            if n:
+                sessions.append((user_id, start_us, n, (last_us - start_us) // 1000))
+            state.remove()
+        else:
+            ts_all = []
+            for pdf in pdfs:
+                ts_all.extend((pdf[time_col] // 1000).tolist())
+            for t in sorted(ts_all):
+                if last_us is not None and t - last_us > gap_us:
+                    sessions.append((user_id, start_us, n, (last_us - start_us) // 1000))
+                    start_us, n = t, 0
+                if start_us is None:
+                    start_us = t
+                n += 1
+                last_us = t
+            state.update((last_us, start_us, n))
+            # close when the watermark passes last event + gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        yield pd.DataFrame(
+            sessions,
+            columns=["user_id", "session_start_us", "n_events", "duration_ms"],
+        )
+
+    et = _event_time(time_col).alias("_et")
+    return (
+        events.select("user_id", time_col, et)
+        .withWatermark("_et", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

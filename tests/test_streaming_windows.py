@@ -1,0 +1,102 @@
+"""Streaming windowed aggregation + custom stateful sessionization:
+the same operator code run as a REAL stream (availableNow over the
+parquet) must agree with its batch execution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.sources.tables import read_table
+from github_etl_pipeline_spark.streaming.windows import (
+    sessionize_stateful,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stream_events(spark, tmp_path):
+    """Streaming file source needs a DIRECTORY; stage the events parquet
+    into one."""
+    import shutil
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    batch = read_table(spark, SF, "events")
+    return spark.readStream.schema(batch.schema).parquet(str(d))
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    batch_events = read_table(spark, SF, "events")
+    expect = {
+        (r.window_start_us, r.event_type): (r.cnt, r.sum_value)
+        for r in windowed_event_counts(batch_events).collect()
+    }
+
+    # stream the same parquet file through the identical operator
+    stream = _stream_events(spark, tmp_path)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start_us, r.event_type): (r.cnt, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == expect
+
+
+def test_sessionize_stateful_stream(spark, tmp_path):
+    batch_events = read_table(spark, SF, "events")
+    # batch expectation from the window-based sessionizer
+    from github_etl_pipeline_spark.plans.registry import REGISTRY
+
+    batch_sessions = REGISTRY["sessionize_events"].builder(spark, SF)
+    per_user_total = {
+        r.user_id: r.n
+        for r in batch_sessions.groupBy("user_id").agg(F.sum("n_events").alias("n")).collect()
+    }
+
+    stream = _stream_events(spark, tmp_path)
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.sql("SELECT * FROM sessions").collect()
+    # availableNow ends before processing-time timeouts fire, so each
+    # user's final (still-open) session is unreported: emitted counts per
+    # user must be <= batch totals, and closed sessions must match the
+    # batch sessionizer's per-session event counts exactly.
+    got_by_user = {}
+    for r in emitted:
+        got_by_user.setdefault(r.user_id, 0)
+        got_by_user[r.user_id] += r.n_events
+    assert got_by_user, "no sessions emitted"
+    for uid, n in got_by_user.items():
+        assert n <= per_user_total[uid]
+    # closed sessions are a prefix of the batch sessions per user
+    batch_rows = {
+        (r.user_id, r.session_idx): r.n_events for r in batch_sessions.collect()
+    }
+    emitted_sorted = {}
+    for r in sorted(emitted, key=lambda r: (r.user_id, r.session_start_us)):
+        emitted_sorted.setdefault(r.user_id, []).append(r.n_events)
+    for uid, counts in emitted_sorted.items():
+        batch_counts = [
+            batch_rows[(uid, i)] for i in sorted(
+                idx for (u, idx) in batch_rows if u == uid
+            )
+        ]
+        assert counts == batch_counts[: len(counts)], uid
