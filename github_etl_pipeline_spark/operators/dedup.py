@@ -152,7 +152,14 @@ def jaccard_pairs(
     if candidates is not None:
         joined = candidates.join(a, "id_a").join(b, "id_b")
     else:
-        joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        # lossless size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+        # so pairs failing least/greatest >= threshold can never reach it —
+        # prunes most of the quadratic candidate space before set ops
+        sa, sb = F.size("sh_a"), F.size("sh_b")
+        joined = a.crossJoin(b).where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
+        )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))

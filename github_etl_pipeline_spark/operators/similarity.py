@@ -152,3 +152,75 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id")
     )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition vectors into
+    ``n_centroids`` cells by nearest centroid, search only the query's
+    ``n_probe`` nearest cells, exact rerank inside them.
+
+    Centroids are a deterministic sample of the corpus (every
+    ceil(N/n_centroids)-th vector by id order) — one tiny collect, no
+    iterative k-means (a Lloyd refinement would reuse exactly this
+    assignment join). At scale the cell assignment is a broadcast join
+    (centroids are tiny) and each query touches ~n_probe/n_centroids of
+    the data instead of all of it.
+    """
+    import math as _math
+
+    cents = [
+        (int(r[0]), list(r[1]))
+        for r in emb.select(id_col, vec_col).orderBy(id_col).collect()
+    ]
+    step = max(1, _math.ceil(len(cents) / n_centroids))
+    centroids = [(i, v) for i, (_, v) in enumerate(cents[::step][:n_centroids])]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        """array of the n centroid ids nearest to vec (by cosine desc)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine_expr(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+        return F.slice(
+            F.transform(F.reverse(F.array_sort(scored)), lambda s: s["cid"]), 1, n
+        )
+
+    cells = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+    )
+    qcells = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(nearest_cells(F.col(query_vec_col), n_probe)).alias("cell"),
+    )
+    cand = cells.join(F.broadcast(qcells), "cell").where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("_cos"),
+    ).dropDuplicates([query_id_col, "neighbor_id"])
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id")
+    )

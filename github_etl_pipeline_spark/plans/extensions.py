@@ -198,6 +198,7 @@ hs AS (SELECT doc_id, {_SHASH_SQL} AS hs FROM g)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / len(list_distinct(a.hs || b.hs)), 6) AS jaccard
 FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+  AND least(len(a.hs), len(b.hs)) >= 0.5 * greatest(len(a.hs), len(b.hs))
 WHERE len(list_distinct(a.hs || b.hs)) > 0
   AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) / len(list_distinct(a.hs || b.hs)) >= 0.5
 """,
@@ -321,3 +322,16 @@ def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(None).cast("long").alias("duration_ms"),
     )
     return extract_features(media)
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=None,  # approximate by construction; recall vs brute force measured in tests
+    doc="IVF approximate top-k: deterministic centroids, n_probe nearest cells per query, exact rerank (rows-only driver check)",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ann_ivf_topk(emb, queries, k=5)

@@ -108,3 +108,30 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"x", "png")
+
+
+def test_ann_ivf_recall(spark):
+    from github_etl_pipeline_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(emb, queries, k=5, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall}"
+    # probing ALL cells must reproduce the exact result (IVF == brute force)
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=16).collect()
+    }
+    assert full == exact
+
+
+def test_jaccard_size_prefilter_lossless(spark, docs_with_dups):
+    # prefiltered brute force finds the same pairs as LSH-verified path
+    pairs = {
+        (r.id_a, r.id_b) for r in D.jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    assert (1, 4) in pairs
