@@ -57,13 +57,25 @@ def main() -> None:
             [("Pharaoh", "9493", "0201", 25.0), ("Pharaoh", "6371", "6371", 10.0)],
             "Game string, Game_id string, Pool_id string, Bet double",
         )
-        t0 = time.perf_counter()
-        pools, summary = run_pipeline(spark, ref_root, dim=dim)
-        _run(pools)
-        dt = time.perf_counter() - t0
         n_rows = 27_199_999  # fixed corpus (28 sample files + 1 dup)
-        timings["pool_etl_reference_corpus"] = round(dt, 3)
-        extras["pool_etl_rows_per_sec"] = round(n_rows / dt)
+
+        def one_run() -> float:
+            t0 = time.perf_counter()
+            pools, _ = run_pipeline(spark, ref_root, dim=dim)
+            _run(pools)
+            dt = time.perf_counter() - t0
+            for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+                rdd.unpersist()
+            return dt
+
+        # first run includes cold page cache + codegen (comparable to the
+        # reference's one-shot CI runs); warm best shows steady-state
+        # engine throughput
+        cold = one_run()
+        warm = min(one_run(), one_run())
+        timings["pool_etl_reference_corpus"] = round(cold, 3)
+        extras["pool_etl_rows_per_sec"] = round(n_rows / cold)
+        extras["pool_etl_rows_per_sec_warm"] = round(n_rows / warm)
 
     print(
         json.dumps(

@@ -77,13 +77,22 @@ def pool_kpis(
     key_cols = key_cols or POOL_KEY_COLS
     rnd = _rounder(rounding)
 
+    # Narrow-key optimization: every other pool key column (file_name,
+    # folder_path, parent_folder, pool_id, pool_type) is a pure string
+    # function of source_file, so the per-row aggregation key is just
+    # (source_file, game_win) — the map-side hash agg hashes/compares one
+    # string per input row instead of six; the derived columns are
+    # recomputed on the tiny per-pool aggregate afterwards.
+    derivable = key_cols == POOL_KEY_COLS
+    agg_keys = ["source_file"] if derivable else key_cols
+
     # The single large shuffle. dist is tiny (#pools x distinct prize
     # values, +1 NULL group per pool in single-pass mode) — persist it so
     # the stats pass and the rtp-dependent variance pass don't each
     # re-scan the raw data.
-    dist = pool_distribution(parsed, key_cols).persist()
+    dist = pool_distribution(parsed.select(*agg_keys, "game_win"), agg_keys).persist()
     valid = F.col("game_win").isNotNull()
-    stats = dist.groupBy(*key_cols).agg(
+    stats = dist.groupBy(*agg_keys).agg(
         F.sum(F.col("cnt")).alias("line_count"),
         F.coalesce(F.sum(F.when(valid, F.col("cnt"))), F.lit(0)).alias("size"),
         F.sum(F.when(valid, F.col("game_win") * F.col("cnt"))).alias("total_win"),
@@ -92,6 +101,23 @@ def pool_kpis(
         ).alias("hits"),
         F.max("game_win").alias("max_win"),
     )
+    if derivable:
+        # re-derive the file-identity columns from source_file (must stay
+        # in lockstep with sources/pol.py read_pol_lines/parse_pol_lines)
+        folder = F.when(
+            F.col("source_file").contains("/"),
+            F.regexp_replace("source_file", r"/[^/]+$", ""),
+        ).otherwise(F.lit("root"))
+        parts = F.split(
+            F.regexp_replace(F.element_at(F.split("source_file", "/"), -1), r"\.pol$", ""), "_"
+        )
+        stats = (
+            stats.withColumn("file_name", F.element_at(F.split("source_file", "/"), -1))
+            .withColumn("folder_path", folder)
+            .withColumn("parent_folder", F.element_at(F.split(folder, "/"), -1))
+            .withColumn("pool_id", F.get(parts, 1))
+            .withColumn("pool_type", F.get(parts, 2))
+        )
 
     if inventory is not None:
         inv_keys = [c for c in key_cols if c in inventory.columns]
