@@ -517,3 +517,23 @@ def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.streaming.windows import windowed_event_counts
 
     return windowed_event_counts(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# CUBE subtotals (full grouping-set lattice)
+# --------------------------------------------------------------------------
+@register(
+    "cube_lineitem",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="full grouping-set lattice via CUBE",
+)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
