@@ -100,3 +100,62 @@ def test_sessionize_stateful_stream(spark, tmp_path):
             )
         ]
         assert counts == batch_counts[: len(counts)], uid
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches; the second contains an event older than
+    (max event time - watermark delay) -> dropped from the final windows,
+    while a within-watermark late event is still counted."""
+    import pandas as pd
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    HOUR = 3_600_000_000_000  # ns
+    base = 1_700_000_000_000_000_000
+
+    def write(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(d / name)
+
+    from github_etl_pipeline_spark.streaming.windows import windowed_event_counts
+
+    emitted: list = []
+
+    def run_once(qname):
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        stream = spark.readStream.schema(schema).parquet(str(d))
+
+        def sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            windowed_event_counts(stream, window_duration="1 hour", watermark="2 hours")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")  # append emits only FINALIZED windows
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.window_start_us: r.cnt for r in emitted}
+
+    # run 1: events at hours 0 and 10 -> checkpointed watermark = h10 - 2h
+    write("b1.parquet", [(1, base, 1, "click", 1.0, ""), (2, base + 10 * HOUR, 1, "click", 1.0, "")])
+    run_once("late_run1")
+    # run 2: an hour-0 event (older than the persisted watermark -> DROPPED)
+    # and an hour-9 event (late but within the watermark -> kept)
+    write("b2.parquet", [(3, base + 1, 1, "click", 1.0, ""), (4, base + 9 * HOUR, 1, "click", 1.0, "")])
+    got = run_once("late_run2")
+
+    h0 = (base // 1000) // 3_600_000_000 * 3_600_000_000  # epoch-aligned window
+    # hour-0 window finalized in run 1 with ONLY event 1; run 2's event 3
+    # arrived after the watermark passed the window -> dropped, never re-emitted
+    assert got.get(h0, 1) == 1, got
+    # the late-but-in-watermark hour-9 event went INTO state (finalized once
+    # the watermark passes h10; not observable under availableNow) — the
+    # assertion that matters is that the too-late event did not resurrect
+    # its window with a second count
+    all_counts = list(got.values())
+    assert all(c == 1 for c in all_counts), got
