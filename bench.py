@@ -39,14 +39,19 @@ def main() -> None:
     spark = get_spark(app_name="bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup, not counted
+    # JVM / codegen / parquet-reader warmup, not counted
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count().collect()
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         t0 = time.perf_counter()
         _run(spec.builder(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # builders may persist small intermediates (e.g. the pool
+        # distribution); drop them so queries don't pollute each other
+        for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+            rdd.unpersist()
 
     extras: dict[str, float] = {}
     ref_root = "/root/reference"
