@@ -335,3 +335,85 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.ann_ivf_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: top terms per source by a log-free tf-idf score
+# (log() differs in last-ulp across libm implementations; tf * N/df is a
+# deterministic double with the same ordering properties)
+# ---------------------------------------------------------------------------
+@register(
+    "top_terms_by_source",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS term FROM documents
+),
+n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         tf.tf * (CAST((SELECT n FROM n_docs) AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df ON df.term = tf.term
+)
+SELECT source, rank, term, tf FROM (
+  SELECT source, term, tf,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    doc="tf-idf-style top-5 terms per source (log-free score for cross-engine determinism); explode -> two aggregates -> window",
+)
+def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.text import TOKEN_RE as _TRE
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source", "doc_id", F.explode(F.regexp_extract_all("text", F.lit(_TRE), 0)).alias("term")
+    )
+    n_docs = docs.select(F.count_distinct("doc_id").alias("n"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n_docs)).select(
+        "source",
+        "term",
+        "tf",
+        (F.col("tf") * (F.col("n").cast("double") / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("source", "rank", "term", "tf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured parsing: numeric field out of the JSON-ish props column
+# ---------------------------------------------------------------------------
+@register(
+    "props_parse_events",
+    oracle="""
+WITH p AS (
+  SELECT TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k, value
+  FROM events
+)
+SELECT k % 10 AS k_bucket, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM p WHERE k IS NOT NULL GROUP BY k % 10
+""",
+    doc="semi-structured field extraction (regex over the JSON-ish props column) + bucketed aggregate",
+)
+def props_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).try_cast("long")
+    return (
+        e.select(k.alias("k"), "value")
+        .where(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
