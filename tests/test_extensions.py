@@ -168,9 +168,85 @@ def test_ivf_lloyd_refinement_holds_recall(spark):
     assert r2 >= r0 - 0.05, f"lloyd recall {r2} vs plain {r0}"
 
 
+def test_simhash_pairs_banded_join(spark, docs_with_dups):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_pairs(docs_with_dups, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 4)) == 0  # identical text -> identical simhash
+    assert (1, 3) not in pairs  # unrelated docs stay apart
+    # banding must be refused where it would lose recall
+    with pytest.raises(ValueError):
+        D.simhash_pairs(docs_with_dups, max_hamming=4, bands=4)
+
+
+def test_simhash_pairs_lossless_vs_brute(spark):
+    # pigeonhole claim on real data: banded join == brute-force Hamming
+    docs = read_table(spark, SF, "documents")
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    banded = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    assert banded == brute
+
+
+def test_embedding_lsh_pairs_subset_and_recall(spark):
+    emb = read_table(spark, SF, "embeddings")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_dup_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_dup_pairs_lsh(emb, threshold=0.45).collect()
+    }
+    assert lsh <= brute  # exact verify: no false positives ever
+    recall = len(lsh) / len(brute) if brute else 1.0
+    # 2 rows x 6 bands => per-pair candidate prob ~0.96 at cos=0.45
+    assert recall >= 0.75, f"LSH pair-mining recall {recall}"
+
+
+def test_brute_force_paths_are_capped(spark):
+    big = spark.range(25_000).select(
+        F.col("id").alias("doc_id"), F.lit("some text here").alias("text")
+    )
+    with pytest.raises(ValueError, match="brute-force cap"):
+        D.jaccard_pairs(big).collect()
+    bigv = spark.range(25_000).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="brute-force cap"):
+        D.embedding_dup_pairs(bigv).collect()
+
+
 def test_jaccard_size_prefilter_lossless(spark, docs_with_dups):
     # prefiltered brute force finds the same pairs as LSH-verified path
     pairs = {
         (r.id_a, r.id_b) for r in D.jaccard_pairs(docs_with_dups, threshold=0.5).collect()
     }
     assert (1, 4) in pairs
+
+
+def test_no_registered_corpus_cartesian(spark):
+    # VERDICT r1 item 3 done-criterion: no registered query's physical plan
+    # may contain a cartesian product of the corpus with itself. (Broadcast
+    # nested-loop joins against a tiny broadcast side — the ANN baseline's
+    # query set, a 1-row count relation — are legitimate and excluded.)
+    from github_etl_pipeline_spark.plans import REGISTRY
+
+    for name in (
+        "ngram_jaccard_pairs_documents",
+        "embedding_high_sim_pairs",
+        "simhash_dup_pairs",
+        "minhash_dup_pairs_documents",
+    ):
+        plan = REGISTRY[name].builder(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
