@@ -4,9 +4,17 @@ Reference behavior re-expressed Spark-first:
   * S1 recursive glob scan (etl/extract.py:27-52) -> ``spark.read.text`` with
     ``recursiveFileLookup`` + ``pathGlobFilter``; exclusion dirs become a
     filter on the hidden ``_metadata.file_path`` column.
-  * S4 multi-encoding read (etl/extract.py:83-105) -> `.pol` data is ASCII
-    in practice; the text source reads UTF-8 with replacement, which
-    subsumes the reference's latin-1/cp1252 fallbacks for this corpus.
+  * S4 multi-encoding read (etl/extract.py:83-105) -> the primary path
+    (``read_pol_lines``) is the streaming UTF-8 text source (correct for
+    this ASCII corpus); ``read_pol_lines_any_encoding`` is the faithful
+    fallback chain. The reference tries utf-8, utf-8-sig, latin-1,
+    cp1252, then binary-with-replacement — but plain utf-8 succeeds
+    whenever utf-8-sig would (the BOM decodes to U+FEFF), and latin-1
+    maps every byte, so cp1252 and the binary fallback are unreachable;
+    the chain reduces EXACTLY to "valid UTF-8 ? utf-8 : latin-1", which
+    ``is_valid_utf8`` + ``decode`` express as codegen'd JVM expressions
+    over a ``binaryFile`` scan. The per-file ``encoding`` column is the
+    non-UTF8 detection counter.
   * S5 file metadata (etl/extract.py:108-131) -> ``_metadata`` struct
     (file_path, file_name, file_size, file_modification_time) plus string
     surgery for relative/parent paths.
@@ -86,6 +94,60 @@ def _re_escape(s: str) -> str:
     import re
 
     return re.escape(s)
+
+
+def read_pol_lines_any_encoding(
+    spark: SparkSession,
+    scan_dir: str,
+    glob: str = "*.pol",
+    excluded_dirs: tuple[str, ...] = EXCLUDED_DIRS,
+) -> DataFrame:
+    """S4-faithful scan: like ``read_pol_lines`` but tolerating non-UTF8
+    files via the reference's effective decode chain (valid UTF-8 ->
+    utf-8, else latin-1 — see module docstring for why the 5-step chain
+    reduces to this). Adds an ``encoding`` column ('utf-8' | 'latin-1')
+    so pipelines can count salvaged files.
+
+    Scale note: ``binaryFile`` materializes one file per row (bounded by
+    a pool file's ~10 MB size, exactly like the reference's whole-file
+    read at etl/extract.py:152) and does not split large files across
+    tasks. Parallelism comes from file count — the right trade for a
+    fleet of millions of small pool files; keep the streaming text source
+    for known-UTF8 corpora."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", glob)
+        .load(scan_dir)
+    )
+    path = F.col("path")
+    for d in excluded_dirs:
+        df = df.filter(~path.contains(f"/{d}/"))
+
+    valid = F.is_valid_utf8("content")
+    text = F.when(valid, F.decode("content", "UTF-8")).otherwise(
+        F.decode("content", "ISO-8859-1")
+    )
+    encoding = F.when(valid, F.lit("utf-8")).otherwise(F.lit("latin-1"))
+
+    scan_posix = scan_dir.rstrip("/").replace("\\", "/")
+    rel = F.regexp_replace(path, r"^.*?" + _re_escape(scan_posix) + "/", "")
+    folder = F.when(rel.contains("/"), F.regexp_replace(rel, r"/[^/]+$", "")).otherwise(
+        F.lit("root")
+    )
+    # one trailing newline is a line TERMINATOR, not an empty final line
+    # (matches both the text source and the reference's splitlines())
+    lines = F.split(F.regexp_replace(text, r"(\r\n|\r|\n)$", ""), r"\r\n|\r|\n")
+    return df.select(
+        F.explode(lines).alias("value"),
+        rel.alias("source_file"),
+        F.element_at(F.split(rel, "/"), -1).alias("file_name"),
+        folder.alias("folder_path"),
+        F.element_at(F.split(folder, "/"), -1).alias("parent_folder"),
+        F.col("length").alias("file_size"),
+        F.col("modificationTime").alias("file_mtime"),
+        encoding.alias("encoding"),
+    )
 
 
 #: columns that identify one pool file in every downstream operator
