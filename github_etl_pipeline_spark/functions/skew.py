@@ -31,7 +31,17 @@ def salted_join(
     to a per-partition-deterministic spread via ``spark_partition_id`` +
     monotonic id). The result equals a plain join (verified by test);
     only the shuffle distribution changes.
+
+    ``how`` is restricted to inner/left joins: the dimension is
+    replicated ``salt_factor`` times, so a right/full outer join would
+    emit every unmatched dim row once per replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only (got {how!r}): "
+            "outer join types would duplicate unmatched dim rows "
+            "salt_factor times"
+        )
     if salt_source is not None:
         salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_factor))
     else:

@@ -7,8 +7,10 @@ Truth table:
   len > 4 and startswith '5'              -> tag ['PFB']
   otherwise                               -> tag ['REG']
   len > 4 and startswith '4'              -> is_flat = 1, max_multiplier = last 4 chars
-  NULL pool_type                          -> tag ['UNKNOWN'], is_flat 0, mult NULL
-    (the reference returns the bare string 'UNKNOWN' here — we normalize to a
+  NULL or EMPTY pool_type                 -> tag ['UNKNOWN'], is_flat 0, mult NULL
+    (the reference's check is FALSY (etl/transform.py:231), so '' — e.g. a
+    file named 'Pool_0201_.pol' — classifies UNKNOWN exactly like None; the
+    reference returns the bare string 'UNKNOWN' here — we normalize to a
     one-element array so the column type is stable; documented deviation)
 
 Pure ``when/otherwise`` column expressions — fully codegen'd, no UDFs.
@@ -25,7 +27,8 @@ def _c(col: Column | str) -> Column:
 
 
 def tag_expr(pool_type: Column | str) -> Column:
-    pt = _c(pool_type)
+    # falsy check: '' behaves like NULL (reference etl/transform.py:231)
+    pt = F.nullif(_c(pool_type), F.lit(""))
     return (
         F.when(pt.isNull(), F.array(F.lit("UNKNOWN")))
         .when(pt == "395", F.array(F.lit("GAB"), F.lit("PFB")))

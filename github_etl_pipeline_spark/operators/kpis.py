@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from github_etl_pipeline_spark.functions.keys import normalize_pool_id
+from github_etl_pipeline_spark.functions.keys import normalize_pool_id, reference_match_expr
 from github_etl_pipeline_spark.operators.classify import (
     is_flat_expr,
     max_multiplier_expr,
@@ -134,10 +134,20 @@ def pool_kpis(
 
     if dim_agg is not None:
         stats = stats.join(
-            F.broadcast(dim_agg.select("norm_pool_id", "min_bet", "game_ids")),
+            F.broadcast(dim_agg.select("norm_pool_id", "dim_pool_id", "min_bet", "game_ids")),
             normalize_pool_id(F.col("pool_id")) == F.col("norm_pool_id"),
             "left",
-        ).drop("norm_pool_id")
+        )
+        # post-join gate restoring the reference's asymmetric 3-stage
+        # fallback (see functions/keys.py): normalized-key matches the
+        # reference would NOT have made (fact '00201' / '201' vs dim
+        # '0201') revert to lookup-miss semantics
+        matched = reference_match_expr(F.col("pool_id"), F.col("dim_pool_id"))
+        stats = (
+            stats.withColumn("min_bet", F.when(matched, F.col("min_bet")))
+            .withColumn("game_ids", F.when(matched, F.col("game_ids")))
+            .drop("norm_pool_id", "dim_pool_id")
+        )
     else:
         stats = stats.withColumn("min_bet", F.lit(None).cast("double")).withColumn(
             "game_ids", F.lit(None).cast("array<string>")

@@ -180,7 +180,9 @@ FROM t
     doc="P1 lenient tokenizer surface: tokenize, try_cast, filter non-castable, sum castable (documents.text)",
 )
 def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    from github_etl_pipeline_spark.plans.extensions import _fan_out
+
+    d = _fan_out(spark, read_table(spark, sf_dir, "documents"))
     # staged projection: tokenize ONCE, derive from the arrays. Catalyst's
     # CollapseProject keeps the stages separate (merging would duplicate
     # the non-cheap regexp/lambda expressions 4x per row — measured 2.3x

@@ -133,12 +133,17 @@ def prepare_dim(dim: DataFrame) -> DataFrame:
         F.min_by("Bet", "_idx").alias("min_bet"),
         F.array_sort(F.collect_list(F.struct("_idx", "Game_id"))).alias("_pairs"),
         F.count_distinct("Pool_id").alias("_n_spellings"),
+        # the raw source spelling, for the fact-side reference-match gate
+        # (functions/keys.py reference_match_expr); unique per group
+        # whenever assert_dim_unambiguous holds
+        F.min_by("Pool_id", "_idx").alias("dim_pool_id"),
     )
     # J1 edge (SURVEY §4): two source Pool_ids that differ only in zero
     # padding would have made the reference's exact-match-first fallback
     # diverge from the normalized join. Surface it instead of guessing.
     return agg.select(
         "norm_pool_id",
+        "dim_pool_id",
         "min_bet",
         F.transform("_pairs", lambda p: p["Game_id"]).alias("game_ids"),
         "_n_spellings",

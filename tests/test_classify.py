@@ -19,6 +19,7 @@ CASES = [
     ("51234", ["PFB"], 0, None),
     ("41234", ["REG"], 1, "1234"),
     (None, ["UNKNOWN"], 0, None),
+    ("", ["UNKNOWN"], 0, None),   # falsy check: '' behaves like None
 ]
 
 

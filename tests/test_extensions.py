@@ -250,3 +250,14 @@ def test_no_registered_corpus_cartesian(spark):
     ):
         plan = REGISTRY[name].builder(spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_fan_out_is_conditional(spark):
+    # no repartition shuffle when the input is already parallel enough
+    from github_etl_pipeline_spark.plans.extensions import _fan_out
+
+    parallelism = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000, numPartitions=parallelism)
+    assert _fan_out(spark, wide) is wide  # untouched, no Exchange added
+    narrow = spark.range(1000, numPartitions=1)
+    assert _fan_out(spark, narrow).rdd.getNumPartitions() == parallelism

@@ -50,3 +50,50 @@ def test_dim_ambiguity_detected(spark):
     dim = _dim(spark, [("A", "1", "201", 25.0), ("B", "2", "0201", 30.0)])
     with pytest.raises(ValueError):
         assert_dim_unambiguous(prepare_dim(dim))
+
+
+def test_reference_match_gate_matches_reference_stages(spark):
+    """The normalized join + reference_match_expr gate must reproduce the
+    reference's asymmetric 3-stage fallback (etl/transform.py:202-211)
+    exactly, including its MISSES."""
+    from github_etl_pipeline_spark.functions.keys import reference_match_expr
+
+    def ref_stages(fact, dim_raw):
+        if fact == dim_raw:
+            return True                       # stage 1: exact
+        if dim_raw == (fact.lstrip("0") or "0"):
+            return True                       # stage 2: stripped fact vs raw dim
+        return dim_raw.zfill(4) == fact       # stage 3: zfilled dim vs raw fact
+
+    cases = [
+        (f, d)
+        for f in ["0201", "201", "00201", "6371", "0", "000", "00000", "1234", "01234"]
+        for d in ["0201", "201", "6371", "0", "00", "1234"]
+    ]
+    df = spark.createDataFrame(cases, "f string, d string")
+    got = {
+        (r.f, r.d): bool(r.m)
+        for r in df.select("f", "d", reference_match_expr("f", "d").alias("m")).collect()
+    }
+    for f, d in cases:
+        assert got[(f, d)] == ref_stages(f, d), (f, d, got[(f, d)])
+
+
+def test_kpis_gate_excludes_reference_misses(spark):
+    """fact '00201' normalizes onto dim '0201' but the reference's stages
+    all miss it -> lookup-dependent metrics must be NULL."""
+    from github_etl_pipeline_spark.operators.kpis import pool_kpis
+
+    dim_agg = prepare_dim(_dim(spark, [("A", "11", "0201", 25.0)]))
+    lines = spark.createDataFrame(
+        [
+            ("a/Pool_00201_941.pol", "Pool_00201_941.pol", "a", "a", "00201", "941", 100),
+            ("a/Pool_0201_941.pol", "Pool_0201_941.pol", "a", "a", "0201", "941", 100),
+        ],
+        "source_file string, file_name string, folder_path string, "
+        "parent_folder string, pool_id string, pool_type string, game_win long",
+    )
+    out = {r.pool_id: r for r in pool_kpis(lines, dim_agg=dim_agg).collect()}
+    assert out["0201"].min_bet == 25.0 and out["0201"].rtp is not None
+    assert out["00201"].min_bet is None and out["00201"].rtp is None
+    assert out["00201"].game_ids == []

@@ -26,3 +26,15 @@ def test_salted_join_equals_plain_join(spark):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+    from github_etl_pipeline_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], "k long, v string")
+    dim = spark.createDataFrame([(1, "x")], "k long, d string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(fact, dim, "k", how="full")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(fact, dim, "k", how="right")
