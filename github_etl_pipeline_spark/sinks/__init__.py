@@ -1,4 +1,4 @@
-from github_etl_pipeline_spark.sinks.upsert import upsert_parquet, write_consolidated_json
+from github_etl_pipeline_spark.sinks.upsert import merge_into, upsert_parquet, write_consolidated_json
 from github_etl_pipeline_spark.sinks.reports import (
     save_summary_report,
     generate_index_file,
@@ -6,6 +6,7 @@ from github_etl_pipeline_spark.sinks.reports import (
 )
 
 __all__ = [
+    "merge_into",
     "upsert_parquet",
     "write_consolidated_json",
     "save_summary_report",

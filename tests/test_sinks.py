@@ -91,3 +91,17 @@ def test_full_output_surface(spark, tmp_path):
     csv_text = (out / "_all_files_summary.csv").read_text()
     assert csv_text.splitlines()[0].startswith("source_file,pool_name")
     assert len(csv_text.strip().splitlines()) == 3
+
+
+def test_merge_into_upserts_and_is_idempotent(spark, tmp_path):
+    from github_etl_pipeline_spark.sinks.upsert import merge_into
+
+    table = tmp_path / "merged"
+    merge_into(spark, table, _pools_df(spark, [("a", 1.0), ("b", 2.0)]))
+    merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]))
+    got = {r.source_file: r.rtp for r in spark.read.parquet(str(table)).collect()}
+    assert got == {"a": 9.0, "b": 2.0, "c": 3.0}  # matched update + insert
+    # MERGE of the same updates twice == once
+    merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]))
+    again = {r.source_file: r.rtp for r in spark.read.parquet(str(table)).collect()}
+    assert again == got
