@@ -303,8 +303,8 @@ def embedding_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    n_planes: int = 12,
-    bands: int = 6,
+    n_planes: int = 64,
+    bands: int = 8,
     dim: int = 64,
 ) -> DataFrame:
     """LSH-banded embedding pair mining: band both sides on random-
@@ -313,39 +313,40 @@ def embedding_dup_pairs_lsh(
     ``minhash_dedup_pairs`` (VERDICT r1 item 2 closes the missing scale
     sibling of ``embedding_dup_pairs``).
 
-    Recall is governed by rows-per-band = n_planes // bands: with the
-    default (2 rows x 6 bands) a pair at cos=0.45 is a candidate with
-    p ~= 0.96; production thresholds (>= 0.8) should RAISE rows-per-band
-    for sharper pruning (candidate prob for unrelated pairs is
-    1-(1-0.25)^6 ~= 0.82 here — acceptable at low thresholds where the
-    output itself is near-quadratic, wasteful at high ones). Output
-    (id_a, id_b), ids only."""
+    Candidate generation shuffles ONLY (band, bucket, id) tuples; the
+    vectors are joined back for the exact verify on the deduped candidate
+    pairs (broadcast when the corpus is small, co-partitioned otherwise).
+
+    Recall/pruning are set by rows-per-band = n_planes // bands. The
+    default (8 rows x 8 bands) is tuned for the NEAR-DUP regime this
+    operator exists for (cos >= ~0.8: per-pair candidate prob ~0.93 at
+    cos 0.9; unrelated pairs land in the same 256-way bucket with prob
+    ~0.03, so candidates stay near-linear). At thresholds close to
+    random (~0.45) sign-LSH cannot separate — recall falls to ~0.2 and
+    exhaustive mining is inherently quadratic; use the capped
+    ``embedding_dup_pairs`` baseline there. Output (id_a, id_b)."""
     from github_etl_pipeline_spark.operators.similarity import (
         _hyperplanes,
         cosine_expr,
-        lsh_bucket_expr,
+        lsh_band_keys,
     )
 
     rows = n_planes // bands
     planes = _hyperplanes(dim, n_planes)
-    bucket_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            lsh_bucket_expr(F.col(vec_col), planes, b, rows).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    keyed = emb.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*bucket_structs)).alias("bk")
-    ).select(id_col, vec_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    a = keyed.select("band", "bh", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = keyed.select("band", "bh", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    keyed = lsh_band_keys(emb, vec_col, id_col, planes, bands, rows)
+    a = keyed.select("band", "bh", F.col(id_col).alias("id_a"))
+    b = keyed.select("band", "bh", F.col(id_col).alias("id_b"))
     cand = (
         a.join(b, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.where(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
         .select("id_a", "id_b")
     )

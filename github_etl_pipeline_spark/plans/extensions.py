@@ -309,7 +309,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hyperplane_pairs_oracle(
-    threshold: float, n_planes: int = 12, bands: int = 6, dim: int = 64
+    threshold: float, n_planes: int = 64, bands: int = 8, dim: int = 64
 ) -> str:
     """DuckDB mirror of embedding_dup_pairs_lsh: the SAME deterministic
     hyperplanes (md5-derived literals), the same band buckets, the same
@@ -346,7 +346,7 @@ WHERE list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list
 @register(
     "embedding_high_sim_pairs",
     oracle=_hyperplane_pairs_oracle(0.45),
-    doc="embedding-cosine near-dup pairs >= 0.45 via hyperplane-LSH banding + exact verify (linear-time; brute force is test-only)",
+    doc="embedding-cosine near-dup pairs >= 0.45 via hyperplane-LSH banding + exact verify (linear-time; oracle mirrors the banding; recall at this near-random threshold is regime-limited — see operator docstring)",
 )
 def embedding_high_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45)
