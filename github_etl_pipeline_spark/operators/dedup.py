@@ -276,6 +276,63 @@ def simhash_pairs(
     return cand.where(ham <= max_hamming).select("id_a", "id_b", ham.alias("hamming"))
 
 
+def dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup CONNECTED COMPONENTS: what a dedup pipeline actually needs
+    after pair mining — group transitively-linked near-dups and elect one
+    canonical doc per group (the minimum id). Output (doc_id, cluster_id)
+    for EVERY document; singletons carry their own id.
+
+    Algorithm: min-label propagation over the MinHash+LSH pair graph.
+    labels start as each doc's own id; each round every node takes the
+    min of its own and its neighbors' labels; converged when no label
+    changes (checked with a cheap count per round, bounded by
+    ``max_iterations``). Rounds needed = graph diameter — near-dup
+    components are overwhelmingly small/star-shaped, so 2-4 rounds in
+    practice. Per round: one join edges->labels + one groupBy min — both
+    on the EDGE relation (pairs), never the corpus text. (At extreme
+    component sizes the classic large-star/small-star variant halves the
+    round count; the propagation join shape below is the same one it
+    would reuse.)"""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, k, bands, threshold)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl")).persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
+            .select("id", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
 def embedding_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -128,3 +128,92 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters) and PII profiling
+# ---------------------------------------------------------------------------
+
+# RE2-compatible patterns (no lookaround) so Spark's Java regex and
+# DuckDB's RE2 find identical matches; redaction order URL -> EMAIL ->
+# PHONE (URLs can contain '@', so they must be consumed first)
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def words_lower(col: Column | str) -> Column:
+    """Lowercased word array (the repetition-signal alphabet)."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(WORD_RE), 0)
+
+
+def word_bigrams(col: Column | str) -> Column:
+    """NON-distinct consecutive word bigrams (repetition needs counts,
+    unlike the dedup shingles which are a set)."""
+    w = words_lower(col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(2), F.lit(0)))
+    return F.when(
+        n >= 2, F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, 2), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals used by quality filters
+    (Gopher/C4-style): the fraction of words taken by the single most
+    frequent word, and the duplicated fraction of word bigrams. Shapes:
+    the top-word pass is explode -> two partial-aggregated groupBys on
+    (doc, word) — never wider than the tokenized corpus; the bigram
+    fraction is a pure array expression in the same scan."""
+    w = df.select(F.col(id_col), F.explode(words_lower(text_col)).alias("w"))
+    wc = w.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    top = wc.groupBy(id_col).agg(
+        F.max("c").alias("_top"), F.sum("c").alias("_total")
+    )
+    bg = df.select(
+        F.col(id_col),
+        F.size(word_bigrams(text_col)).alias("_nbg"),
+        F.size(F.array_distinct(word_bigrams(text_col))).alias("_ndbg"),
+    )
+    return (
+        df.select(id_col)
+        .join(top, id_col, "left")
+        .join(bg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_total", F.lit(0)).alias("n_words"),
+            F.round(
+                F.when(F.col("_total") > 0, F.col("_top") / F.col("_total")).otherwise(0.0), 6
+            ).alias("top_word_frac"),
+            F.round(
+                F.when(
+                    F.col("_nbg") > 0,
+                    1.0 - F.col("_ndbg").cast("double") / F.col("_nbg"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """URL -> EMAIL -> PHONE redaction with typed placeholders."""
+    t = F.regexp_replace(_c(col), URL_RE, "<URL>")
+    t = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(t, PHONE_RE, "<PHONE>")
+
+
+def pii_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII-ish pattern counts plus the md5 fingerprint of
+    the redacted text (what a curation pipeline stores instead of raw
+    text). Pure column expressions — one scan, no shuffle."""
+    t = _c(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(URL_RE)).alias("n_urls"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(redact_pii(t)).alias("redacted_hash"),
+    )

@@ -214,6 +214,56 @@ def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Dedup: connected components over the near-dup pair graph (the step a
+# real dedup pipeline runs AFTER pair mining: transitive closure + one
+# canonical doc per group). Oracle: DuckDB recursive CTE propagating the
+# min label over the bidirected edge set — same fixpoint the Spark
+# min-label iteration converges to.
+# ---------------------------------------------------------------------------
+def _dup_clusters_oracle(threshold: float = 0.2) -> str:
+    jac = (
+        "CASE WHEN len(list_distinct(x.hs || y.hs)) > 0 "
+        "THEN CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / len(list_distinct(x.hs || y.hs)) "
+        "ELSE 0.0 END"
+    )
+    return (
+        _SIG_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+bandkeys AS ({_band_sql(4)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+hs AS (SELECT doc_id, {_SHASH_SQL} AS hs FROM g),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b
+  WHERE {jac} >= {threshold}
+),
+bi AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT b.dst, w.lbl FROM walk w JOIN bi b ON b.src = w.id
+)
+SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
+"""
+    )
+
+
+@register(
+    "dup_clusters_documents",
+    oracle=_dup_clusters_oracle(0.2),
+    doc="near-dup connected components: MinHash+LSH pairs -> min-label propagation -> (doc_id, cluster_id) with the min doc as canonical; oracle is a recursive-CTE transitive closure",
+)
+def dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dup_clusters(_docs(spark, sf_dir), threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
 # Dedup: SimHash (generated 48-bit bit-vote SQL on both sides)
 # ---------------------------------------------------------------------------
 def _simhash_oracle() -> str:
@@ -393,6 +443,71 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.ann_ivf_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text quality: repetition signals (Gopher/C4-style filters)
+# ---------------------------------------------------------------------------
+@register(
+    "repetition_profile_documents",
+    oracle=f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS ws FROM documents),
+tops AS (
+  SELECT doc_id, MAX(c) AS top, SUM(c) AS total FROM (
+    SELECT doc_id, word, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word
+  ) GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 2
+              THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+              ELSE [] END AS bgs
+  FROM w
+)
+SELECT w.doc_id,
+  CAST(COALESCE(t.total, 0) AS BIGINT) AS n_words,
+  round(CASE WHEN t.total > 0 THEN CAST(t.top AS DOUBLE) / t.total ELSE 0.0 END, 6) AS top_word_frac,
+  round(CASE WHEN len(b.bgs) > 0 THEN 1.0 - CAST(len(list_distinct(b.bgs)) AS DOUBLE) / len(b.bgs) ELSE 0.0 END, 6) AS dup_bigram_frac
+FROM w LEFT JOIN tops t ON t.doc_id = w.doc_id LEFT JOIN bg b ON b.doc_id = w.doc_id
+""",
+    doc="repetition quality signals: top-word fraction (explode + two partial aggs) and duplicated-bigram fraction (array exprs in the scan)",
+)
+def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.text import repetition_profile
+
+    return repetition_profile(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text curation: PII-ish pattern counts + redacted fingerprint
+# ---------------------------------------------------------------------------
+def _pii_oracle() -> str:
+    from github_etl_pipeline_spark.operators.text import EMAIL_RE, PHONE_RE, URL_RE
+
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, '{URL_RE}', '<URL>', 'g'),"
+        f" '{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{URL_RE}')) AS n_urls,
+  len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+  md5({red}) AS redacted_hash
+FROM documents
+"""
+
+
+@register(
+    "pii_profile_documents",
+    oracle=_pii_oracle(),
+    doc="PII-ish pattern counts (url/email/phone, RE2-compatible regexes) + md5 of the redacted text; one scan, no shuffle",
+)
+def pii_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.text import pii_profile
+
+    return pii_profile(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -300,3 +300,89 @@ def test_fan_out_is_conditional(spark):
     assert _fan_out(spark, wide) is wide  # untouched, no Exchange added
     narrow = spark.range(1000, numPartitions=1)
     assert _fan_out(spark, narrow).rdd.getNumPartitions() == parallelism
+
+
+def test_dup_clusters_match_union_find(spark):
+    # property: Spark min-label propagation == union-find ground truth
+    # computed driver-side from the SAME pair set
+    docs = read_table(spark, SF, "documents")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(docs, threshold=0.2).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    got = {r.doc_id: r.cluster_id for r in D.dup_clusters(docs, threshold=0.2).collect()}
+    assert len(got) == docs.count()  # every doc labeled, singletons included
+    for doc, cl in got.items():
+        assert cl == find(doc) if doc in parent else cl == doc
+
+
+def test_dup_clusters_transitive_chain(spark):
+    # A~B and B~C but A!~C: transitivity must still cluster all three
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta iota kappa"   # near-dup of A
+    c = "gamma delta epsilon zeta iota kappa lmb mu"       # near-dup of B only
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, "unrelated totally different words here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_dedup_pairs(docs, threshold=0.3).collect()}
+    got = {r.doc_id: r.cluster_id for r in D.dup_clusters(docs, threshold=0.3).collect()}
+    if (1, 2) in pairs and (2, 3) in pairs:  # chain found by LSH (deterministic)
+        assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 4  # singleton keeps its own id
+
+
+def test_repetition_profile_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "")], "doc_id long, text string"
+    )
+    from github_etl_pipeline_spark.operators.text import repetition_profile
+
+    got = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    assert got[1].n_words == 4
+    assert got[1].top_word_frac == 0.75
+    # bigrams: 'a a','a a','a b' -> 2 distinct of 3 -> dup frac 1/3
+    assert got[1].dup_bigram_frac == round(1 - 2 / 3, 6)
+    assert got[2].dup_bigram_frac == 0.0
+    assert got[3].n_words == 0 and got[3].top_word_frac == 0.0
+
+
+def test_pii_profile_planted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe@example.com or +1 (555) 123-4567 ok"),
+            (2, "see https://example.com/path?q=1 and http://a.b/c"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    from github_etl_pipeline_spark.operators.text import pii_profile, redact_pii
+    from pyspark.sql import functions as F
+
+    got = {r.doc_id: r for r in pii_profile(docs).collect()}
+    assert got[1].n_emails == 1 and got[1].n_phones == 1
+    assert got[2].n_urls == 2
+    assert got[3].n_urls == got[3].n_emails == got[3].n_phones == 0
+    red = {
+        r.doc_id: r.red
+        for r in docs.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()
+    }
+    assert "<EMAIL>" in red[1] and "<PHONE>" in red[1]
+    assert "jane.doe@example.com" not in red[1]
+    assert red[2].count("<URL>") == 2
