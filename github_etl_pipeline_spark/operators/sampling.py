@@ -1,0 +1,59 @@
+"""Deterministic sampling and mixing for training-data curation.
+
+Corpus curation needs REPRODUCIBLE sampling — the same rows selected on
+every run, engine, and retry (resumable pipelines, auditable data
+lineage) — so this is Bernoulli-by-hash, not ``rand()``: a row is kept
+iff its md5-derived bucket (0..9999) falls below the stratum's rate.
+Pure column expressions: one scan, no shuffle, no RNG state, and the
+DuckDB oracles reproduce the exact bucket values bit-for-bit (same
+md5-prefix construction as functions/hashing.py).
+
+At 100 TB this is the shape you want: sampling happens inside the scan
+(combined with predicate pushdown and column pruning), and changing the
+rate later re-selects a SUPERSET/SUBSET of the previous sample (buckets
+are stable), which makes incremental mixture rebalancing cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SAMPLE_SEED = "spark-graft-sample"
+BUCKETS = 10_000
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def sample_bucket(id_col: Column | str, seed: str = SAMPLE_SEED) -> Column:
+    """Stable bucket 0..9999 from md5(seed ':' id) — the sampling coin."""
+    h = F.md5(F.concat(F.lit(seed + ":"), _c(id_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, id_col: str = "doc_id", rate: float = 0.1, seed: str = SAMPLE_SEED
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep ~rate of rows, stably."""
+    return df.where(sample_bucket(id_col, seed) < int(round(rate * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: str = SAMPLE_SEED,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the mixture-weighting step of
+    a training-data pipeline (e.g. books at 1.0, web at 0.25). Rows in
+    strata missing from ``rates`` keep ``default_rate``."""
+    threshold: Column = F.lit(int(round(default_rate * BUCKETS)))
+    for key in sorted(rates):
+        threshold = F.when(
+            _c(strata_col) == key, F.lit(int(round(rates[key] * BUCKETS)))
+        ).otherwise(threshold)
+    return df.where(sample_bucket(id_col, seed) < threshold)

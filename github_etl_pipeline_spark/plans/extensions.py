@@ -511,6 +511,42 @@ def pii_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation: deterministic stratified sampling (mixture
+# weighting). Rates: src{i} keeps (i % 4 + 1) * 25% — every rate tier
+# exercised. The oracle reproduces the md5 bucket bit-for-bit.
+# ---------------------------------------------------------------------------
+_SAMPLE_RATES = {f"src{i}": (i % 4 + 1) * 0.25 for i in range(20)}
+
+
+def _stratified_sample_oracle() -> str:
+    from github_etl_pipeline_spark.operators.sampling import BUCKETS, SAMPLE_SEED
+
+    cases = " ".join(
+        f"WHEN source = '{k}' THEN {int(round(v * BUCKETS))}"
+        for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    bucket = (
+        f"CAST(('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {BUCKETS}"
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE {bucket} < (CASE {cases} ELSE 0 END)
+"""
+
+
+@register(
+    "stratified_sample_documents",
+    oracle=_stratified_sample_oracle(),
+    doc="deterministic per-stratum Bernoulli-by-hash sampling (mixture weighting; stable across runs/engines, no RNG) — filter inside the scan, no shuffle",
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sampling import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, _SAMPLE_RATES).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: top terms per source by a log-free tf-idf score
 # (log() differs in last-ulp across libm implementations; tf * N/df is a
 # deterministic double with the same ordering properties)

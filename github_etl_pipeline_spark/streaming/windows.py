@@ -138,3 +138,23 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Streaming deduplication: keep the first event per key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``). State is
+    BOUNDED — keys older than the watermark are evicted, so unlike plain
+    ``dropDuplicates`` on a stream the state store cannot grow without
+    limit. On a batch DataFrame the same call degrades to exact
+    dropDuplicates (Spark's unified semantics), which is what the
+    batch-equality test exercises; the dedup-pipeline analog over
+    documents is ``operators.dedup.exact_dedup``."""
+    e = events.withColumn("_event_time", _event_time(time_col))
+    return e.withWatermark("_event_time", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

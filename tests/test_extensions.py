@@ -386,3 +386,29 @@ def test_pii_profile_planted(spark):
     assert "<EMAIL>" in red[1] and "<PHONE>" in red[1]
     assert "jane.doe@example.com" not in red[1]
     assert red[2].count("<URL>") == 2
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    from github_etl_pipeline_spark.operators.sampling import hash_sample
+
+    df = spark.range(100_000).select(F.col("id").alias("doc_id"))
+    a = hash_sample(df, rate=0.1).count()
+    b = hash_sample(df, rate=0.1).count()
+    assert a == b  # bit-stable across runs
+    assert abs(a - 10_000) < 600  # calibrated within ~6 sigma
+    # rate monotonicity: raising the rate keeps a SUPERSET (stable buckets)
+    small = {r.doc_id for r in hash_sample(df, rate=0.05).collect()}
+    big = {r.doc_id for r in hash_sample(df, rate=0.2).collect()}
+    assert small <= big
+
+
+def test_stratified_sample_respects_rates(spark):
+    from github_etl_pipeline_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 == 0 else "drop") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    got = stratified_sample(df, {"keep": 1.0, "drop": 0.0}).collect()
+    assert len(got) == 1000
+    assert all(r.source == "keep" for r in got)

@@ -159,3 +159,27 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # its window with a second count
     all_counts = list(got.values())
     assert all(c == 1 for c in all_counts), got
+
+
+def test_dedup_stream_bounded_state(spark, tmp_path):
+    from github_etl_pipeline_spark.streaming.windows import dedup_stream
+
+    batch_events = read_table(spark, SF, "events")
+    expect = batch_events.select("user_id", "event_type").distinct().count()
+
+    stream = _stream_events(spark, tmp_path)
+    q = (
+        dedup_stream(stream)
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM deduped").collect()
+    # one survivor per key, and no key emitted twice
+    assert len(got) == expect
+    assert len({(r.user_id, r.event_type) for r in got}) == expect
