@@ -1,0 +1,239 @@
+"""Training-data curation operators: benchmark decontamination, document
+chunking, sequence packing, quality filtering, temperature-scaled
+mixture sampling.
+
+These extend the engine beyond the reference's surface (which ends at
+pool KPIs — /root/reference/etl/transform.py) with the curation steps a
+large-scale LLM data pipeline runs between raw text and training shards.
+Everything is pure column expressions + standard shuffles; the DuckDB
+oracles in plans/curation.py reproduce every value bit-for-bit (md5
+buckets, integer token counts, exact-rational sampling thresholds).
+
+Scale design (the 100-TB story):
+  * decontaminate: the benchmark (eval-set) shingle table is tiny by
+    construction — it is broadcast, so the corpus-side exploded shingle
+    relation never shuffles; only the matched rows reach the one
+    groupBy(doc_id) aggregate.
+  * chunk_documents: per-row array expressions inside the scan; output
+    rows carry token counts + an md5, never the chunk text, so the
+    explode widens rows, not bytes.
+  * pack_sequences: one window per SOURCE partition (never a global
+    unpartitioned window) — each source's running token total is an
+    independent partition-local cumsum, exactly how shard-building
+    pipelines pack per input shard.
+  * quality_filter: per-row expressions + the repetition aggregate
+    (explode -> two map-side-combined groupBys); no text leaves the
+    scan stage.
+  * temperature_sample: per-source counts are a ~|sources|-row
+    aggregate, broadcast back; the keep decision is an INTEGER
+    inequality (bucket^2 * n_s < n_min * BUCKETS^2), so no float
+    boundary can disagree between engines — and like hash_sample it
+    composes with predicate pushdown in the same scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.operators.dedup import shingle_hashes
+from github_etl_pipeline_spark.operators.sampling import BUCKETS, sample_bucket
+from github_etl_pipeline_spark.operators.text import (
+    TOKEN_RE,
+    quality_features,
+    repetition_profile,
+)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    ``k``-gram shingles with an evaluation set. Output one row per corpus
+    doc: (doc_id, n_shingles, n_overlap, contaminated).
+
+    ``n_overlap`` counts the doc's DISTINCT shingles that appear anywhere
+    in the benchmark (the standard n-gram-collision decontamination test,
+    cf. GPT-3/PaLM appendix methodology). The benchmark's shingle set is
+    deduped then BROADCAST — eval sets are tiny next to the corpus, so
+    the corpus-side exploded shingle stream joins map-side and only hits
+    one (doc_id) aggregate shuffle of the matching rows."""
+    bench_sh = (
+        benchmark.select(F.explode(shingle_hashes(text_col, k)).alias("_sh")).distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingle_hashes(text_col, k)).alias("_sh")
+    )
+    overlap = (
+        doc_sh.join(F.broadcast(bench_sh), "_sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_overlap"))
+    )
+    return (
+        docs.select(F.col(id_col), F.size(shingle_hashes(text_col, k)).alias("n_shingles"))
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("_n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("_n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the context-window chunking step before tokenization/embedding.
+    Chunks start every ``stride = chunk_tokens - overlap`` tokens; the
+    last chunk may be short; docs with zero tokens emit no rows. Output
+    (doc_id, chunk_id, n_chunk_tokens, chunk_hash) — the md5 stands in
+    for the chunk text so the exploded relation stays narrow.
+
+    Pure array expressions (tokenize once, slice per chunk) inside the
+    scan; the only row-count growth is the ~n_tokens/stride chunk
+    fan-out, which is the operator's job."""
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    t = docs.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")).where(
+        F.col("_n") > 0
+    )
+    # python-range semantics: starts = range(0, max(n - overlap, 1), stride)
+    stop = F.greatest(F.col("_n") - overlap, F.lit(1))
+    n_chunks = F.floor((stop + (stride - 1)) / stride).cast("int")
+    c = t.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return c.select(
+        id_col,
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+    budget: int = 128,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences by
+    contiguous packing in ``id_col`` order WITHIN each ``part_col``
+    partition: a doc joins the sequence containing its start offset in
+    the partition's running token total (``seq_id = start // budget``).
+    Deterministic, order-stable, and one window shuffle partitioned by
+    source — never a global single-partition window, so each source
+    shard packs independently at any corpus size (docs longer than the
+    budget simply span sequences, as real packers let them).
+
+    Output (doc_id, source, n_tokens, start_offset, seq_id)."""
+    n_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(F.col(id_col), F.col(part_col), n_tokens.cast("long").alias("n_tokens"))
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        id_col,
+        part_col,
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("seq_id"),
+    )
+
+
+#: quality_filter rule thresholds (Gopher/C4-flavored; the value is the
+#: composable plumbing + exact cross-engine reproduction, not the numbers)
+QUALITY_RULES = {
+    "too_few_words": "n_words < 5",
+    "repetitive_top_word": "top_word_frac > 0.30",
+    "repetitive_bigrams": "dup_bigram_frac > 0.30",
+    "punct_soup": "punct_ratio > 0.30",
+    "words_too_long": "mean_word_len > 12",
+}
+
+
+def quality_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based document quality filter: evaluates the named rules in
+    ``QUALITY_RULES`` (length, repetition, punctuation, word-shape) and
+    emits (doc_id, keep, reasons) where ``reasons`` is the
+    comma-joined, fixed-order list of failed rules ('' when keep).
+    Per-row signals stay in the scan; the repetition signals reuse
+    ``repetition_profile``'s two map-side-combined aggregates."""
+    feats = quality_features(text_col)
+    base = docs.select(
+        F.col(id_col),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["mean_word_len"].alias("mean_word_len"),
+    )
+    rep = repetition_profile(docs, text_col, id_col)
+    j = base.join(rep, id_col)
+    conds = {
+        "too_few_words": F.col("n_words") < 5,
+        "repetitive_top_word": F.col("top_word_frac") > 0.30,
+        "repetitive_bigrams": F.col("dup_bigram_frac") > 0.30,
+        "punct_soup": F.col("punct_ratio") > 0.30,
+        "words_too_long": F.col("mean_word_len") > 12,
+    }
+    # concat_ws skips NULLs -> stable fixed-order reason list
+    reasons = F.concat_ws(
+        ",", *[F.when(c, F.lit(name)) for name, c in conds.items()]
+    )
+    keep = ~conds["too_few_words"]
+    for name, c in conds.items():
+        keep = keep & ~c
+    return j.select(id_col, keep.alias("keep"), reasons.alias("reasons"))
+
+
+def temperature_sample(
+    docs: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str | None = None,
+) -> DataFrame:
+    """α=0.5 temperature rebalancing of a source mixture: each stratum is
+    subsampled at rate sqrt(n_min / n_s), so post-sample sizes are
+    proportional to sqrt(n_s) — the standard temperature-scaled mixture
+    (multilingual/ multi-source training) with the smallest source kept
+    whole. Fully in-plan: the per-source count is a ~|sources|-row
+    aggregate broadcast back onto the fact side; the keep decision is
+    the INTEGER inequality
+
+        bucket^2 * n_s < n_min * BUCKETS^2
+        (<=> bucket/BUCKETS < sqrt(n_min/n_s), exact rational form)
+
+    over the md5 sample bucket — no floating-point boundary, so every
+    engine selects the identical row set. No driver-side rates, no
+    collect. Output (doc_id, source)."""
+    from github_etl_pipeline_spark.operators.sampling import SAMPLE_SEED
+
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.withColumn("_n_min", F.min("_n").over(Window.partitionBy()))
+    b = sample_bucket(id_col, seed or SAMPLE_SEED)
+    return (
+        docs.select(id_col, strata_col)
+        .join(F.broadcast(counts), strata_col)
+        .where(b * b * F.col("_n") < F.col("_n_min") * F.lit(BUCKETS * BUCKETS))
+        .select(id_col, strata_col)
+    )

@@ -276,22 +276,17 @@ def simhash_pairs(
     return cand.where(ham <= max_hamming).select("id_a", "id_b", ham.alias("hamming"))
 
 
-def dup_clusters(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 2,
-    bands: int = 4,
-    threshold: float = 0.5,
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
     max_iterations: int = 20,
 ) -> DataFrame:
-    """Near-dup CONNECTED COMPONENTS: what a dedup pipeline actually needs
-    after pair mining — group transitively-linked near-dups and elect one
-    canonical doc per group (the minimum id). Output (doc_id, cluster_id)
-    for EVERY document; singletons carry their own id.
+    """Min-label propagation over an undirected pair graph: every node in
+    ``nodes`` gets the minimum id reachable through ``pairs`` (columns
+    id_a/id_b) as its ``cluster_id``; singletons carry their own id.
 
-    Algorithm: min-label propagation over the MinHash+LSH pair graph.
-    labels start as each doc's own id; each round every node takes the
+    labels start as each node's own id; each round every node takes the
     min of its own and its neighbors' labels; converged when no label
     changes (checked with a cheap count per round, bounded by
     ``max_iterations``). Rounds needed = graph diameter — near-dup
@@ -301,7 +296,7 @@ def dup_clusters(
     component sizes the classic large-star/small-star variant halves the
     round count; the propagation join shape below is the same one it
     would reuse.)"""
-    pairs = minhash_dedup_pairs(df, text_col, id_col, k, bands, threshold)
+    df = nodes
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -331,6 +326,25 @@ def dup_clusters(
             break
     edges.unpersist()
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup CONNECTED COMPONENTS over the MinHash+LSH pair graph:
+    what a dedup pipeline actually needs after pair mining — group
+    transitively-linked near-dups and elect one canonical doc per group
+    (the minimum id). Output (doc_id, cluster_id) for EVERY document;
+    singletons carry their own id. See ``connected_components`` for the
+    propagation algorithm and its scale shape."""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, k, bands, threshold)
+    return connected_components(df.select(id_col), pairs, id_col, max_iterations)
 
 
 def embedding_dup_pairs(

@@ -4,5 +4,6 @@ from github_etl_pipeline_spark.plans.registry import REGISTRY, QuerySpec, regist
 from github_etl_pipeline_spark.plans import relational  # noqa: F401
 from github_etl_pipeline_spark.plans import domain  # noqa: F401
 from github_etl_pipeline_spark.plans import extensions  # noqa: F401
+from github_etl_pipeline_spark.plans import curation  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

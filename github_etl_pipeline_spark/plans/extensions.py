@@ -358,12 +358,14 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, queries, k=5)
 
 
-def _hyperplane_pairs_oracle(
+def _hyperplane_pairs_ctes(
     threshold: float, n_planes: int = 64, bands: int = 8, dim: int = 64
 ) -> str:
-    """DuckDB mirror of embedding_dup_pairs_lsh: the SAME deterministic
-    hyperplanes (md5-derived literals), the same band buckets, the same
-    exact-cosine verify — so Spark and the oracle agree pair-for-pair."""
+    """CTE body of the embedding_dup_pairs_lsh mirror (shared by the
+    pairs oracle and the recursive clusters oracle in plans/curation.py):
+    the SAME deterministic hyperplanes (md5-derived literals), the same
+    band buckets, the same exact-cosine verify — so Spark and the oracle
+    agree pair-for-pair. Ends with a ``verified(id_a, id_b)`` CTE."""
     from github_etl_pipeline_spark.operators.similarity import _hyperplanes
 
     rows = n_planes // bands
@@ -380,17 +382,26 @@ def _hyperplane_pairs_oracle(
             f"SELECT vec_id, {b} AS band, " + " || ".join(bits) + " AS bh FROM e"
         )
     union = " UNION ALL ".join(band_selects)
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 bk AS ({union}),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
-)
-SELECT id_a, id_b
-FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
-WHERE list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= {threshold}
-"""
+),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
+  WHERE list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= {threshold}
+)"""
+
+
+def _hyperplane_pairs_oracle(
+    threshold: float, n_planes: int = 64, bands: int = 8, dim: int = 64
+) -> str:
+    return (
+        f"WITH {_hyperplane_pairs_ctes(threshold, n_planes, bands, dim)}\n"
+        "SELECT id_a, id_b FROM verified"
+    )
 
 
 @register(

@@ -1,0 +1,140 @@
+"""Semantic unit tests for the training-data curation operators
+(operators/curation.py) — planted fixtures with hand-computable
+answers; cross-engine value equality is covered separately by
+test_oracle_contract.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.operators.curation import (
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+    quality_filter,
+    temperature_sample,
+)
+from github_etl_pipeline_spark.operators.dedup import connected_components
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_decontaminate_planted(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog", "eval")])
+    docs = _docs(
+        spark,
+        [
+            # contains 'quick brown fox' -> shares 3-grams with the benchmark
+            (1, "a very quick brown fox indeed", "web"),
+            # no shared 3-gram
+            (2, "completely unrelated text about spark plans", "web"),
+        ],
+    )
+    got = {r.doc_id: r for r in decontaminate(docs, bench, k=3).collect()}
+    assert got[1].contaminated and got[1].n_overlap >= 1
+    assert not got[2].contaminated and got[2].n_overlap == 0
+
+
+def test_chunk_documents_boundaries(spark):
+    # 90 tokens, chunk=32 overlap=8 stride=24: starts = range(0, 82, 24)
+    # = 0,24,48,72 -> 4 chunks, the last the 18-token tail
+    text = " ".join(f"t{i}" for i in range(90))
+    docs = _docs(spark, [(1, text, "s"), (2, "only three tokens", "s"), (3, "", "s")])
+    got = chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(r.chunk_id for r in by_doc[1]) == [0, 1, 2, 3]
+    sizes = {r.chunk_id: r.n_chunk_tokens for r in by_doc[1]}
+    assert sizes == {0: 32, 1: 32, 2: 32, 3: 18}  # last chunk is the tail
+    # short doc -> one chunk with every token; empty doc -> no rows
+    assert [r.n_chunk_tokens for r in by_doc[2]] == [3]
+    assert 3 not in by_doc
+
+
+def test_chunk_overlap_is_real_overlap(spark):
+    # chunks must share exactly `overlap` tokens at the seam: token list
+    # reconstruction — chunk i starts at i*stride
+    text = " ".join(f"w{i}" for i in range(40))
+    docs = _docs(spark, [(1, text, "s")])
+    import hashlib
+
+    got = {
+        r.chunk_id: r.chunk_hash
+        for r in chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    }
+    toks = text.split()
+    expect0 = hashlib.md5(" ".join(toks[0:32]).encode()).hexdigest()
+    expect1 = hashlib.md5(" ".join(toks[24:40]).encode()).hexdigest()
+    assert got == {0: expect0, 1: expect1}
+
+
+def test_pack_sequences_budget(spark):
+    # source A: docs of 50 tokens each; budget 128 -> starts 0,50,100,150
+    # -> seq ids 0,0,0,1 ; source B packs independently from offset 0
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [(i, words(50, "a"), "A") for i in range(4)] + [(10, words(20, "b"), "B")]
+    got = {r.doc_id: r for r in pack_sequences(_docs(spark, rows), budget=128).collect()}
+    assert [got[i].seq_id for i in range(4)] == [0, 0, 0, 1]
+    assert [got[i].start_offset for i in range(4)] == [0, 50, 100, 150]
+    assert got[10].seq_id == 0 and got[10].start_offset == 0
+
+
+def test_quality_filter_reasons(spark):
+    good = (
+        "The quick brown fox jumps over the lazy dog and it is a fine day "
+        "for the animals of the forest to wander around the green hills"
+    )
+    rows = [
+        (1, good, "s"),
+        (2, "spam spam spam spam spam spam spam spam", "s"),  # repetitive
+        (3, "one two", "s"),  # too few words
+        (4, "!!! ??? *** !!! ??? *** (((", "s"),  # punct soup / no words
+    ]
+    got = {r.doc_id: r for r in quality_filter(_docs(spark, rows)).collect()}
+    assert got[1].keep and got[1].reasons == ""
+    assert not got[2].keep and "repetitive_top_word" in got[2].reasons
+    assert not got[3].keep and "too_few_words" in got[3].reasons
+    assert not got[4].keep and "punct_soup" in got[4].reasons
+
+
+def test_temperature_sample_rates(spark):
+    # sources sized 1600 / 100: alpha=0.5 keeps sqrt(100/1600)=25% of the
+    # big source and 100% of the smallest
+    rows = [(i, "x", "big") for i in range(1600)] + [
+        (10_000 + i, "x", "small") for i in range(100)
+    ]
+    got = temperature_sample(_docs(spark, rows)).groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert counts["small"] == 100
+    assert abs(counts["big"] - 400) < 120  # ~6 sigma at p=0.25, n=1600
+
+
+def test_connected_components_graph(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(nodes, pairs, "id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_no_cartesian_in_registered_curation_queries(spark):
+    # the scale contract: no curation query may carry an all-pairs join
+    from github_etl_pipeline_spark.plans import REGISTRY
+
+    for name in [
+        "decontaminate_documents",
+        "chunk_documents",
+        "pack_sequences_documents",
+        "quality_filter_documents",
+        "temperature_sample_documents",
+        "embedding_dup_clusters",
+    ]:
+        plan = REGISTRY[name].builder(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
