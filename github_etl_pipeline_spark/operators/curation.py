@@ -133,6 +133,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     part_col: str = "source",
     budget: int = 128,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training sequences by
     contiguous packing in ``id_col`` order WITHIN each ``part_col``
@@ -143,8 +144,15 @@ def pack_sequences(
     shard packs independently at any corpus size (docs longer than the
     budget simply span sequences, as real packers let them).
 
+    ``n_tokens_col`` — name of a precomputed token-count column; when
+    given, ``text_col`` is not touched (lets upstream stages project the
+    text away before any shuffle, as curation_pipeline does).
+
     Output (doc_id, source, n_tokens, start_offset, seq_id)."""
-    n_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+    if n_tokens_col is not None:
+        n_tokens = F.col(n_tokens_col)
+    else:
+        n_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
     w = (
         Window.partitionBy(part_col)
         .orderBy(id_col)

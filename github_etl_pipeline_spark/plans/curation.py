@@ -15,9 +15,12 @@ from github_etl_pipeline_spark.operators import curation as C
 from github_etl_pipeline_spark.operators import dedup as D
 from github_etl_pipeline_spark.operators.text import TOKEN_RE, WORD_RE
 from github_etl_pipeline_spark.plans.extensions import (
+    _band_sql,
     _docs,
     _emb,
     _hyperplane_pairs_ctes,
+    _SHASH_SQL,
+    _SIG_CTE,
 )
 from github_etl_pipeline_spark.plans.registry import register
 from github_etl_pipeline_spark.sources.tables import read_table
@@ -214,18 +217,25 @@ def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Temperature mixture sampling (alpha = 0.5, exact-integer keep rule)
 # ---------------------------------------------------------------------------
-def _temperature_oracle() -> str:
+def _temp_bucket_sql() -> tuple[str, int]:
     from github_etl_pipeline_spark.operators.sampling import BUCKETS, SAMPLE_SEED
 
     bucket = (
-        f"CAST(('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {BUCKETS}"
+        f"CAST(('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {BUCKETS}"
     )
+    return bucket, BUCKETS * BUCKETS
+
+
+_TEMP_BUCKET_SQL, _TEMP_B2 = _temp_bucket_sql()
+
+
+def _temperature_oracle() -> str:
     return f"""
 WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
 m AS (SELECT MIN(n) AS n_min FROM counts)
 SELECT d.doc_id, d.source
 FROM documents d JOIN counts c ON c.source = d.source CROSS JOIN m
-WHERE ({bucket}) * ({bucket}) * c.n < m.n_min * {BUCKETS * BUCKETS}
+WHERE ({_TEMP_BUCKET_SQL}) * ({_TEMP_BUCKET_SQL}) * c.n < m.n_min * {_TEMP_B2}
 """
 
 
@@ -271,3 +281,140 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     pairs = D.embedding_dup_pairs_lsh(emb, threshold=_EMB_THRESHOLD)
     return D.connected_components(emb.select("vec_id"), pairs, "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline: the flagship composition. Four
+# independent per-doc keep signals (quality rules, dedup-canonical,
+# decontamination, temperature sampling) intersected as left-semi joins,
+# then the survivors packed into training sequences. One declarative
+# plan: Catalyst sees the whole graph, so the documents scan is shared,
+# each signal's aggregation runs in parallel stages, and the final packs
+# are a single per-source window. Signals are computed over the FULL
+# corpus then intersected (signal independence — the standard production
+# shape, and what keeps each stage's semantics identical to its
+# standalone query above).
+# ---------------------------------------------------------------------------
+_PIPE_DEDUP_THRESHOLD = 0.2
+
+
+def _curation_pipeline_oracle() -> str:
+    quality = _quality_filter_oracle().strip()
+    assert quality.startswith("WITH ")
+    quality_ctes = quality[len("WITH ") :]
+    # strip the final SELECT: everything up to the last 'SELECT doc_id,'
+    cut = quality_ctes.rindex("SELECT doc_id,")
+    quality_ctes = quality_ctes[:cut].rstrip().rstrip(",")
+    jac = (
+        "CASE WHEN len(list_distinct(x.hs || y.hs)) > 0 "
+        "THEN CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / len(list_distinct(x.hs || y.hs)) "
+        "ELSE 0.0 END"
+    )
+    minhash_ctes = _SIG_CTE.replace("WITH ", "", 1).strip()
+    return f"""
+WITH RECURSIVE {quality_ctes},
+qkeep AS (
+  SELECT doc_id FROM j
+  WHERE NOT (n_words < 5 OR top_word_frac > 0.30 OR dup_bigram_frac > 0.30
+             OR punct_ratio > 0.30 OR mean_word_len > 12)
+),
+{minhash_ctes},
+bandkeys AS ({_band_sql(4)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+hs2 AS (SELECT doc_id, {_SHASH_SQL} AS hs FROM g),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand JOIN hs2 x ON x.doc_id = id_a JOIN hs2 y ON y.doc_id = id_b
+  WHERE {jac} >= {_PIPE_DEDUP_THRESHOLD}
+),
+bi AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT b.dst, w.lbl FROM walk w JOIN bi b ON b.src = w.id
+),
+canon AS (SELECT id AS doc_id FROM walk GROUP BY id HAVING MIN(lbl) = id),
+{_kgram_shingle_hashes_sql(_DECON_K)},
+bench AS (
+  SELECT DISTINCT unnest(hs) AS sh FROM hs_documents
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = '{_BENCH_SOURCE}')
+),
+overlap2 AS (
+  SELECT d.doc_id, COUNT(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(hs) AS sh FROM hs_documents) d
+  JOIN bench b ON d.sh = b.sh
+  GROUP BY d.doc_id
+),
+clean AS (
+  SELECT h.doc_id FROM hs_documents h
+  LEFT JOIN overlap2 o ON o.doc_id = h.doc_id
+  WHERE COALESCE(o.n_overlap, 0) = 0
+),
+counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+m AS (SELECT MIN(n) AS n_min FROM counts),
+tkeep AS (
+  SELECT d.doc_id
+  FROM documents d JOIN counts c ON c.source = d.source CROSS JOIN m
+  WHERE ({_TEMP_BUCKET_SQL}) * ({_TEMP_BUCKET_SQL}) * c.n < m.n_min * {_TEMP_B2}
+),
+survivors AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(regexp_extract_all(d.text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM qkeep)
+    AND d.doc_id IN (SELECT doc_id FROM canon)
+    AND d.doc_id IN (SELECT doc_id FROM clean)
+    AND d.doc_id IN (SELECT doc_id FROM tkeep)
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM survivors
+)
+SELECT doc_id, source, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST((cum - n_tokens) // {_BUDGET} AS BIGINT) AS seq_id
+FROM packed
+"""
+
+
+@register(
+    "curation_pipeline_documents",
+    oracle=_curation_pipeline_oracle(),
+    doc="end-to-end curation: quality rules AND dedup-canonical AND decontaminated AND temperature-sampled, survivors packed into 128-token sequences — one declarative plan, scan shared across all four signals",
+)
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    qkeep = C.quality_filter(docs).where(F.col("keep")).select("doc_id")
+    canon = (
+        D.dup_clusters(docs, threshold=_PIPE_DEDUP_THRESHOLD)
+        .where(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    bench = docs.where(F.col("source") == _BENCH_SOURCE)
+    clean = (
+        C.decontaminate(docs, bench, k=_DECON_K)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    tkeep = C.temperature_sample(docs).select("doc_id")
+    # narrow fact BEFORE the keep-set intersections: (doc_id, source,
+    # n_tokens) is ~24 bytes/row, so the four doc_id semi-join shuffles
+    # never carry document text
+    from github_etl_pipeline_spark.operators.text import token_count
+
+    narrow = docs.select("doc_id", "source", token_count("text").cast("long").alias("n_tokens"))
+    survivors = (
+        narrow.join(qkeep, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+        .join(clean, "doc_id", "left_semi")
+        .join(tkeep, "doc_id", "left_semi")
+    )
+    return C.pack_sequences(survivors, budget=_BUDGET, n_tokens_col="n_tokens")
