@@ -291,18 +291,23 @@ def connected_components(
     changes (checked with a cheap count per round, bounded by
     ``max_iterations``). Rounds needed = graph diameter — near-dup
     components are overwhelmingly small/star-shaped, so 2-4 rounds in
-    practice. Per round: one join edges->labels + one groupBy min — both
-    on the EDGE relation (pairs), never the corpus text. (At extreme
-    component sizes the classic large-star/small-star variant halves the
-    round count; the propagation join shape below is the same one it
-    would reuse.)"""
-    df = nodes
+    practice.
+
+    Scale shape: iteration runs ONLY over nodes incident to an edge —
+    near-dup graphs touch a small fraction of a corpus, so each round's
+    join + groupBy is proportional to the PAIR relation, never the
+    corpus; the full node set is visited exactly once, by the final
+    left join that fills in singletons. (At extreme component sizes the
+    classic large-star/small-star variant halves the round count; the
+    propagation join shape below is the same one it would reuse.)"""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .persist()
     )
-    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lbl")).persist()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id")).persist()
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["id"])
@@ -325,7 +330,14 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+    # singletons (nodes with no edge) carry their own id; one corpus-wide
+    # left join, outside the iteration
+    out = (
+        nodes.select(F.col(id_col))
+        .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+        .select(id_col, F.coalesce("lbl", F.col(id_col)).alias("cluster_id"))
+    )
+    return out
 
 
 def dup_clusters(
@@ -358,14 +370,24 @@ def embedding_dup_pairs(
     all-pairs, the small-data ORACLE path only (guarded by
     ``max_brute_rows``); ``embedding_dup_pairs_lsh`` is the registered
     scale path."""
-    from github_etl_pipeline_spark.operators.similarity import cosine_expr
+    from github_etl_pipeline_spark.operators.similarity import dot_expr, norm_expr
 
     _assert_brute_force_ok(emb, "embedding_dup_pairs", max_brute_rows)
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("_na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("_nb"),
+    )
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     return pairs.select(
-        "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cos")
+        "id_a",
+        "id_b",
+        (dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
     ).where(F.col("cos") >= threshold)
 
 
@@ -398,8 +420,9 @@ def embedding_dup_pairs_lsh(
     ``embedding_dup_pairs`` baseline there. Output (id_a, id_b)."""
     from github_etl_pipeline_spark.operators.similarity import (
         _hyperplanes,
-        cosine_expr,
+        dot_expr,
         lsh_band_keys,
+        norm_expr,
     )
 
     rows = n_planes // bands
@@ -413,11 +436,21 @@ def embedding_dup_pairs_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms once per VECTOR (in the per-side projections), not per
+    # candidate pair — bit-identical values, half the verify-stage work
+    va = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("_na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("_nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .where(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .where(dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")) >= threshold)
         .select("id_a", "id_b")
     )

@@ -62,11 +62,20 @@ def cosine_topk(
     Ranks only in the output — similarity values are float-summation
     sensitive across engines, ranks are not (ties broken by neighbor id).
     """
-    j = emb.crossJoin(F.broadcast(queries))
+    # norms once per vector/query, not per pair: cosine per pair is then
+    # one dot + one multiply — bit-identical to the inline form (the same
+    # doubles are multiplied), half the per-pair expression work
+    e = emb.select(F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("_ne"))
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col), norm_expr(F.col(query_vec_col)).alias("_nq")
+    )
+    j = e.crossJoin(F.broadcast(q))
     scored = j.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("_cos"),
+        (dot_expr(F.col(vec_col), F.col(query_vec_col)) / (F.col("_ne") * F.col("_nq"))).alias(
+            "_cos"
+        ),
     ).where(F.col(query_id_col) != F.col("neighbor_id"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -180,13 +189,29 @@ def ann_lsh_topk(
     )
     scored = (
         cand.join(
-            emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)), "neighbor_id"
+            emb.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col),
+                norm_expr(F.col(vec_col)).alias("_ne"),
+            ),
+            "neighbor_id",
         )
-        .join(F.broadcast(queries), query_id_col)
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col),
+                    F.col(query_vec_col),
+                    norm_expr(F.col(query_vec_col)).alias("_nq"),
+                )
+            ),
+            query_id_col,
+        )
         .select(
             F.col(query_id_col),
             F.col("neighbor_id"),
-            cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("_cos"),
+            (
+                dot_expr(F.col(vec_col), F.col(query_vec_col)) / (F.col("_ne") * F.col("_nq"))
+            ).alias("_cos"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
@@ -329,11 +354,13 @@ def ann_ivf_topk(
     cells = emb.select(
         F.col(id_col),
         F.col(vec_col),
+        norm_expr(F.col(vec_col)).alias("_ne"),
         F.element_at(assign_one(F.col(vec_col)), 1).alias("cell"),
     )
     qcells = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col),
+        norm_expr(F.col(query_vec_col)).alias("_nq"),
         F.explode(assign_probe(F.col(query_vec_col))).alias("cell"),
     )
     # each corpus vector lives in exactly one cell and a query's probe
@@ -345,7 +372,9 @@ def ann_ivf_topk(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine_expr(F.col(vec_col), F.col(query_vec_col)).alias("_cos"),
+        (
+            dot_expr(F.col(vec_col), F.col(query_vec_col)) / (F.col("_ne") * F.col("_nq"))
+        ).alias("_cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (
