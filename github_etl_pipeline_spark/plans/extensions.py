@@ -345,10 +345,57 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=5)
 
 
+def _ann_lsh_oracle(
+    k: int = 5, n_planes: int = 12, bands: int = 3, dim: int = 64
+) -> str:
+    """DuckDB mirror of ann_lsh_topk: identical deterministic hyperplanes
+    (md5-derived literals), identical band buckets, identical exact
+    rerank — queries are the vec_id < 5 subset of the corpus, so their
+    band keys come from the same bk relation."""
+    from github_etl_pipeline_spark.operators.similarity import _hyperplanes
+
+    rows = n_planes // bands
+    planes = _hyperplanes(dim, n_planes)
+    band_selects = []
+    for b in range(bands):
+        bits = []
+        for r in range(b * rows, b * rows + rows):
+            lits = ", ".join(repr(x) for x in planes[r])
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN '1' ELSE '0' END)"
+            )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, " + " || ".join(bits) + " AS bh FROM e"
+        )
+    union = " UNION ALL ".join(band_selects)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+bk AS ({union}),
+cand AS (
+  SELECT DISTINCT qb.query_id, a.vec_id AS neighbor_id
+  FROM bk a
+  JOIN (SELECT vec_id AS query_id, band, bh FROM bk WHERE vec_id < 5) qb
+    ON a.band = qb.band AND a.bh = qb.bh AND a.vec_id != qb.query_id
+),
+s AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(x.v, q.qv)
+           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM cand c JOIN e x ON x.vec_id = c.neighbor_id JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= {k}
+"""
+
+
 @register(
     "ann_topk_lsh",
-    oracle=None,  # Spark-specific bucketed plan; recall vs brute force measured in tests
-    doc="approximate top-k via random-hyperplane LSH banding + exact rerank (rows-only driver check)",
+    oracle=_ann_lsh_oracle(),
+    doc="approximate top-k via random-hyperplane LSH banding + exact rerank; oracle mirrors the banding and rerank exactly",
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -445,7 +492,12 @@ def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "ann_topk_ivf",
-    oracle=None,  # approximate by construction; recall vs brute force measured in tests
+    # rows-only BY NECESSITY (not laziness): the Lloyd centroid means are
+    # double sums whose partition-merge order Spark does not fix, so the
+    # refined centroids (and hence cell assignments near ties) are not
+    # bit-reproducible across engines the way every banding/rerank-only
+    # query is; recall vs brute force is measured in tests instead
+    oracle=None,
     doc="IVF approximate top-k: deterministic centroids, n_probe nearest cells per query, exact rerank (rows-only driver check)",
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
