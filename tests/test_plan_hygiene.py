@@ -1,0 +1,38 @@
+"""Registry-wide physical-plan hygiene: the scale contract, enforced.
+
+Every registered query's executed plan is checked for all-pairs join
+nodes. The single allowed BroadcastNestedLoopJoin is the declared exact
+ANN baseline (corpus x broadcast 5-row query set — linear in the corpus,
+not quadratic); everything else must be hash/sort-merge joins or
+aggregations. This is the EXPLAIN-level guarantee behind the operator
+docstrings' 100-TB claims.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from github_etl_pipeline_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# nested-loop joins that are LINEAR in the corpus, not quadratic:
+#   ann_topk_bruteforce — corpus x broadcast 5-row query set (the
+#     declared exact ANN verify baseline)
+#   top_terms_by_source — crossJoin of a broadcast SINGLE-ROW aggregate
+#     (the corpus doc count) onto the tf relation, i.e. a scalar attach
+ALLOWED_NESTED_LOOP = {"ann_topk_bruteforce", "top_terms_by_source"}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_all_pairs_join(name, spark):
+    plan = (
+        REGISTRY[name]
+        .builder(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in ALLOWED_NESTED_LOOP:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join in plan"
