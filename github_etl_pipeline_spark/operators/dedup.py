@@ -281,28 +281,39 @@ def connected_components(
     pairs: DataFrame,
     id_col: str,
     max_iterations: int = 20,
+    max_driver_pairs: int = 1_000_000,
 ) -> DataFrame:
     """Min-label propagation over an undirected pair graph: every node in
     ``nodes`` gets the minimum id reachable through ``pairs`` (columns
     id_a/id_b) as its ``cluster_id``; singletons carry their own id.
 
-    labels start as each node's own id; each round every node takes the
-    min of its own and its neighbors' labels; converged when no label
-    changes (checked with a cheap count per round, bounded by
-    ``max_iterations``). Rounds needed = graph diameter — near-dup
-    components are overwhelmingly small/star-shaped, so 2-4 rounds in
-    practice.
+    ADAPTIVE execution, decided by the runtime pair count (the same
+    move AQE makes with runtime shuffle stats):
 
-    Scale shape: iteration runs ONLY over nodes incident to an edge —
-    near-dup graphs touch a small fraction of a corpus, so each round's
-    join + groupBy is proportional to the PAIR relation, never the
-    corpus; the full node set is visited exactly once, by the final
-    left join that fills in singletons. (At extreme component sizes the
-    classic large-star/small-star variant halves the round count; the
-    propagation join shape below is the same one it would reuse.)"""
+      * pair relation <= ``max_driver_pairs`` (default 1M ~ 16 MB —
+        a BOUNDED collect, unlike collecting a corpus): union-find on
+        the driver, label map broadcast back, one corpus-wide left
+        join. Near-dup pair relations are tiny in practice, and the
+        distributed loop's per-round scheduling overhead dwarfs the
+        actual work there.
+      * larger: distributed min-label iteration over ONLY the nodes
+        incident to an edge — each round's join + groupBy is
+        proportional to the PAIR relation, never the corpus; rounds
+        needed = graph diameter (near-dup components are overwhelmingly
+        small/star-shaped, so 2-4 rounds). The full node set is visited
+        exactly once either way, by the final singleton-filling left
+        join. (At extreme component sizes the classic large-star/
+        small-star variant halves the round count; the propagation join
+        below is the same shape it would reuse.)"""
+    p = pairs.select("id_a", "id_b").persist()
+    n_pairs = p.count()
+    if n_pairs <= max_driver_pairs:
+        out = _components_driver(nodes, p, id_col)
+        p.unpersist()
+        return out
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .persist()
     )
     labels = (
@@ -330,6 +341,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    p.unpersist()
     # singletons (nodes with no edge) carry their own id; one corpus-wide
     # left join, outside the iteration
     out = (
@@ -338,6 +350,43 @@ def connected_components(
         .select(id_col, F.coalesce("lbl", F.col(id_col)).alias("cluster_id"))
     )
     return out
+
+
+def _components_driver(nodes: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Union-find over a driver-collected (bounded) pair list; the
+    resulting (node, min-id-of-component) map joins back broadcast."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while x != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    touched = set()
+    for r in pairs.collect():
+        a, b = r[0], r[1]
+        touched.add(a)
+        touched.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min id stays the root -> root IS cluster_id
+    mapping = [(x, find(x)) for x in touched]
+    id_type = nodes.schema[id_col].dataType
+    schema = StructType(
+        [StructField(id_col, id_type), StructField("cluster_id", id_type)]
+    )
+    lbl = nodes.sparkSession.createDataFrame(mapping, schema)
+    return (
+        nodes.select(F.col(id_col))
+        .join(F.broadcast(lbl), id_col, "left")
+        .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+    )
 
 
 def dup_clusters(

@@ -115,12 +115,23 @@ def test_temperature_sample_rates(spark):
 
 
 def test_connected_components_graph(spark):
-    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    # both execution paths must agree: driver union-find (default, small
+    # graph) and the distributed min-label loop (forced via
+    # max_driver_pairs=0); includes a 4-chain so the loop needs >1 round
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], "id long")
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        [(1, 2), (2, 3), (5, 6), (8, 7), (9, 8)], "id_a long, id_b long"
     )
-    got = {r.id: r.cluster_id for r in connected_components(nodes, pairs, "id").collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+    expect = {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 7, 9: 7}
+    got_driver = {
+        r.id: r.cluster_id for r in connected_components(nodes, pairs, "id").collect()
+    }
+    got_dist = {
+        r.id: r.cluster_id
+        for r in connected_components(nodes, pairs, "id", max_driver_pairs=0).collect()
+    }
+    assert got_driver == expect
+    assert got_dist == expect
 
 
 def test_no_cartesian_in_registered_curation_queries(spark):
