@@ -286,31 +286,57 @@ def _lloyd_refine(
     centroids: list[tuple[int, list[float]]],
     iterations: int,
 ) -> list[tuple[int, list[float]]]:
-    """1-2 Lloyd iterations reusing the IVF assignment expression: assign
-    every vector to its nearest centroid, recompute per-cell coordinate
-    means (posexplode -> groupBy(cell, pos) -> avg: shuffles only
-    n_centroids*dim aggregate rows), collect that tiny aggregate, rebuild.
-    Cosine assignment is scale-invariant, so unnormalized means give
-    spherical k-means semantics. Cells that lose all members keep their
-    previous centroid."""
+    """1-2 Lloyd iterations with assignment and partial mean-aggregation
+    FUSED into one ``mapInPandas`` pass: each partition emits at most
+    n_centroids (cell, count, sum-vector) rows, so an iteration is one
+    corpus scan with NO shuffle — the collected partials are bounded by
+    partitions x n_centroids and merge on the driver. (The previous
+    posexplode -> groupBy(cell, pos) shape shuffled corpus_rows x dim
+    skinny rows per iteration.) Cosine assignment is scale-invariant, so
+    unnormalized means give spherical k-means semantics; ties go to the
+    lower centroid id, matching ``_nearest_cells_udf``. Cells that lose
+    all members keep their previous centroid."""
+    import numpy as np
+
     dim = len(centroids[0][1]) if centroids else 0
     for _ in range(iterations):
-        assign = _nearest_cells_udf(centroids, 1)
-        assigned = emb.select(
-            F.col(vec_col).alias("_v"),
-            F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
-        )
-        rows = (
-            assigned.select("cell", F.posexplode("_v"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("col").alias("m"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
+        cids = [int(c) for c, _ in centroids]
+        cvecs = [list(map(float, v)) for _, v in centroids]
+
+        def partials(batches):
+            C = np.asarray(cvecs, dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0] = 1.0
+            sums = np.zeros((len(cvecs), C.shape[1]))
+            counts = np.zeros(len(cvecs), dtype=np.int64)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+                vn = np.linalg.norm(M, axis=1)
+                vn[vn == 0] = 1.0
+                S = (M @ C.T) / (vn[:, None] * cn[None, :])
+                a = np.argmax(S, axis=1)  # first max -> lower centroid id
+                np.add.at(sums, a, M)
+                np.add.at(counts, a, 1)
+            hit = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": [cids[i] for i in hit],
+                    "cnt": counts[hit],
+                    "s": [sums[i].tolist() for i in hit],
+                }
+            )
+
+        rows = emb.select(vec_col).mapInPandas(
+            partials, "cell int, cnt long, s array<double>"
+        ).collect()
+        acc: dict[int, tuple[int, np.ndarray]] = {}
         for r in rows:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = float(r["m"])
+            n0, s0 = acc.get(r["cell"], (0, np.zeros(dim)))
+            acc[r["cell"]] = (n0 + r["cnt"], s0 + np.asarray(r["s"]))
         centroids = [
-            (cid, [by_cell[cid][p] for p in range(dim)] if cid in by_cell else old)
+            (cid, (acc[cid][1] / acc[cid][0]).tolist() if cid in acc else old)
             for cid, old in centroids
         ]
     return centroids
