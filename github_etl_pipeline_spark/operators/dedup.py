@@ -82,6 +82,58 @@ def shingle_hashes(col: Column | str, k: int = 2) -> Column:
     )
 
 
+def ordered_shingle_hashes(col: Column | str, k: int = 2) -> Column:
+    """POSITIONAL word k-gram hash array (duplicates kept, document order
+    preserved) — the winnowing input, unlike the set-valued
+    ``shingle_hashes`` the MinHash path uses."""
+    toks = F.regexp_extract_all(F.col(col) if isinstance(col, str) else col, F.lit(TOKEN_RE), 0)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+    ).otherwise(
+        F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return F.transform(
+        grams, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document sketch (Schleimer, Wilkerson, Aiken — the MOSS
+    fingerprinting algorithm): slide a ``window`` over the positional
+    k-gram hash sequence, keep the minimum hash of each window, output
+    the distinct selected hashes. Guarantees every shared substring of
+    at least ``window + k - 1`` words produces a shared fingerprint, with
+    sketch density ~2/(window+1) — the standard local-fingerprint scheme
+    for partial-overlap detection, complementing MinHash (whole-doc
+    similarity) in the dedup toolbox.
+
+    Pure array expressions inside the scan (sequence -> slice ->
+    array_min -> array_distinct), then one explode; output
+    (doc_id, fingerprint) shuffles only 8-byte hashes. Matching ranges
+    across docs = an equi-join on fingerprint."""
+    h = ordered_shingle_hashes(text_col, k)
+    t = df.select(F.col(id_col), h.alias("_h"), F.size(h).alias("_n")).where(F.col("_n") > 0)
+    n_windows = F.greatest(F.col("_n") - window + 1, F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_min(F.slice(F.col("_h"), i + 1, window)),
+    )
+    return t.select(
+        id_col, F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 2
 ) -> DataFrame:

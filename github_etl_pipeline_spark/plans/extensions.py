@@ -264,6 +264,45 @@ def dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup: winnowing fingerprints (MOSS local sketches)
+# ---------------------------------------------------------------------------
+def _winnowing_oracle(k: int = 2, window: int = 4) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {k}
+              THEN list_transform(range(1, len(toks) - {k - 2}), i -> {" || ' ' || ".join(f"toks[i+{j}]" for j in range(k))})
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS grams
+  FROM t
+),
+h AS (
+  SELECT doc_id,
+         list_transform(grams, s -> CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)) AS hs
+  FROM g WHERE len(grams) > 0
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - {window} + 1, 1) + 1),
+           i -> list_min(hs[i : i + {window} - 1]))) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM w
+"""
+
+
+@register(
+    "winnowing_fingerprints_documents",
+    oracle=_winnowing_oracle(),
+    doc="winnowing (MOSS) local fingerprints: min-hash of each sliding window over the positional 2-gram hash sequence, distinct per doc — guarantees shared substrings >= window+k-1 words collide; array exprs in the scan, 8-byte hashes shuffled",
+)
+def winnowing_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.winnowing_fingerprints(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Dedup: SimHash (generated 48-bit bit-vote SQL on both sides)
 # ---------------------------------------------------------------------------
 def _simhash_oracle() -> str:

@@ -134,6 +134,28 @@ def test_connected_components_graph(spark):
     assert got_dist == expect
 
 
+def test_winnowing_guarantee(spark):
+    # winnowing guarantee: any shared word run of >= window + k - 1 = 5
+    # words produces at least one shared fingerprint
+    from github_etl_pipeline_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = _docs(
+        spark,
+        [
+            (1, f"unrelated prefix words {shared} and a suffix here", "s"),
+            (2, f"totally different opening {shared} closing run of text", "s"),
+            (3, "nothing in common with the others at all frankly", "s"),
+        ],
+    )
+    fps = winnowing_fingerprints(docs, k=2, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 5-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+
+
 def test_no_cartesian_in_registered_curation_queries(spark):
     # the scale contract: no curation query may carry an all-pairs join
     from github_etl_pipeline_spark.plans import REGISTRY
