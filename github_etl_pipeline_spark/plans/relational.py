@@ -537,3 +537,63 @@ def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# PIVOT (wide reshape) with EXPLICIT pivot values — at scale you never
+# let Spark run the extra distinct-values job or explode column count on
+# surprise keys; the fixed list keeps the plan a single two-phase agg
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_user_cohort_events",
+    oracle=f"""
+SELECT user_id % 10 AS cohort,
+       {', '.join(f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id % 10
+""",
+    doc="pivot to wide per-cohort event-type counts with explicit pivot values (no distinct-values pre-job, fixed output schema)",
+)
+def pivot_user_cohort_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    wide = (
+        e.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT as deduplicating set semantics
+# --------------------------------------------------------------------------
+@register(
+    "set_ops_users",
+    oracle="""
+SELECT 'both' AS relation, user_id FROM
+  (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+   INTERSECT
+   SELECT user_id FROM events WHERE event_type = 'error' AND value > 99)
+UNION ALL
+SELECT 'buyer_only' AS relation, user_id FROM
+  (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+   EXCEPT
+   SELECT user_id FROM events WHERE event_type = 'error' AND value > 99)
+""",
+    doc="INTERSECT / EXCEPT set semantics (big buyers with/without severe errors), tagged and unioned — subtract() is EXCEPT DISTINCT, intersect() is INTERSECT DISTINCT",
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    buyers = e.where((F.col("event_type") == "purchase") & (F.col("value") > 95)).select(
+        "user_id"
+    )
+    errs = e.where((F.col("event_type") == "error") & (F.col("value") > 99)).select("user_id")
+    both = buyers.intersect(errs).select(F.lit("both").alias("relation"), "user_id")
+    only = buyers.subtract(errs).select(F.lit("buyer_only").alias("relation"), "user_id")
+    return both.unionByName(only)
