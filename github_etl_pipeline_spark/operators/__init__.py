@@ -5,6 +5,36 @@ from github_etl_pipeline_spark.operators.classify import (
 )
 from github_etl_pipeline_spark.operators.kpis import pool_kpis, pool_distribution
 from github_etl_pipeline_spark.operators.rollup import aggregated_summary
+from github_etl_pipeline_spark.operators.dedup import (
+    connected_components,
+    dup_clusters,
+    embedding_dup_pairs_lsh,
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signature,
+    simhash,
+    simhash_pairs,
+    winnowing_fingerprints,
+)
+from github_etl_pipeline_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk,
+)
+from github_etl_pipeline_spark.operators.text import (
+    pii_profile,
+    repetition_profile,
+    text_profile,
+)
+from github_etl_pipeline_spark.operators.curation import (
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+    quality_filter,
+    temperature_sample,
+)
+from github_etl_pipeline_spark.operators.sampling import hash_sample, stratified_sample
+from github_etl_pipeline_spark.operators.multimodal import extract_features
 
 __all__ = [
     "tag_expr",
@@ -13,4 +43,27 @@ __all__ = [
     "pool_kpis",
     "pool_distribution",
     "aggregated_summary",
+    "connected_components",
+    "dup_clusters",
+    "embedding_dup_pairs_lsh",
+    "exact_dedup",
+    "minhash_dedup_pairs",
+    "minhash_signature",
+    "simhash",
+    "simhash_pairs",
+    "winnowing_fingerprints",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "cosine_topk",
+    "pii_profile",
+    "repetition_profile",
+    "text_profile",
+    "chunk_documents",
+    "decontaminate",
+    "pack_sequences",
+    "quality_filter",
+    "temperature_sample",
+    "hash_sample",
+    "stratified_sample",
+    "extract_features",
 ]
