@@ -133,3 +133,80 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def audio_window_plan(
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio analysis-window PLAN: (window_start_ms, window_end_ms) rows
+    per audio item at ``hop_ms`` stride — the STFT/feature-window fan-out
+    shape, decode left to the batch UDF. Windows start while there is at
+    least one ms of audio left; the final window may be short (clamped
+    end), mirroring ``curation.chunk_documents``'s token semantics."""
+    return (
+        media.where(F.col("kind") == "audio")
+        .where(F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0))
+        .select(
+            "media_id",
+            "format",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(hop_ms))
+            ).alias("window_start_ms"),
+            F.col("duration_ms"),
+        )
+        .select(
+            "media_id",
+            "format",
+            "window_start_ms",
+            F.least(
+                F.col("window_start_ms") + window_ms, F.col("duration_ms")
+            ).alias("window_end_ms"),
+        )
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("content", BinaryType(), True),
+        StructField("content_hash", StringType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas image resize with the decode/encode step stubbed
+    behind a deterministic fake (md5 of payload + target geometry stands
+    in for the resampled pixels — same contract as ``extract_features``):
+    the Spark-side shape is real — Arrow batches, one row per image,
+    binary out, geometry columns typed. Swap ``_fake_resize`` for a real
+    codec via the same closure seam."""
+    w, h = int(width), int(height)
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def _fake_resize(content):
+            if content is None:
+                return None
+            return hashlib.md5(bytes(content) + f":{w}x{h}".encode()).digest()
+
+        for pdf in batches:
+            out_content = pdf["content"].map(_fake_resize)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w,
+                    "height": h,
+                    "content": out_content,
+                    "content_hash": out_content.map(
+                        lambda c: hashlib.md5(c).hexdigest() if c is not None else None
+                    ),
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -530,6 +530,28 @@ def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "frame_sample_media",
+    oracle="""
+SELECT doc_id AS media_id, 'synthetic' AS format,
+       CAST(unnest(range(0, n_chars + 1, 100)) AS BIGINT) AS frame_ts_ms
+FROM documents
+""",
+    doc="multimodal frame-sampling fan-out: each video row explodes into its frame timestamps (sequence expression, JVM-side); per-frame decode stays in the batch UDF",
+)
+def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.multimodal import frame_sample_plan
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("synthetic").alias("format"),
+        F.col("n_chars").cast("long").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=100)
+
+
+@register(
     "ann_topk_ivf",
     # rows-only BY NECESSITY (not laziness): the Lloyd centroid means are
     # double sums whose partition-merge order Spark does not fix, so the
