@@ -35,6 +35,7 @@ from github_etl_pipeline_spark.operators.curation import (
 )
 from github_etl_pipeline_spark.operators.sampling import hash_sample, stratified_sample
 from github_etl_pipeline_spark.operators.multimodal import extract_features
+from github_etl_pipeline_spark.operators.joins import range_join
 
 __all__ = [
     "tag_expr",
@@ -66,4 +67,5 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "extract_features",
+    "range_join",
 ]

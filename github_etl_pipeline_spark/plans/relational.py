@@ -597,3 +597,47 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = buyers.intersect(errs).select(F.lit("both").alias("relation"), "user_id")
     only = buyers.subtract(errs).select(F.lit("buyer_only").alias("relation"), "user_id")
     return both.unionByName(only)
+
+
+# --------------------------------------------------------------------------
+# Range (interval-containment) join — bucketized into an equi-join, the
+# custom operator Spark lacks natively (see operators/joins.py)
+# --------------------------------------------------------------------------
+@register(
+    "range_join_clicks_after_error",
+    oracle="""
+WITH err AS (
+  SELECT user_id, event_id AS error_id, epoch_us(ts) AS win_start,
+         epoch_us(ts) + 86400000000 AS win_end
+  FROM events WHERE event_type = 'error'
+),
+clk AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS tsu
+  FROM events WHERE event_type = 'click'
+)
+SELECT err.user_id, error_id, click_id
+FROM err JOIN clk
+  ON err.user_id = clk.user_id AND clk.tsu >= err.win_start AND clk.tsu <= err.win_end
+""",
+    doc="range join: clicks within 24h after each error, same user — bucketized to a hash equi-join on (user, day-bucket) + exact verify (a naive condition join would plan BroadcastNestedLoopJoin)",
+)
+def range_join_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.joins import range_join
+
+    e = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    errors = e.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.floor(F.col("ts") / 1000).alias("win_start"),
+        (F.floor(F.col("ts") / 1000) + day_us).alias("win_end"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.floor(F.col("ts") / 1000).alias("tsu"),
+    )
+    return range_join(
+        clicks, errors, "tsu", "win_start", "win_end", keys=("user_id",),
+        bucket_width=day_us,
+    ).select("user_id", "error_id", "click_id")
