@@ -24,9 +24,11 @@ from github_etl_pipeline_spark.operators.similarity import (
 from github_etl_pipeline_spark.operators.text import (
     pii_profile,
     repetition_profile,
+    source_profile,
     text_profile,
 )
 from github_etl_pipeline_spark.operators.curation import (
+    boilerplate_ngrams,
     chunk_documents,
     decontaminate,
     pack_sequences,
@@ -58,7 +60,9 @@ __all__ = [
     "cosine_topk",
     "pii_profile",
     "repetition_profile",
+    "source_profile",
     "text_profile",
+    "boilerplate_ngrams",
     "chunk_documents",
     "decontaminate",
     "pack_sequences",

@@ -36,13 +36,54 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from github_etl_pipeline_spark.operators.dedup import shingle_hashes
+from github_etl_pipeline_spark.operators.dedup import shingle_hashes, shingles
 from github_etl_pipeline_spark.operators.sampling import BUCKETS, sample_bucket
 from github_etl_pipeline_spark.operators.text import (
     TOKEN_RE,
     quality_features,
     repetition_profile,
 )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_ratio: tuple[int, int] = (1, 20),
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate n-gram detection: word-bigram shingles whose DOCUMENT
+    frequency reaches ``min_doc_ratio`` (an exact num/den rational — no
+    float threshold boundary) of the corpus, and at least ``min_docs``
+    documents. The headers/footers/license-blurb signal a web-scale
+    curation run computes before span removal (C4/RefinedWeb-style).
+
+    Shape at 100 TB: per-doc DISTINCT shingles (so a doc voting many
+    times for its own repeated phrase still counts once) explode to
+    skinny (gram) rows, ONE map-side-combined groupBy(gram) counts
+    document frequency, and the corpus total joins in as a broadcast
+    single-row aggregate — text never shuffles. Output
+    (gram, doc_freq, doc_frac)."""
+    num, den = min_doc_ratio
+    grams = docs.select(F.explode(shingles(text_col)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # scalar attach: crossJoin of the broadcast SINGLE-ROW corpus total —
+    # a nested-loop over a 1-row build side, constant work per gram (a
+    # constant-key equi-join folds back to the same plan under Catalyst)
+    total = docs.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        # doc_freq/total >= num/den as an exact integer inequality
+        .where(
+            (F.col("doc_freq") * den >= F.col("_total") * num)
+            & (F.col("doc_freq") >= min_docs)
+        )
+        .select(
+            "gram",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("_total"), 6).alias("doc_frac"),
+        )
+    )
 
 
 def decontaminate(

@@ -130,6 +130,42 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def source_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source curation dashboard: volume, token mass, mean quality and
+    exact-dup rate for every source/domain — the first report a curation
+    run produces when deciding per-source mixture weights.
+
+    All per-document expressions (token count, quality score, content
+    fingerprint) evaluate map-side in the scan; the single shuffle
+    carries (source, partial-aggregate) rows. The quality mean goes
+    through an exact DECIMAL(18,4) sum (the score is 4dp by
+    construction) so the result is accumulation-order independent —
+    a plain double sum would drift in the last ulp across partitionings.
+    Dup rate uses the 48-bit content fingerprint (two-phase distinct
+    aggregate), not the text."""
+    per_doc = df.select(
+        F.col(source_col),
+        token_count(text_col).cast("long").alias("_nt"),
+        quality_score(text_col).cast("decimal(18,4)").alias("_q"),
+        fingerprint(text_col).alias("_fp"),
+    )
+    n = F.count(F.lit(1))
+    nd = F.countDistinct("_fp")
+    return per_doc.groupBy(source_col).agg(
+        n.alias("n_docs"),
+        F.sum("_nt").alias("total_tokens"),
+        F.round(F.sum("_nt") / n, 6).alias("avg_tokens"),
+        F.round(F.sum("_q").cast("double") / n, 6).alias("avg_quality"),
+        nd.alias("n_distinct"),
+        F.round(F.lit(1.0) - nd / n, 6).alias("dup_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repetition signals (Gopher-style quality filters) and PII profiling
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ from github_etl_pipeline_spark.plans.extensions import (
     _emb,
     _hyperplane_pairs_ctes,
     _SHASH_SQL,
+    _SHINGLES_SQL,
     _SIG_CTE,
 )
 from github_etl_pipeline_spark.plans.registry import register
@@ -84,6 +85,35 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     bench = docs.where(F.col("source") == _BENCH_SOURCE)
     return C.decontaminate(docs, bench, k=_DECON_K, min_overlap=1)
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection: word bigrams present in >= 1/20 of docs
+# (exact integer rule: doc_freq * 20 >= total * 1, plus doc_freq >= 2)
+# ---------------------------------------------------------------------------
+_BP_NUM, _BP_DEN, _BP_MIN_DOCS = 1, 20, 2
+
+
+@register(
+    "boilerplate_ngrams_documents",
+    oracle=f"""
+WITH g AS ({_SHINGLES_SQL}),
+e AS (SELECT unnest(sh) AS gram FROM g),
+c AS (SELECT gram, COUNT(*) AS doc_freq FROM e GROUP BY 1),
+t AS (SELECT COUNT(*) AS total FROM documents)
+SELECT gram, doc_freq,
+       round(CAST(doc_freq AS DOUBLE) / total, 6) AS doc_frac
+FROM c CROSS JOIN t
+WHERE doc_freq * {_BP_DEN} >= total * {_BP_NUM} AND doc_freq >= {_BP_MIN_DOCS}
+""",
+    doc=f"boilerplate detection: word bigrams in >= {_BP_NUM}/{_BP_DEN} of documents (exact integer threshold); per-doc distinct shingles -> one groupBy(gram) doc-frequency count, corpus total broadcast",
+)
+def boilerplate_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.boilerplate_ngrams(
+        _docs(spark, sf_dir),
+        min_doc_ratio=(_BP_NUM, _BP_DEN),
+        min_docs=_BP_MIN_DOCS,
+    )
 
 
 # ---------------------------------------------------------------------------

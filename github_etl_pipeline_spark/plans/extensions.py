@@ -129,6 +129,44 @@ def text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(_docs(spark, sf_dir))
 
 
+@register(
+    "source_profile_documents",
+    oracle=f"""
+WITH f AS (
+  SELECT source,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+         len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+         len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct,
+         len(regexp_extract_all(lower(text), '{STOPWORDS["en"]}')) AS s_en,
+         CAST(('0x' || substr(md5({_NORM_SQL}), 1, 12)) AS BIGINT) AS fp
+  FROM documents
+),
+q AS (
+  SELECT source, n_tokens, fp,
+    round(0.25 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END)
+        + 0.25 * least(CASE WHEN n_tokens > 0 THEN CAST(n_words AS DOUBLE)/n_tokens ELSE 0.0 END, 1.0)
+        + 0.25 * (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(s_en AS DOUBLE)/n_tokens ELSE 0.0 END) > 0.02 THEN 1.0 ELSE 0.5 END)
+        + 0.25 * (CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) > 0.2 THEN 0.5 ELSE 1.0 END), 4) AS q
+  FROM f
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+  round(CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+  COUNT(DISTINCT fp) AS n_distinct,
+  round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+FROM q GROUP BY source
+""",
+    doc="per-source curation dashboard: volume, token mass, order-independent decimal-summed mean quality, fingerprint dup rate — one map-side-combined shuffle of (source, partials)",
+)
+def source_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.text import source_profile
+
+    return source_profile(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Dedup: exact
 # ---------------------------------------------------------------------------

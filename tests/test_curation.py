@@ -205,3 +205,45 @@ def test_audio_window_plan_clamps_tail(spark):
     assert [(r.window_start_ms, r.window_end_ms) for r in got] == [
         (0, 1000), (500, 1500), (1000, 2000), (1500, 2300), (2000, 2300),
     ]
+
+
+def test_boilerplate_ngrams_planted(spark):
+    from github_etl_pipeline_spark.operators.curation import boilerplate_ngrams
+
+    docs = _docs(
+        spark,
+        [
+            # 'all rights reserved' -> bigrams shared by 3/4 docs
+            (1, "all rights reserved alpha beta", "web"),
+            (2, "gamma delta all rights reserved", "web"),
+            (3, "all rights reserved", "web"),
+            # repeats its own bigram many times: distinct-per-doc must
+            # count it ONCE, so it stays under the 2-doc floor
+            (4, "spam spam spam spam spam", "web"),
+        ],
+    )
+    got = {r.gram: r for r in boilerplate_ngrams(docs, min_doc_ratio=(1, 2)).collect()}
+    assert got["all rights"].doc_freq == 3
+    assert got["rights reserved"].doc_freq == 3
+    assert abs(got["all rights"].doc_frac - 0.75) < 1e-9
+    assert "spam spam" not in got  # 1 doc < min_docs floor and < 1/2 ratio
+    assert "alpha beta" not in got  # doc_freq 1
+
+
+def test_source_profile_dup_ratio(spark):
+    from github_etl_pipeline_spark.operators.text import source_profile
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox", "a"),
+            (2, "THE  QUICK  BROWN  FOX", "a"),  # same normalized content
+            (3, "something else entirely", "a"),
+            (4, "lone document here", "b"),
+        ],
+    )
+    got = {r.source: r for r in source_profile(docs).collect()}
+    assert got["a"].n_docs == 3 and got["a"].n_distinct == 2
+    assert abs(got["a"].dup_ratio - (1 - 2 / 3)) < 1e-6
+    assert got["a"].total_tokens == 4 + 4 + 3
+    assert got["b"].n_docs == 1 and got["b"].dup_ratio == 0.0

@@ -21,7 +21,13 @@ SF_DIR = "/root/testdata/sf0.001"
 #     declared exact ANN verify baseline)
 #   top_terms_by_source — crossJoin of a broadcast SINGLE-ROW aggregate
 #     (the corpus doc count) onto the tf relation, i.e. a scalar attach
-ALLOWED_NESTED_LOOP = {"ann_topk_bruteforce", "top_terms_by_source"}
+#   boilerplate_ngrams_documents — same scalar attach: the 1-row corpus
+#     total broadcast onto the gram doc-frequency relation
+ALLOWED_NESTED_LOOP = {
+    "ann_topk_bruteforce",
+    "top_terms_by_source",
+    "boilerplate_ngrams_documents",
+}
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
