@@ -231,7 +231,12 @@ def _sample_centroids(
     itself is never collected (at 100 TB the previous whole-table collect
     was a guaranteed driver OOM — VERDICT r1 item 1)."""
     n = emb.count()
-    step = max(1, n // max(1, n_centroids))
+    # oversample 2x: with step = n/n_centroids the expected hit count
+    # EQUALS n_centroids, so the binomial undershoots (and triggers the
+    # fallback scan) about half the time; halving the step makes the
+    # expected hits 2*n_centroids and the undershoot probability ~1e-4,
+    # while limit() still bounds the collect to n_centroids rows
+    step = max(1, n // max(1, 2 * n_centroids))
     picked = (
         emb.select(id_col, vec_col)
         .where(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(step)) == 0)
