@@ -641,3 +641,66 @@ def range_join_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame
         clicks, errors, "tsu", "win_start", "win_end", keys=("user_id",),
         bucket_width=day_us,
     ).select("user_id", "error_id", "click_id")
+
+
+# --------------------------------------------------------------------------
+# SQL entry path: the same engine through spark.sql over registered views
+# (every other query builds DataFrames; these two prove the declarative
+# SQL surface plans identically — multi-join analytics with broadcast
+# dims, pushed-down filters, and decimal-exact revenue sums). The Spark
+# and DuckDB statements differ ONLY in the date-format function name.
+# --------------------------------------------------------------------------
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       {date_fmt} AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=_Q3_SQL.format(date_fmt="strftime(o_orderdate, '%Y-%m-%d')"),
+    doc="TPC-H Q3 shape via the spark.sql entry path: 3-way join, pushed-down segment/date filters, decimal-exact revenue, deterministic top-10 tie-break",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q3_SQL.format(date_fmt="date_format(o_orderdate, 'yyyy-MM-dd')"))
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle=_Q5_SQL,
+    doc="TPC-H Q5 shape via spark.sql: 6-way join with broadcast dim chain (region->nation->supplier), local-supplier co-nation predicate, decimal-exact revenue per nation",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)
