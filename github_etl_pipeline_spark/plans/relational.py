@@ -704,3 +704,51 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q5_SQL)
+
+
+# --------------------------------------------------------------------------
+# Window-function analytics breadth: ranking, quartile bucketing, frame-
+# bounded moving average, and lag delta in ONE pass — three window specs
+# over the same partitioning key, so Spark plans a single shuffle on
+# user_id and evaluates all four functions inside the sort-based window
+# operators (no per-function re-shuffle).
+# --------------------------------------------------------------------------
+@register(
+    "window_analytics_events",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+  rank()    OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+  ntile(4)  OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS quartile,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / (COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS moving_avg3,
+  round(value - COALESCE(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), value), 2) AS delta_prev
+FROM p
+""",
+    doc="window analytics in one pass: rank + ntile(4) by value, 3-row moving average (decimal-exact frame sum), lag delta — one user_id shuffle serves all four window functions",
+)
+def window_analytics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w_val = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ts3 = w_ts.rowsBetween(-2, 0)
+    mov = F.sum(_dec("value")).over(w_ts3).cast("double") / F.count(F.lit(1)).over(w_ts3)
+    return p.select(
+        "user_id",
+        "event_id",
+        F.rank().over(w_val).alias("value_rank"),
+        F.ntile(4).over(w_val).alias("quartile"),
+        mov.alias("moving_avg3"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w_ts), F.col("value")), 2
+        ).alias("delta_prev"),
+    )
