@@ -36,6 +36,12 @@ from github_etl_pipeline_spark.operators.curation import (
     temperature_sample,
 )
 from github_etl_pipeline_spark.operators.sampling import hash_sample, stratified_sample
+from github_etl_pipeline_spark.operators.sketches import (
+    cms_estimate,
+    cms_sketch,
+    hll_estimate,
+    hll_registers,
+)
 from github_etl_pipeline_spark.operators.multimodal import extract_features
 from github_etl_pipeline_spark.operators.joins import range_join
 
@@ -70,6 +76,10 @@ __all__ = [
     "temperature_sample",
     "hash_sample",
     "stratified_sample",
+    "cms_estimate",
+    "cms_sketch",
+    "hll_estimate",
+    "hll_registers",
     "extract_features",
     "range_join",
 ]

@@ -1,0 +1,135 @@
+"""Bounded-size sketch operators: count-min (frequency) and HyperLogLog
+(cardinality) — the summaries a 100-TB engine ships to a driver or a
+downstream store instead of exact per-key state.
+
+Scale shape: both sketches are ONE map-side-combined aggregate whose
+result size is a constant (depth x width counters / ``buckets``
+registers) regardless of input rows, so the shuffle carries at most
+one partial sketch per task — never keys. Merging partial sketches is
+the same SUM/MAX aggregate, which is exactly what Spark's partial+final
+hash aggregation already does.
+
+Determinism: hashes are md5-derived (functions/hashing.py) and every
+output is an INTEGER (counters, bucket ids, registers), so the DuckDB
+oracles reproduce results bit-for-bit — unlike engine-native
+approx_count_distinct / stat.countMinSketch whose internals differ per
+engine. The float-valued HLL *estimate* is intentionally computed
+driver-side from the 64-register table (``hll_estimate``), keeping the
+registered query outputs exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.functions.hashing import portable_hash32
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+HLL_BUCKETS = 64
+
+
+def _key(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string")
+
+
+def _cms_keys_expr(key: Column, depth: int, width: int) -> Column:
+    """array<struct<row,bucket>>: the ``depth`` (row, md5-bucket) pairs
+    for one key — seeds 'cms{i}:' make the rows independent hashes."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (portable_hash32(F.concat(F.lit(f"cms{i}:"), key)) % width).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch of the key column: (row, bucket, cnt) with at most
+    ``depth * width`` rows, built by one exploded groupBy — the partial
+    aggregation collapses each task's contribution to sketch size before
+    the shuffle."""
+    e = df.select(F.explode(_cms_keys_expr(_key(key_col), depth, width)).alias("rb"))
+    return (
+        e.select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each key: est = min over the ``depth``
+    rows of the key's bucket counter (the classic CMS upper bound —
+    never under the true count). The sketch is at most depth*width rows,
+    so it joins BROADCAST against any number of query keys."""
+    kh = keys.select(
+        _key(key_col).alias("user_key"),
+        F.explode(_cms_keys_expr(_key(key_col), depth, width)).alias("rb"),
+    ).select("user_key", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        kh.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("user_key")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, buckets: int = HLL_BUCKETS
+) -> DataFrame:
+    """HyperLogLog register table: (bucket, register) with exactly
+    ``buckets`` rows — bucket = low bits of the 32-bit md5 hash,
+    register = 1-based position of the highest set bit in the remaining
+    field (field width + 1 when the field is zero). MAX-aggregated, so
+    duplicate keys cannot move any register: the sketch depends only on
+    the distinct key set."""
+    if buckets & (buckets - 1):
+        raise ValueError(f"buckets must be a power of two (got {buckets})")
+    bits = buckets.bit_length() - 1
+    field = 32 - bits
+    h = portable_hash32(_key(key_col))
+    rest = F.shiftright(h, bits)
+    register = (
+        F.when(rest == 0, F.lit(field + 1))
+        .otherwise(F.lit(field + 1) - F.length(F.bin(rest)))
+        .cast("long")
+    )
+    return (
+        df.select((h % buckets).alias("bucket"), register.alias("_r"))
+        .groupBy("bucket")
+        .agg(F.max("_r").alias("register"))
+    )
+
+
+def hll_estimate(registers: dict[int, int], buckets: int = HLL_BUCKETS) -> float:
+    """Driver-side HLL cardinality estimate from a collected register
+    table (missing buckets count as register 0). Standard bias-corrected
+    harmonic mean with the small-range linear-counting correction —
+    float math stays OUT of the distributed/oracle-checked path."""
+    import math
+
+    m = buckets
+    regs = [registers.get(b, 0) for b in range(m)]
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    raw = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return raw

@@ -788,3 +788,62 @@ def props_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches: count-min frequency estimates and HyperLogLog registers —
+# constant-size summaries with ALL-INTEGER outputs, so the oracles are
+# exact (see operators/sketches.py for the scale story).
+# ---------------------------------------------------------------------------
+_CMS_HASH = "CAST(('0x' || substr(md5('cms' || row || ':' || k), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "cms_user_purchase_counts",
+    oracle=f"""
+WITH src AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE event_type = 'purchase'),
+d AS (SELECT unnest(range(0, 4)) AS row),
+e AS (SELECT row, {_CMS_HASH} % 256 AS bucket FROM src CROSS JOIN d),
+sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM e GROUP BY 1, 2),
+keys AS (SELECT k, COUNT(*) AS exact_count FROM src GROUP BY k),
+kh AS (SELECT k, row, {_CMS_HASH} % 256 AS bucket FROM keys CROSS JOIN d),
+est AS (SELECT k, MIN(cnt) AS est_count FROM kh JOIN sketch USING (row, bucket) GROUP BY k)
+SELECT keys.k AS user_key, est.est_count, keys.exact_count
+FROM keys JOIN est ON est.k = keys.k
+""",
+    doc="count-min sketch (4x256, md5-derived): per-user purchase-count estimates joined against exact counts — the sketch is a constant-size map-side-combined aggregate, broadcast for point queries; est >= exact by construction",
+)
+def cms_user_purchase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sketches import cms_estimate, cms_sketch
+
+    src = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id")
+    )
+    sketch = cms_sketch(src, "user_id")
+    exact = src.groupBy(F.col("user_id").cast("string").alias("user_key")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    est = cms_estimate(sketch, src.distinct(), "user_id")
+    return exact.join(est, "user_key").select("user_key", "est_count", "exact_count")
+
+
+@register(
+    "hll_registers_events",
+    oracle="""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+  FROM events
+),
+r AS (SELECT hv % 64 AS bucket, hv // 64 AS rest FROM h)
+SELECT bucket,
+       MAX(CASE WHEN rest = 0 THEN 27 ELSE 27 - length(bin(rest)) END) AS register
+FROM r GROUP BY bucket
+""",
+    doc="HyperLogLog register table (64 buckets, md5-derived): constant-size distinct-count summary via one MAX-combined aggregate; the float estimate stays driver-side (hll_estimate) so the query output is exact integers",
+)
+def hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sketches import hll_registers
+
+    return hll_registers(read_table(spark, sf_dir, "events"), "user_id")
