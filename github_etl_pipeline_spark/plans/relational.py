@@ -752,3 +752,49 @@ def window_analytics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value") - F.coalesce(F.lag("value").over(w_ts), F.col("value")), 2
         ).alias("delta_prev"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style continuous aggregate: the daily rollup is computed
+# FROM the hourly aggregate, not from raw events — the multi-resolution
+# reuse pattern (TimescaleDB continuous aggregates, druid rollup). At
+# 100 TB the hourly relation is ~events/3600 rows, so the second
+# aggregation is near-free and the raw scan happens exactly once.
+# Integer-micros time math on both engines (events ts is parquet NANOS:
+# Spark reads nanos-as-long, DuckDB truncates to micros).
+# --------------------------------------------------------------------------
+@register(
+    "hypertable_rollup_events",
+    oracle="""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY 1
+)
+SELECT hour_bucket // 24 AS day_bucket,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       COUNT(*) AS n_active_hours,
+       CAST(SUM(v) AS DOUBLE) AS total_value
+FROM hourly GROUP BY 1
+""",
+    doc="hypertable rollup: daily continuous aggregate re-aggregated FROM the hourly aggregate (decimal-exact partial sums compose), raw events scanned once — integer-micros buckets on both engines",
+)
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.floor(F.floor(F.col("ts") / 1000) / 3_600_000_000).alias("hour_bucket"),
+            _dec("value").alias("_v"),
+        )
+        .groupBy("hour_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_v").alias("v"))
+    )
+    return (
+        hourly.groupBy(F.floor(F.col("hour_bucket") / 24).alias("day_bucket"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
