@@ -520,6 +520,36 @@ def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Stream-stream interval join (unified batch/streaming; the streaming
+# run carries watermarks on BOTH sides so join state is bounded)
+# --------------------------------------------------------------------------
+@register(
+    "stream_join_click_purchase",
+    oracle="""
+WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS tsu
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, event_id, epoch_us(ts) AS tsu
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id AS user_id, c.event_id AS left_id, p.event_id AS right_id,
+       c.tsu AS left_us, p.tsu AS right_us,
+       (p.tsu - c.tsu) // 1000 AS delay_ms
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.tsu >= c.tsu AND p.tsu <= c.tsu + 1800000000
+""",
+    doc="stream-stream interval join: purchases within 30min of a click, per user (watermark-bounded state when streaming)",
+)
+def stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.streaming.windows import interval_join_streams
+
+    ev = _t(spark, sf_dir, "events")
+    return interval_join_streams(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
 # CUBE subtotals (full grouping-set lattice)
 # --------------------------------------------------------------------------
 @register(

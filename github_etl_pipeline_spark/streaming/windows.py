@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 # event-time column is integer NANOS since epoch (see sources/tables.py);
 # convert to a real timestamp for window()/watermark semantics
 def _event_time(col: str = "ts") -> F.Column:
-    return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+    # integral DIV, not double division: ts/1000 as a double rounds
+    # half-up at ~1.7e15 magnitude, while DuckDB's nanos->micros read
+    # TRUNCATES — a 1-us skew that cross-engine-exact outputs (e.g. the
+    # stream-stream join's left_us/right_us) would expose
+    return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
 
 
 def windowed_event_counts(
@@ -137,6 +141,65 @@ def sessionize_stateful(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    within_ms: int = 30 * 60 * 1000,
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    time_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join: right-side events
+    within ``[left_ts, left_ts + within_ms]`` for the same key.
+
+    The canonical Structured Streaming join shape: both sides carry a
+    watermark and the join condition carries the event-time range, which
+    together bound the state store — a left row can be evicted once the
+    right watermark passes ``left_ts + within_ms`` (and vice versa), so
+    state is O(key-rate x window), never O(stream). Inner joins emit
+    eagerly as matches arrive, so under ``Trigger.AvailableNow`` the
+    output equals the batch join exactly (tested). On batch inputs the
+    watermarks are skipped and Catalyst plans a plain range-condition
+    equi-join.
+
+    Output: (key, left_id, right_id, left_us, right_us, delay_ms) — all
+    integers, cross-engine hash-stable.
+    """
+    l = left.select(
+        F.col(key_col),
+        F.col(id_col).alias("left_id"),
+        _event_time(time_col).alias("_lt"),
+    )
+    r = right.select(
+        F.col(key_col).alias("_rkey"),
+        F.col(id_col).alias("right_id"),
+        _event_time(time_col).alias("_rt"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("_lt", left_watermark)
+    if r.isStreaming:
+        r = r.withWatermark("_rt", right_watermark)
+    j = l.join(
+        r,
+        (F.col(key_col) == F.col("_rkey"))
+        & (F.col("_rt") >= F.col("_lt"))
+        & (F.col("_rt") <= F.col("_lt") + F.expr(f"INTERVAL {int(within_ms)} MILLISECONDS")),
+        "inner",
+    )
+    lus = F.unix_micros(F.col("_lt"))
+    rus = F.unix_micros(F.col("_rt"))
+    return j.select(
+        F.col(key_col),
+        "left_id",
+        "right_id",
+        lus.alias("left_us"),
+        rus.alias("right_us"),
+        ((rus - lus) / F.lit(1000)).cast("long").alias("delay_ms"),
     )
 
 

@@ -161,6 +161,46 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert all(c == 1 for c in all_counts), got
 
 
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream inner interval join under availableNow must emit
+    exactly the batch join's rows (inner joins emit eagerly; no
+    watermark-held output)."""
+    from github_etl_pipeline_spark.streaming.windows import interval_join_streams
+
+    batch_events = read_table(spark, SF, "events")
+    expect = {
+        (r.user_id, r.left_id, r.right_id, r.delay_ms)
+        for r in interval_join_streams(
+            batch_events.where(F.col("event_type") == "click"),
+            batch_events.where(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert expect, "batch join produced no rows — fixture too sparse"
+
+    # two independent streaming readers over the same staged directory
+    left = _stream_events(spark, tmp_path).where(F.col("event_type") == "click")
+    right = (
+        spark.readStream.schema(batch_events.schema)
+        .parquet(str(tmp_path / "events_stream"))
+        .where(F.col("event_type") == "purchase")
+    )
+    q = (
+        interval_join_streams(left, right)
+        .writeStream.format("memory")
+        .queryName("sjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.left_id, r.right_id, r.delay_ms)
+        for r in spark.sql("SELECT * FROM sjoin").collect()
+    }
+    assert got == expect
+
+
 def test_dedup_stream_bounded_state(spark, tmp_path):
     from github_etl_pipeline_spark.streaming.windows import dedup_stream
 
