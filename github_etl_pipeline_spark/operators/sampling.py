@@ -57,3 +57,34 @@ def stratified_sample(
             _c(strata_col) == key, F.lit(int(round(rates[key] * BUCKETS)))
         ).otherwise(threshold)
     return df.where(sample_bucket(id_col, seed) < threshold)
+
+
+def exact_k_per_stratum(
+    df: DataFrame,
+    k: int = 10,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = SAMPLE_SEED,
+) -> DataFrame:
+    """Exactly-k deterministic sample per stratum (distributed reservoir
+    sampling with a portable coin): rank each stratum's rows by their md5
+    sample bucket (ties by id) and keep the k smallest.
+
+    Rate-based sampling (``stratified_sample``) can't promise exact
+    cardinality; eval sets and per-source audits need exactly k. The
+    ``row_number() <= k`` filter is rewritten by Spark's
+    InferWindowGroupLimit into a per-partition partial top-k BEFORE the
+    stratum shuffle, so each map task forwards at most k rows per
+    stratum — the window never materializes a full stratum even when one
+    source dominates the corpus (the plan test asserts WindowGroupLimit
+    is present). Re-runs, engines, and retries select identical rows.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_bucket(id_col, seed).asc(), _c(id_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

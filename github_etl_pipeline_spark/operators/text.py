@@ -253,3 +253,50 @@ def pii_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
         F.md5(redact_pii(t)).alias("redacted_hash"),
     )
+
+
+def build_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_v: int = 100,
+    token_re: str = TOKEN_RE,
+) -> DataFrame:
+    """Corpus vocabulary: global token counts with a min-count floor and
+    a top-V cutoff, plus each kept token's share of the total token
+    stream — the tokenizer-training / vocab-pruning step of a text
+    pipeline.
+
+    Shape: explode -> one (token) hash aggregate (map-side partials
+    collapse each partition's token stream to its distinct-token counts
+    before the shuffle) -> broadcast total -> rank. The total token
+    count is a SEPARATE sum of per-doc ``size()`` — one cheap scan with
+    no explode/shuffle, instead of re-aggregating the token stream. The
+    final ranking is ``row_number`` over (count desc, token asc) with a
+    ``rank <= V`` filter, which Spark's limit-through-window pushdown
+    plans as ``TakeOrderedAndProject(limit=V)`` — partial per-partition
+    top-V, so no node ever sorts the full vocabulary. Output: (rank,
+    term, cnt, pct_of_tokens).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(F.regexp_extract_all(text_col, F.lit(token_re), 0)).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.select(
+        F.size(F.regexp_extract_all(text_col, F.lit(token_re), 0)).alias("n")
+    ).agg(F.sum("n").alias("tot"))
+    kept = counts.where(F.col("cnt") >= min_count)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_v)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "term",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("tot").cast("double") * 100).alias(
+                "pct_of_tokens"
+            ),
+        )
+    )

@@ -448,3 +448,39 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tkeep, "doc_id", "left_semi")
     )
     return C.pack_sequences(survivors, budget=_BUDGET, n_tokens_col="n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Exactly-k per-stratum deterministic sample (distributed reservoir
+# sampling with a portable md5 coin)
+# ---------------------------------------------------------------------------
+def _exact_k_oracle() -> str:
+    from github_etl_pipeline_spark.operators.sampling import BUCKETS, SAMPLE_SEED
+
+    return f"""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {BUCKETS} AS bkt
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY bkt ASC, doc_id ASC) AS sample_rank
+  FROM b
+)
+SELECT source, sample_rank, doc_id FROM r WHERE sample_rank <= 10
+"""
+
+
+@register(
+    "exact_k_sample_documents",
+    oracle=_exact_k_oracle(),
+    doc="exactly-k (k=10) deterministic sample per source: md5-bucket ranking = distributed reservoir sampling; WindowGroupLimit keeps per-map state at k rows per stratum",
+)
+def exact_k_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sampling import exact_k_per_stratum
+
+    return exact_k_per_stratum(read_table(spark, sf_dir, "documents"), k=10).select(
+        "source", "sample_rank", "doc_id"
+    )

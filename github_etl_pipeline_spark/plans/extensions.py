@@ -847,3 +847,30 @@ def hll_registers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.operators.sketches import hll_registers
 
     return hll_registers(read_table(spark, sf_dir, "events"), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build: global token counts, min-count floor, top-V cutoff
+# ---------------------------------------------------------------------------
+@register(
+    "vocabulary_documents",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS term FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM counts),
+ranked AS (
+  SELECT term, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM counts WHERE cnt >= 5
+)
+SELECT rank, term, cnt,
+       CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) * 100 AS pct_of_tokens
+FROM ranked CROSS JOIN total WHERE rank <= 100
+""",
+    doc="vocabulary build: global token counts with min-count floor and top-V cutoff + share of total token stream; InferWindowGroupLimit turns the rank filter into partial per-partition top-V",
+)
+def vocabulary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.text import build_vocabulary
+
+    return build_vocabulary(_docs(spark, sf_dir))

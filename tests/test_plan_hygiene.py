@@ -23,11 +23,37 @@ SF_DIR = "/root/testdata/sf0.001"
 #     (the corpus doc count) onto the tf relation, i.e. a scalar attach
 #   boilerplate_ngrams_documents — same scalar attach: the 1-row corpus
 #     total broadcast onto the gram doc-frequency relation
+#   vocabulary_documents — 1-row total-token-count broadcast attached
+#     onto the top-V vocab relation
 ALLOWED_NESTED_LOOP = {
     "ann_topk_bruteforce",
     "top_terms_by_source",
     "boilerplate_ngrams_documents",
+    "vocabulary_documents",
 }
+
+
+def test_topk_windows_are_group_limited(spark):
+    """The rank<=k filters must reach the plan as partial top-k — either
+    WindowGroupLimit (partitioned window) or TakeOrderedAndProject
+    (global window via limit-through-window pushdown) — so no task ever
+    buffers a full stratum/vocabulary."""
+    plan = (
+        REGISTRY["exact_k_sample_documents"]
+        .builder(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    plan = (
+        REGISTRY["vocabulary_documents"]
+        .builder(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
