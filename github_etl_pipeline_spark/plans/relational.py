@@ -828,3 +828,107 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double").alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill + forward fill: a day scaffold generated from the
+# data's own bounds, left-joined onto the daily aggregate, missing days
+# zero-filled and the last observed value carried forward. Spark has no
+# native gap-fill; sequence() + explode IS the scale shape (scaffold
+# cardinality = days x keys, linear; here global, per-key variants
+# partition the window by key). The forward-fill window runs over the
+# AGGREGATE (days), never the raw events.
+# --------------------------------------------------------------------------
+@register(
+    "gapfill_daily_purchases",
+    oracle="""
+WITH p AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+b AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM p),
+s AS (SELECT unnest(generate_series(dmin, dmax)) AS day FROM b),
+j AS (
+  SELECT s.day, COALESCE(p.cnt, 0) AS n_purchases,
+         COALESCE(p.rev, 0.0) AS revenue, p.rev AS rev_raw
+  FROM s LEFT JOIN p USING (day)
+)
+SELECT day, day * 86400000000 AS day_us, n_purchases, revenue,
+       COALESCE(LAST_VALUE(rev_raw IGNORE NULLS) OVER (
+         ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+         AS ffill_revenue
+FROM j
+""",
+    doc="time-series gap fill: day scaffold from data bounds (sequence+explode), zero-fill gaps, forward-fill last observed revenue — windows run over the daily aggregate, not raw events",
+)
+def gapfill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            F.expr("(ts DIV 1000) DIV 86400000000").alias("day"),
+            _dec("value").alias("_v"),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("_v").cast("double").alias("rev"))
+    )
+    bounds = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    scaffold = bounds.select(F.explode(F.sequence("dmin", "dmax")).alias("day"))
+    j = scaffold.join(daily, "day", "left")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        "day",
+        (F.col("day") * 86400000000).alias("day_us"),
+        F.coalesce("cnt", F.lit(0)).alias("n_purchases"),
+        F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+        F.coalesce(F.last("rev", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "ffill_revenue"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER reconciliation: which nations have negative-balance
+# customers but no negative-balance suppliers, and vice versa. Completes
+# the join-type matrix (inner/left/semi/anti/range/as-of/stream-stream
+# elsewhere); coalesced keys + zero-filled counts are the standard
+# reconciliation shape.
+# --------------------------------------------------------------------------
+@register(
+    "full_outer_nation_balance",
+    oracle="""
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS neg_customers
+  FROM customer WHERE c_acctbal < 0 GROUP BY 1
+),
+s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS neg_suppliers
+  FROM supplier WHERE s_acctbal < 0 GROUP BY 1
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(c.neg_customers, 0) AS neg_customers,
+       COALESCE(s.neg_suppliers, 0) AS neg_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+    doc="full outer join reconciliation of negative-balance customers vs suppliers per nation (coalesced keys, zero-filled counts)",
+)
+def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") < 0)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("neg_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("neg_suppliers"))
+    )
+    j = c.join(s, c["nk_c"] == s["nk_s"], "full_outer")
+    return j.select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("neg_customers", F.lit(0)).alias("neg_customers"),
+        F.coalesce("neg_suppliers", F.lit(0)).alias("neg_suppliers"),
+    )
