@@ -11,7 +11,10 @@ rows) and reports its rows/sec — the apples-to-apples number against
 BASELINE.md's ~1.72M rows/s single-node transform throughput.
 
 Queries execute via the `noop` sink: full execution, no driver collect,
-no output I/O — measures the engine, not the materialization.
+no output I/O — measures the engine, not the materialization. Per-query
+time is the MIN over $SPARK_GRAFT_BENCH_REPS executions (default 2,
+disclosed as "reps" in the JSON); the pool-ETL cold number is always
+single-shot so the baseline comparison keeps its one-shot semantics.
 """
 
 from __future__ import annotations
@@ -61,15 +64,25 @@ def main() -> None:
     for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
         rdd.unpersist()
 
+    # per-query time = MIN over $SPARK_GRAFT_BENCH_REPS executions
+    # (default 2): one-shot timings swing up to 2x under transient host
+    # contention, and min-of-reps is the standard steady-state report.
+    # The rep count is disclosed in the output JSON; the pool-ETL COLD
+    # number below stays strictly single-shot (it's the baseline
+    # comparison and includes page-cache + codegen cost by design).
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
-        t0 = time.perf_counter()
-        _run(spec.builder(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # builders may persist small intermediates (e.g. the pool
-        # distribution); drop them so queries don't pollute each other
-        for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
-            rdd.unpersist()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _run(spec.builder(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+            # builders may persist small intermediates (e.g. the pool
+            # distribution); drop them so queries don't pollute each other
+            for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+                rdd.unpersist()
+        timings[name] = round(best, 3)
 
     extras: dict[str, float] = {}
     ref_root = "/root/reference"
@@ -108,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
                 **extras,
             }
         )

@@ -932,3 +932,59 @@ def full_outer_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("neg_customers", F.lit(0)).alias("neg_customers"),
         F.coalesce("neg_suppliers", F.lit(0)).alias("neg_suppliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-key gap fill: each user's own [first_day, last_day] scaffold,
+# zero-filled activity and days-since-last-activity. The partitioned
+# sibling of gapfill_daily_purchases: scaffold cardinality is
+# sum_of_lifespans (linear in keys x days), windows partition by user
+# over day-cardinality aggregates — the shape that holds when keys
+# number in the billions.
+# --------------------------------------------------------------------------
+@register(
+    "gapfill_user_activity",
+    oracle="""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT user_id, MIN(day) AS dmin, MAX(day) AS dmax FROM d GROUP BY 1),
+s AS (SELECT user_id, unnest(generate_series(dmin, dmax)) AS day FROM b),
+j AS (
+  SELECT s.user_id, s.day, d.cnt,
+         LAST_VALUE(CASE WHEN d.cnt IS NOT NULL THEN s.day END IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_active
+  FROM s LEFT JOIN d ON d.user_id = s.user_id AND d.day = s.day
+)
+SELECT user_id, day, COALESCE(cnt, 0) AS n_events,
+       CAST(day - last_active AS BIGINT) AS days_since_activity
+FROM j
+""",
+    doc="per-key gap fill: per-user day scaffolds (sequence over per-user bounds), zero-filled counts + days-since-last-activity via a user-partitioned forward-fill window",
+)
+def gapfill_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    d = (
+        e.select("user_id", F.expr("(ts DIV 1000) DIV 86400000000").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    b = d.groupBy("user_id").agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    s = b.select("user_id", F.explode(F.sequence("dmin", "dmax")).alias("day"))
+    j = s.join(d, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_active = F.last(
+        F.when(F.col("cnt").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(w)
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("cnt", F.lit(0)).alias("n_events"),
+        (F.col("day") - last_active).cast("long").alias("days_since_activity"),
+    )
