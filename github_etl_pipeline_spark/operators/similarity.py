@@ -413,3 +413,49 @@ def ann_ivf_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id")
     )
+
+
+def group_centroids(
+    emb: DataFrame, group_col: str, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Element-wise mean vector per group as ``dim`` independent AVG
+    aggregates in ONE groupBy — map-side combined, no explode: the
+    shuffle carries one (group, dim doubles) row per partition per
+    group, never corpus_rows x dim skinny rows. Output (group, centroid
+    array<double>)."""
+    sums = emb.groupBy(group_col).agg(
+        *[
+            F.avg(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(f"_c{i}")
+            for i in range(dim)
+        ]
+    )
+    return sums.select(
+        group_col, F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid")
+    )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """SemDeDup-style outlier scoring: each vector's cosine to its
+    group's centroid, bottom-``k`` per group (the candidates to prune or
+    audit in a training-data pipeline). The centroid relation is
+    group-cardinality — broadcast back; ranks only in the output
+    (float-sum-order safe). Output (group, rank, id)."""
+    cent = group_centroids(emb, group_col, vec_col, dim)
+    j = emb.join(F.broadcast(cent), group_col)
+    cos = dot_expr(F.col(vec_col), F.col("centroid")) / (
+        norm_expr(F.col(vec_col)) * norm_expr(F.col("centroid"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("_cos").asc(), F.col(id_col).asc())
+    return (
+        j.select(group_col, F.col(id_col), cos.alias("_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(group_col, "rank", id_col)
+    )

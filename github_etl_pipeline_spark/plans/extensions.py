@@ -874,3 +874,79 @@ def vocabulary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.operators.text import build_vocabulary
 
     return build_vocabulary(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Embedding curation: centroid-distance outliers (SemDeDup-style audit)
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_centroid_outliers",
+    oracle="""
+WITH u AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM u),
+c AS (SELECT label, pos, AVG(val) AS a FROM x GROUP BY 1, 2),
+cent AS (SELECT label, list(a ORDER BY pos) AS cv FROM c GROUP BY 1),
+s AS (
+  SELECT u.label, u.vec_id,
+         list_dot_product(u.v, c.cv)
+           / (sqrt(list_dot_product(u.v, u.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+  FROM u JOIN cent c USING (label)
+)
+SELECT label, rank, vec_id FROM (
+  SELECT label, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos ASC, vec_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+""",
+    doc="SemDeDup-style centroid-distance outliers: per-label mean vector as dim map-side-combined AVG aggregates (no explode), broadcast back, bottom-5 cosine per label (ranks only — float-sum-order safe)",
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.centroid_outliers(_emb(spark, sf_dir), group_col="label", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality outliers (CCNet-style LM-filter proxy)
+# ---------------------------------------------------------------------------
+@register(
+    "unigram_logprob_outliers",
+    oracle=f"""
+WITH t AS (SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS tok FROM documents),
+v AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS s FROM v),
+d AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, AVG(ln(CAST(c AS DOUBLE) / s)) AS lp
+  FROM t JOIN v USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, rank FROM (
+  SELECT doc_id, n_tokens, ROW_NUMBER() OVER (ORDER BY lp ASC, doc_id ASC) AS rank
+  FROM d
+) WHERE rank <= 20
+""",
+    doc="unigram-LM quality proxy (CCNet-style): corpus unigram model -> per-doc mean token log-prob -> bottom-20 'most surprising' docs; TakeOrdered top-k then a 20-row rank window (ranks only — libm/sum-order safe)",
+)
+def unigram_logprob_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("tok"),
+    )
+    v = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = v.agg(F.sum("c").cast("double").alias("s"))
+    d = (
+        toks.join(v, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("c").cast("double") / F.col("s"))).alias("lp"),
+        )
+    )
+    # global bottom-20 via TakeOrdered (no full sort), then the rank
+    # window runs on 20 rows only
+    top = d.orderBy(F.col("lp").asc(), F.col("doc_id").asc()).limit(20)
+    w = Window.orderBy(F.col("lp").asc(), F.col("doc_id").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "n_tokens", "rank")
+    )

@@ -988,3 +988,169 @@ def gapfill_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cnt", F.lit(0)).alias("n_events"),
         (F.col("day") - last_active).cast("long").alias("days_since_activity"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape (large-volume customer): HAVING-filtered aggregate
+# drives the join order — lineitem aggregates ONCE (map-side combined),
+# the tiny >threshold key set joins orders, and customer attaches as a
+# broadcast dim. At 100 TB the only corpus-sized shuffle is the
+# l_orderkey aggregation; everything after runs on the filtered few rows.
+# --------------------------------------------------------------------------
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, order_date, o_orderkey
+LIMIT 100
+""",
+    doc="TPC-H Q18 shape: HAVING-filtered lineitem aggregate -> orders join -> broadcast customer dim; one corpus shuffle, then tiny-relation joins",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .where(F.col("_q") > 300)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "order_date", "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality expectations: the constraint checks a production pipeline
+# runs before publishing a table (uniqueness, referential integrity,
+# ranges, domains, nulls), as ONE declarative plan — column checks fuse
+# into a single scan-aggregate; the RI check is a broadcast anti-join
+# whose violation count unions in. Output one row per check, all-integer
+# (exact across engines).
+# --------------------------------------------------------------------------
+@register(
+    "dq_expectations_orders",
+    oracle="""
+SELECT 'o_orderkey_unique' AS check_name,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'o_totalprice_nonnegative',
+       CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate_in_range',
+       CAST(COALESCE(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                               OR o_orderdate >= TIMESTAMP '1999-01-01'
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus_in_domain',
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                               OR o_orderstatus IS NULL
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_custkey_not_null',
+       CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_custkey_in_customer',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+""",
+    doc="data-quality expectations: uniqueness / range / domain / null checks fused into one scan-aggregate + a broadcast anti-join RI check, unioned as (check_name, n_violations)",
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def cnt(cond):
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long")
+
+    scan_checks = o.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+        .cast("long")
+        .alias("o_orderkey_unique"),
+        cnt(F.col("o_totalprice") < 0).alias("o_totalprice_nonnegative"),
+        cnt(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        ).alias("o_orderdate_in_range"),
+        cnt(
+            ~F.col("o_orderstatus").isin("O", "F", "P")
+            | F.col("o_orderstatus").isNull()
+        ).alias("o_orderstatus_in_domain"),
+        cnt(F.col("o_custkey").isNull()).alias("o_custkey_not_null"),
+    )
+    long_form = scan_checks.selectExpr(
+        "stack(5, "
+        "'o_orderkey_unique', o_orderkey_unique, "
+        "'o_totalprice_nonnegative', o_totalprice_nonnegative, "
+        "'o_orderdate_in_range', o_orderdate_in_range, "
+        "'o_orderstatus_in_domain', o_orderstatus_in_domain, "
+        "'o_custkey_not_null', o_custkey_not_null) "
+        "AS (check_name, n_violations)"
+    )
+    ri = (
+        o.where(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(F.lit("o_custkey_in_customer").alias("check_name"), "n_violations")
+    )
+    return long_form.unionByName(ri)
+
+
+# --------------------------------------------------------------------------
+# Skew profile: the diagnostic you run BEFORE picking a join strategy —
+# top heavy-hitter keys with their share of the fact table. One
+# map-side-combined aggregate over the key, global top-k via
+# TakeOrdered (no full sort), total attached as a broadcast 1-row
+# relation so share needs no second scan.
+# --------------------------------------------------------------------------
+@register(
+    "skew_profile_orders",
+    oracle="""
+WITH k AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM k)
+SELECT o_custkey, n_orders, round(CAST(n_orders AS DOUBLE) / total, 6) AS share
+FROM k, t
+ORDER BY n_orders DESC, o_custkey
+LIMIT 10
+""",
+    doc="skew diagnostic: per-key heavy-hitter counts + share of table, one aggregate + TakeOrdered top-k (no global sort), broadcast total",
+)
+def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = k.agg(F.sum("n_orders").cast("long").alias("total"))
+    top = k.orderBy(F.col("n_orders").desc(), "o_custkey").limit(10)
+    return top.crossJoin(F.broadcast(total)).select(
+        "o_custkey",
+        "n_orders",
+        F.round(F.col("n_orders").cast("double") / F.col("total"), 6).alias("share"),
+    )

@@ -1,0 +1,71 @@
+"""Small-files compaction sink — the table-maintenance operation a
+100-TB parquet lake needs continuously (the reference never needs it:
+its output is one JSON document — this is part of the beyond-reference
+scale surface, SURVEY §8).
+
+Streaming ingestion and fine-grained upserts leave parquet tables as
+thousands of KB-sized files; every downstream scan then pays one task +
+one footer read per file, and data skipping degrades to nothing because
+each file's min/max spans the whole key range. ``compact_parquet``
+rewrites a directory into ~``target_rows_per_file``-sized files
+RANGE-PARTITIONED and SORTED on the caller's key columns:
+
+  * ``repartitionByRange(n, keys)`` gives non-overlapping key ranges
+    ACROSS files, so a point/range predicate on the sort key prunes to
+    one file (parquet row-group min/max stats do the rest within it);
+  * ``sortWithinPartitions`` makes row-group stats tight WITHIN a file;
+  * ``maxRecordsPerFile`` caps stragglers from range skew.
+
+The rewrite is one wide job: a range-exchange (sampled boundaries, AQE
+coalesces empty buckets) + local sort — no driver materialization at any
+size. The swap is the same staging-dir rename the upsert sink uses:
+last-writer-wins snapshot semantics, not ACID (documented there).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_parquet(
+    spark: SparkSession,
+    input_dir: str | Path,
+    output_dir: str | Path,
+    sort_cols: list[str],
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Rewrite ``input_dir`` (parquet) into ``output_dir`` as
+    range-partitioned, key-sorted files of ~``target_rows_per_file``
+    rows. Returns {"rows", "files_before", "files_after"}.
+
+    ``sort_cols`` should be the columns downstream scans filter on most
+    — they become the cross-file range-pruning key.
+    """
+    if not sort_cols:
+        raise ValueError("compact_parquet requires at least one sort column")
+    input_dir, output_dir = Path(input_dir), Path(output_dir)
+    df = spark.read.parquet(str(input_dir))
+
+    files_before = len(list(input_dir.glob("*.parquet")))
+    rows = df.count()
+    n_files = max(1, -(-rows // target_rows_per_file))  # ceil
+
+    staging = output_dir.with_name(output_dir.name + ".staging")
+    if staging.exists():
+        shutil.rmtree(staging)
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .mode("overwrite")
+        .parquet(str(staging))
+    )
+    if output_dir.exists():
+        shutil.rmtree(output_dir)
+    staging.rename(output_dir)
+    files_after = len(list(output_dir.glob("*.parquet")))
+    return {"rows": rows, "files_before": files_before, "files_after": files_after}
