@@ -148,9 +148,11 @@ def chunk_documents(
         raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
     stride = chunk_tokens - overlap
     toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
-    t = docs.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")).where(
-        F.col("_n") > 0
-    )
+    # no early size>0 filter: Catalyst would push it below the fan-out
+    # exchange and re-run the tokenize serially in the scan stage (see
+    # winnowing_fingerprints); zero-token docs yield one empty chunk,
+    # dropped by the cheap post-explode filter instead
+    t = docs.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
     # python-range semantics: starts = range(0, max(n - overlap, 1), stride)
     stop = F.greatest(F.col("_n") - overlap, F.lit(1))
     n_chunks = F.floor((stop + (stride - 1)) / stride).cast("int")
@@ -165,7 +167,7 @@ def chunk_documents(
         "chunk_id",
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
-    )
+    ).where(F.col("n_chunk_tokens") > 0)
 
 
 def pack_sequences(

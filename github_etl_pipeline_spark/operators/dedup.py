@@ -121,16 +121,23 @@ def winnowing_fingerprints(
     Pure array expressions inside the scan (sequence -> slice ->
     array_min -> array_distinct), then one explode; output
     (doc_id, fingerprint) shuffles only 8-byte hashes. Matching ranges
-    across docs = an equi-join on fingerprint."""
+    across docs = an equi-join on fingerprint.
+
+    Empty docs are dropped by a null filter AFTER the explode (an empty
+    hash array yields a single NULL min), NOT by an early ``size > 0``
+    filter: Catalyst pushes such a filter below the fan-out exchange,
+    re-evaluating the whole tokenize+md5 chain serially inside the scan
+    stage — measured 5x slower on a single-file scan."""
     h = ordered_shingle_hashes(text_col, k)
-    t = df.select(F.col(id_col), h.alias("_h"), F.size(h).alias("_n")).where(F.col("_n") > 0)
+    t = df.select(F.col(id_col), h.alias("_h"), F.size(h).alias("_n"))
     n_windows = F.greatest(F.col("_n") - window + 1, F.lit(1))
     mins = F.transform(
         F.sequence(F.lit(0), n_windows - 1),
         lambda i: F.array_min(F.slice(F.col("_h"), i + 1, window)),
     )
-    return t.select(
-        id_col, F.explode(F.array_distinct(mins)).alias("fingerprint")
+    return (
+        t.select(id_col, F.explode(F.array_distinct(mins)).alias("fingerprint"))
+        .where(F.col("fingerprint").isNotNull())
     )
 
 
@@ -474,15 +481,18 @@ def embedding_dup_pairs(
     from github_etl_pipeline_spark.operators.similarity import dot_expr, norm_expr
 
     _assert_brute_force_ok(emb, "embedding_dup_pairs", max_brute_rows)
+    # coalesce makes the norm provably non-null, so the >= threshold
+    # filter's inferred isnotnull constraint folds to TRUE instead of
+    # re-evaluating the whole norm aggregate inside the scan stage
     a = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        norm_expr(F.col(vec_col)).alias("_na"),
+        F.coalesce(norm_expr(F.col(vec_col)), F.lit(0.0)).alias("_na"),
     )
     b = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        norm_expr(F.col(vec_col)).alias("_nb"),
+        F.coalesce(norm_expr(F.col(vec_col)), F.lit(0.0)).alias("_nb"),
     )
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     return pairs.select(
@@ -538,16 +548,19 @@ def embedding_dup_pairs_lsh(
         .dropDuplicates(["id_a", "id_b"])
     )
     # norms once per VECTOR (in the per-side projections), not per
-    # candidate pair — bit-identical values, half the verify-stage work
+    # candidate pair — bit-identical values, half the verify-stage work.
+    # coalesce blocks the inferred isnotnull(norm) constraint from
+    # pushing the whole norm aggregate into the scan stage (it folds to
+    # TRUE instead): measured as the norm evaluating TWICE per row
     va = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
-        norm_expr(F.col(vec_col)).alias("_na"),
+        F.coalesce(norm_expr(F.col(vec_col)), F.lit(0.0)).alias("_na"),
     )
     vb = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
-        norm_expr(F.col(vec_col)).alias("_nb"),
+        F.coalesce(norm_expr(F.col(vec_col)), F.lit(0.0)).alias("_nb"),
     )
     return (
         cand.join(va, "id_a")
