@@ -25,11 +25,17 @@ SF_DIR = "/root/testdata/sf0.001"
 #     total broadcast onto the gram doc-frequency relation
 #   vocabulary_documents — 1-row total-token-count broadcast attached
 #     onto the top-V vocab relation
+#   skew_profile_orders — 1-row table-total broadcast onto the top-10
+#     heavy-hitter relation
+#   unigram_logprob_outliers — 1-row corpus-token-total broadcast onto
+#     the unigram vocab relation
 ALLOWED_NESTED_LOOP = {
     "ann_topk_bruteforce",
     "top_terms_by_source",
     "boilerplate_ngrams_documents",
     "vocabulary_documents",
+    "skew_profile_orders",
+    "unigram_logprob_outliers",
 }
 
 
@@ -68,3 +74,49 @@ def test_no_all_pairs_join(name, spark):
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     if name not in ALLOWED_NESTED_LOOP:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join in plan"
+
+
+# queries whose SEMANTICS are a scan-stage filter over a derived
+# expression — the pushdown is the point (prunes rows before any
+# exchange), not an accident:
+#   stratified_sample_documents / exact_k_sample_documents /
+#   temperature_sample_documents — the deterministic md5-coin IS the
+#     sampling predicate
+#   decontaminate_documents, curation_pipeline_documents — the
+#     benchmark-source prefilter + quality rules ARE row pruning (at
+#     fleet scale the scan stage is parallel, so filtering there is
+#     strictly better than after a shuffle)
+ALLOWED_HEAVY_SCAN_FILTER = {
+    "stratified_sample_documents",
+    "exact_k_sample_documents",
+    "temperature_sample_documents",
+    "decontaminate_documents",
+    "curation_pipeline_documents",
+    "quality_filter_documents",
+}
+
+_HEAVY_FILTER = __import__("re").compile(
+    r"DataFilters: \[[^\]]*(regexp_extract_all|md5\(|transform\(|aggregate\(|zip_with)"
+)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_heavy_expression_in_scan_filter(name, spark):
+    """No ACCIDENTALLY duplicated heavy expression (tokenize / md5 /
+    higher-order array fold) in a scan's DataFilters: Catalyst pushes
+    filters on derived columns below the fan-out exchange, re-running
+    the expensive chain serially in the (locally single-partition) scan
+    stage AND again in the post-exchange project — the winnowing query
+    was 5x slower for it. Queries whose sampling/pruning predicate is
+    genuinely scan-stage are allow-listed."""
+    if name in ALLOWED_HEAVY_SCAN_FILTER:
+        pytest.skip("scan-stage predicate is the query's semantics")
+    plan = (
+        REGISTRY[name]
+        .builder(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = _HEAVY_FILTER.search(plan)
+    assert not m, f"{name}: heavy expression in scan DataFilters ({m.group(1)})"
