@@ -20,6 +20,15 @@ pipeline needs on event streams:
 Scale notes: watermark bounds state size (late rows beyond it are
 dropped); state-store shuffles are keyed by user — skewed users would
 need salting at the keyBy (same lever as batch).
+
+Spark 4's ``transformWithStateInPandas`` (the arbitrary-state successor
+with ValueState/ListState/MapState + timers) is the natural upgrade for
+these operators, but its driver<->worker state protocol needs the
+``google.protobuf`` runtime, which this environment lacks (verified:
+the TWS driver worker crashes on ``ImportError: cannot import name
+'descriptor'``). ``applyInPandasWithState`` has no such dependency and
+expresses the same per-key state machines, so it is the supported path
+here; the operators' semantics port 1:1 when TWS is available.
 """
 
 from __future__ import annotations

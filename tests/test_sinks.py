@@ -105,3 +105,42 @@ def test_merge_into_upserts_and_is_idempotent(spark, tmp_path):
     merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]))
     again = {r.source_file: r.rtp for r in spark.read.parquet(str(table)).collect()}
     assert again == got
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """A new column appearing in updates must not break the upsert:
+    existing rows carry NULL for it (parquet schema evolution), updated/
+    inserted rows carry the value — the Delta MERGE schema-evolution
+    semantics the emulation mirrors."""
+    path = tmp_path / "tbl"
+    v1 = spark.createDataFrame(
+        [("a.pol", 1.0), ("b.pol", 2.0)], "source_file string, rtp double"
+    )
+    upsert_parquet(spark, v1, path)
+    v2 = spark.createDataFrame(
+        [("b.pol", 2.5, 60.0), ("c.pol", 3.0, 70.0)],
+        "source_file string, rtp double, hit_frequency double",
+    )
+    upsert_parquet(spark, v2, path)
+    got = {
+        r["source_file"]: (r["rtp"], r["hit_frequency"])
+        for r in spark.read.parquet(str(path)).collect()
+    }
+    assert got == {"a.pol": (1.0, None), "b.pol": (2.5, 60.0), "c.pol": (3.0, 70.0)}
+
+
+def test_upsert_schema_narrowing(spark, tmp_path):
+    """Updates MISSING a column the table has must also merge (their
+    rows get NULL for it) — allowMissingColumns covers both directions."""
+    path = tmp_path / "tbl2"
+    v1 = spark.createDataFrame(
+        [("a.pol", 1.0, 50.0)], "source_file string, rtp double, hit_frequency double"
+    )
+    upsert_parquet(spark, v1, path)
+    v2 = spark.createDataFrame([("b.pol", 2.0)], "source_file string, rtp double")
+    upsert_parquet(spark, v2, path)
+    got = {
+        r["source_file"]: (r["rtp"], r["hit_frequency"])
+        for r in spark.read.parquet(str(path)).collect()
+    }
+    assert got == {"a.pol": (1.0, 50.0), "b.pol": (2.0, None)}

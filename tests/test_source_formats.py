@@ -56,3 +56,23 @@ def test_csv_malformed_rows_are_permissive(spark, tmp_path):
     rows = {(r.a, r.b) for r in df.collect()}
     assert (1, 2) in rows and (4, 5) in rows
     assert any(r.a is None for r in df.collect())
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC is the other columnar format Spark supports natively; the
+    engine's queries are format-agnostic behind spark.read — verify an
+    ORC copy of a table produces identical aggregates."""
+    from github_etl_pipeline_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, SF, "orders")
+    orders.write.mode("overwrite").orc(str(tmp_path / "orders_orc"))
+    back = spark.read.orc(str(tmp_path / "orders_orc"))
+    assert back.schema == orders.schema
+    a = orders.agg(
+        F.count(F.lit(1)), F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()
+    b = back.agg(
+        F.count(F.lit(1)), F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()
+    assert a == b
