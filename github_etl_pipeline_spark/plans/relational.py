@@ -1154,3 +1154,79 @@ def skew_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("n_orders").cast("double") / F.col("total"), 6).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7 shape (volume shipping): the ONE SQL string runs on both
+# engines via the spark.sql entry path. Two broadcast nation dims with a
+# symmetric two-nation OR predicate, year extraction as a group key,
+# decimal-exact revenue. The only corpus-sized shuffle is the final
+# (supp_nation, cust_nation, year) aggregate; supplier/customer/nation
+# attach broadcast, and the shipdate range prunes at the scan.
+# --------------------------------------------------------------------------
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l.l_discount AS DECIMAL(8,2)) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=_Q7_SQL,
+    doc="TPC-H Q7 shape via spark.sql: 6-way join, symmetric two-nation OR predicate over broadcast nation dims, pushed-down shipdate range, decimal-exact revenue by (supp_nation, cust_nation, year)",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape (discounted revenue, disjunctive brackets): three
+# OR'd predicate brackets spanning BOTH join sides (brand/size from
+# part, quantity from lineitem). The join is a broadcast hash join on
+# l_partkey; the l_quantity <= 48 bound — common to all brackets — is
+# what reaches the lineitem scan, and the per-bracket residual evaluates
+# post-join. Exercises disjunctive filter extraction without a
+# nested-loop fallback.
+# --------------------------------------------------------------------------
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1  AND l_quantity <= 11)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 48)
+"""
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle=_Q19_SQL,
+    doc="TPC-H Q19 shape via spark.sql: disjunctive predicate brackets spanning both join sides over a broadcast part join — no nested-loop fallback, decimal-exact revenue",
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
