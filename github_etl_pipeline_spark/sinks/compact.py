@@ -53,6 +53,12 @@ def compact_parquet(
     files_before = len(list(input_dir.glob("*.parquet")))
     rows = df.count()
     n_files = max(1, -(-rows // target_rows_per_file))  # ceil
+    # straggler cap with 50% slack over the per-partition target: the
+    # range exchange picks boundaries from a SAMPLE, so partitions land
+    # near rows/n_files, not exactly on it — a cap at the target itself
+    # would split a 1%-over partition into (target + tiny-remainder)
+    # files, defeating the compaction
+    per_file_cap = max(1, int(target_rows_per_file * 1.5))
 
     staging = output_dir.with_name(output_dir.name + ".staging")
     if staging.exists():
@@ -60,7 +66,7 @@ def compact_parquet(
     (
         df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
         .sortWithinPartitions(*sort_cols)
-        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .write.option("maxRecordsPerFile", per_file_cap)
         .mode("overwrite")
         .parquet(str(staging))
     )
