@@ -1230,3 +1230,231 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q19_SQL)
+
+
+# --------------------------------------------------------------------------
+# TPC-H breadth block (round 2): the remaining canonical query SHAPES the
+# suite had not yet exercised — correlated scalar subqueries (Q2/Q17),
+# correlated EXISTS/NOT EXISTS (Q4/Q21/Q22), pure pushed-down scan
+# aggregate (Q6), outer-join count distributions (Q13), conditional
+# aggregate shares (Q14), anti-join distinct counting (Q16), and nested
+# aggregate dominance (Q20 emulated without partsupp). All run through
+# the spark.sql entry path with the IDENTICAL statement as the DuckDB
+# oracle: the point is that Catalyst de-correlates every subquery into
+# shuffle/broadcast joins (verified by test_plan_hygiene.py — no
+# CartesianProduct / BroadcastNestedLoopJoin anywhere), so each shape
+# survives a 100-TB fact table.
+# --------------------------------------------------------------------------
+def _sql_query(name: str, sql: str, doc: str):
+    def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from github_etl_pipeline_spark.sources.tables import register_views
+
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    builder.__name__ = name
+    builder.__doc__ = doc
+    register(name, oracle=sql, doc=doc)(builder)
+    return builder
+
+
+_sql_query(
+    "tpch_q2_min_price_supplier",
+    """
+SELECT p_brand, l1.l_partkey, s_name, l1.l_extendedprice AS min_price
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE p_size = 9
+  AND l1.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+  )
+ORDER BY min_price, l1.l_partkey, s_name
+LIMIT 100
+""",
+    "TPC-H Q2 shape: correlated scalar MIN subquery de-correlated into an aggregate + equi-join on partkey (no per-row re-execution); deterministic top-100",
+)
+
+_sql_query(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    "TPC-H Q4 shape: correlated EXISTS planned as a left-semi hash join on orderkey with the non-equi lateness predicate as join residual",
+)
+
+_sql_query(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    "TPC-H Q6 shape: single pushed-down scan aggregate — every predicate reaches the parquet reader, no shuffle beyond the final partial-agg merge",
+)
+
+_sql_query(
+    "tpch_q10_returned_items",
+    """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    "TPC-H Q10 shape: returned-item revenue per customer — fact-fact join on orderkey, broadcast nation dim, decimal-exact revenue, deterministic top-20",
+)
+
+_sql_query(
+    "tpch_q13_customer_distribution",
+    """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+""",
+    "TPC-H Q13 shape: outer join preserving order-less customers, per-customer count, then count-of-counts distribution — two shuffles, both on shrinking keys",
+)
+
+_sql_query(
+    "tpch_q14_promo_revenue",
+    """
+SELECT CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+     / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE)
+       AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+    "TPC-H Q14 shape: conditional-aggregate revenue share over a broadcast part join; both sums decimal-exact so the ratio is engine-identical",
+)
+
+_sql_query(
+    "tpch_q16_supplier_count",
+    """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23)
+  AND NOT EXISTS (
+    SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey AND s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+""",
+    "TPC-H Q16 shape: NOT EXISTS as a broadcast anti-join (deliberately not NOT IN, which would force a null-aware plan), distinct supplier counting per part group",
+)
+
+_sql_query(
+    "tpch_q17_small_quantity_revenue",
+    """
+SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#13'
+  AND p_type = 'SMALL'
+  AND l1.l_quantity < 0.2 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+  )
+""",
+    "TPC-H Q17 shape: correlated scalar AVG subquery (decimal-exact sum/count, never engine-native avg) de-correlated into a per-part aggregate joined back on partkey",
+)
+
+_sql_query(
+    "tpch_q20_dominant_supplier",
+    """
+WITH part_ship AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty FROM part_ship GROUP BY l_partkey
+)
+SELECT s_name, COUNT(*) AS dominant_parts
+FROM part_ship
+JOIN tot ON tot.l_partkey = part_ship.l_partkey
+JOIN supplier ON s_suppkey = part_ship.l_suppkey
+JOIN part ON p_partkey = part_ship.l_partkey
+WHERE p_type = 'PROMO'
+  AND 6 * supp_qty > part_qty
+GROUP BY s_name
+""",
+    "TPC-H Q20 shape (emulated without partsupp): nested aggregates find suppliers shipping an outsized (>1/6, vs ~1/26 uniform) share of a part's volume — all-decimal quantity math so the dominance predicate is exact",
+)
+
+_sql_query(
+    "tpch_q21_waiting_supplier",
+    """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_7'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+    "TPC-H Q21 shape: stacked correlated EXISTS (semi) and NOT EXISTS (anti) self-joins on orderkey isolating the sole late supplier per multi-supplier order",
+)
+
+_sql_query(
+    "tpch_q22_idle_customers",
+    """
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+  )
+GROUP BY n_name
+""",
+    "TPC-H Q22 shape: uncorrelated scalar subquery (global mean, decimal-exact) + anti-join to recent orders — well-funded customers gone idle, by nation",
+)
