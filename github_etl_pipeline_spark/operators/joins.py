@@ -59,3 +59,58 @@ def range_join(
         )
         .drop("_b")
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    keys: Sequence[str] = (),
+    bucket_width: int = 86_400_000_000,
+) -> DataFrame:
+    """Interval x interval overlap join: every (a, b) pair whose closed
+    intervals intersect (``a_start <= b_end AND b_start <= a_end``),
+    optionally also matching on equi-``keys``.
+
+    Same bucketization as ``range_join``, but BOTH sides explode into the
+    buckets they span, so overlapping pairs meet in every shared bucket.
+    Rather than a dedup shuffle, each true pair is kept only in its
+    CANONICAL bucket — the one containing the overlap's start,
+    ``floor(greatest(a_start, b_start) / W)``, which both intervals
+    provably span — so every match is emitted exactly once. Cost is the
+    same equi-join shape: shuffle of (bucket, keys) with per-interval
+    fan-out ~ length/W + 1; pick ``bucket_width`` near the typical
+    interval length. Column names across ``a`` and ``b`` must not
+    collide (rename before calling, as with any self-join)."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive (got {bucket_width})")
+    ea = a.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(a_start) / bucket_width),
+                F.floor(F.col(a_end) / bucket_width),
+            )
+        ),
+    )
+    eb = b.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(b_start) / bucket_width),
+                F.floor(F.col(b_end) / bucket_width),
+            )
+        ),
+    )
+    return (
+        ea.join(eb, ["_b", *keys])
+        .where(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (F.col("_b") == F.floor(F.greatest(F.col(a_start), F.col(b_start)) / bucket_width))
+        )
+        .drop("_b")
+    )

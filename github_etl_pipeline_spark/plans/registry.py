@@ -13,6 +13,10 @@ between the Spark result and the DuckDB oracle):
     ordering BY timestamps is fine
   * arrays are emitted as sorted CSV strings
   * rounding is half-up (Spark F.round == DuckDB round for positives)
+  * epoch conversions are integer `div` (`ts div 1000`), never
+    F.floor(col / 1000): nanos (~1.7e18) exceed double's 53-bit exact
+    range, so the double quotient can floor one micro off the oracle's
+    exact epoch_us()
 """
 
 from __future__ import annotations

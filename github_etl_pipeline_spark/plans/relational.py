@@ -413,7 +413,7 @@ FROM s GROUP BY user_id, session_idx
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.floor(F.col("ts") / 1000).alias("tsu")
+        "user_id", "event_id", F.expr("ts div 1000").alias("tsu")
     )
     w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     m = e.withColumn(
@@ -451,7 +451,7 @@ def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.floor(F.col("ts") / 1000).alias("tsu"),
+        F.expr("ts div 1000").alias("tsu"),
     ).where(F.col("event_type").isin("error", "click"))
     # union-merge: order each user's clicks+errors by time; carry the last
     # click forward; emit error rows. Clicks sort BEFORE errors at equal
@@ -659,13 +659,13 @@ def range_join_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame
     errors = e.where(F.col("event_type") == "error").select(
         "user_id",
         F.col("event_id").alias("error_id"),
-        F.floor(F.col("ts") / 1000).alias("win_start"),
-        (F.floor(F.col("ts") / 1000) + day_us).alias("win_end"),
+        F.expr("ts div 1000").alias("win_start"),
+        (F.expr("ts div 1000") + day_us).alias("win_end"),
     )
     clicks = e.where(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),
-        F.floor(F.col("ts") / 1000).alias("tsu"),
+        F.expr("ts div 1000").alias("tsu"),
     )
     return range_join(
         clicks, errors, "tsu", "win_start", "win_end", keys=("user_id",),
@@ -814,7 +814,7 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     hourly = (
         e.select(
-            F.floor(F.floor(F.col("ts") / 1000) / 3_600_000_000).alias("hour_bucket"),
+            F.expr("ts div 1000 div 3600000000").alias("hour_bucket"),
             _dec("value").alias("_v"),
         )
         .groupBy("hour_bucket")
@@ -1458,3 +1458,137 @@ GROUP BY n_name
 """,
     "TPC-H Q22 shape: uncorrelated scalar subquery (global mean, decimal-exact) + anti-join to recent orders — well-funded customers gone idle, by nation",
 )
+
+
+# --------------------------------------------------------------------------
+# Product-analytics block (round 2): funnel conversion, cohort retention,
+# and interval-overlap co-activity — the three standard event-analytics
+# shapes a warehouse serves daily, each expressed to minimize shuffles
+# (the funnel is ONE shuffle on user_id where the textbook SQL takes
+# three joins; retention is one window + one aggregate).
+# --------------------------------------------------------------------------
+_DAY_US = 86_400_000_000
+_WEEK_US = 7 * _DAY_US
+
+
+@register(
+    "funnel_events",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+v AS (SELECT user_id, MIN(tsu) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(tsu) AS t2 FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND tsu > t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(tsu) AS t3 FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND tsu > t2 GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_funnel
+""",
+    doc="ordered funnel (view -> later click -> later purchase) in ONE user_id shuffle: per-user sorted event-time arrays, stage timestamps by array filter — vs the oracle's three sequential join-aggregates",
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("tsu")
+    )
+
+    def stage_times(t: str):
+        return F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == t, F.col("tsu")))
+        )
+
+    per_user = e.groupBy("user_id").agg(
+        stage_times("view").alias("vs"),
+        stage_times("click").alias("cs"),
+        stage_times("purchase").alias("ps"),
+    )
+    t1 = F.element_at("vs", 1)
+    t2 = F.element_at(F.filter("cs", lambda c: c > t1), 1)
+    t3 = F.element_at(F.filter("ps", lambda p: p > t2), 1)
+    staged = per_user.select(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+    return staged.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_funnel"),
+    )
+
+
+@register(
+    "cohort_retention_events",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tsu,
+         MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+)
+SELECT first_ts // {_WEEK_US} AS cohort_week,
+       tsu // {_WEEK_US} - first_ts // {_WEEK_US} AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM e
+GROUP BY cohort_week, week_offset
+""",
+    doc="cohort retention: users bucketed by first-seen week, distinct-active counts per (cohort, week offset) — first-seen via window MIN (no self-join), all-integer week math",
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("tsu")
+    )
+    w = Window.partitionBy("user_id")
+    e = e.withColumn("first_ts", F.min("tsu").over(w))
+    return (
+        e.select(
+            F.expr(f"first_ts div {_WEEK_US}").alias("cohort_week"),
+            (F.expr(f"tsu div {_WEEK_US}") - F.expr(f"first_ts div {_WEEK_US}")).alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "overlap_click_purchase_windows",
+    oracle=f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+a AS (SELECT user_id, tsu // {_DAY_US} AS a_day, MIN(tsu) AS a_start, MAX(tsu) AS a_end
+      FROM e WHERE event_type = 'click' GROUP BY user_id, a_day),
+b AS (SELECT user_id, tsu // {_DAY_US} AS b_day, MIN(tsu) AS b_start, MAX(tsu) AS b_end
+      FROM e WHERE event_type = 'purchase' GROUP BY user_id, b_day)
+SELECT user_id, a_day, b_day,
+       least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us
+FROM a JOIN b USING (user_id)
+WHERE a_start <= b_end AND b_start <= a_end
+""",
+    doc="interval x interval overlap join (operators/joins.py::interval_overlap_join): per-user daily click windows vs purchase windows — canonical-bucket equi-join emits each true pair exactly once (no dedup shuffle), vs the oracle's native IEJoin range predicate",
+)
+def overlap_click_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.joins import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("tsu")
+    )
+
+    def windows(t: str, prefix: str) -> DataFrame:
+        return (
+            e.where(F.col("event_type") == t)
+            .groupBy("user_id", F.expr(f"tsu div {_DAY_US}").alias(f"{prefix}_day"))
+            .agg(F.min("tsu").alias(f"{prefix}_start"), F.max("tsu").alias(f"{prefix}_end"))
+        )
+
+    out = interval_overlap_join(
+        windows("click", "a"),
+        windows("purchase", "b"),
+        "a_start",
+        "a_end",
+        "b_start",
+        "b_end",
+        keys=("user_id",),
+        bucket_width=_DAY_US,
+    )
+    return out.select(
+        "user_id",
+        "a_day",
+        "b_day",
+        (F.least("a_end", "b_end") - F.greatest("a_start", "b_start")).alias("overlap_us"),
+    )
