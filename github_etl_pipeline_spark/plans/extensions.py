@@ -950,3 +950,43 @@ def unigram_logprob_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "n_tokens", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization (operators/quantize.py): the 4x scan-volume
+# lever for vector corpora. Pure projection — fuses into the scan, no
+# shuffle; codes emitted as positional CSV (order is semantic), error
+# gate quantized to integer 1e-6 steps so the compare is exact.
+# --------------------------------------------------------------------------
+@register(
+    "quantize_embeddings_int8",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+), mm AS (
+  SELECT vec_id, vd, list_min(vd) AS vmin, list_max(vd) AS vmax FROM v
+)
+SELECT vec_id, vmin, vmax,
+  array_to_string(
+    list_transform(vd, x -> CAST(CASE WHEN vmax > vmin
+        THEN floor((x - vmin) * 255 / (vmax - vmin)) ELSE 0 END AS INT)),
+    ',') AS codes_csv,
+  CAST(floor(list_max(list_transform(vd, x ->
+      abs(x - (vmin + CAST(CASE WHEN vmax > vmin
+                 THEN floor((x - vmin) * 255 / (vmax - vmin)) ELSE 0 END AS DOUBLE)
+               * (vmax - vmin) / 255)))) * 1000000) AS BIGINT) AS max_abs_err_q
+FROM mm
+""",
+    doc="per-vector asymmetric int8 quantization + reconstruction-error gate: floor-based codes (engine-exact, no round-half ambiguity), float32 promoted to double before ANY arithmetic on both engines",
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.quantize import quantize_embeddings
+
+    q = quantize_embeddings(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        "vmin",
+        "vmax",
+        F.concat_ws(",", F.transform("codes", lambda c: c.cast("string"))).alias("codes_csv"),
+        "max_abs_err_q",
+    )

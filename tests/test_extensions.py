@@ -412,3 +412,31 @@ def test_stratified_sample_respects_rates(spark):
     got = stratified_sample(df, {"keep": 1.0, "drop": 0.0}).collect()
     assert len(got) == 1000
     assert all(r.source == "keep" for r in got)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (operators/quantize.py)
+# ---------------------------------------------------------------------------
+def test_quantize_error_within_one_step_and_roundtrip(spark):
+    from github_etl_pipeline_spark.operators.quantize import quantize_embeddings
+
+    emb = read_table(spark, SF, "embeddings").limit(50)
+    q = quantize_embeddings(emb).collect()
+    assert len(q) == 50
+    for r in q:
+        assert all(0 <= c <= 255 for c in r["codes"])
+        step_q = (r["vmax"] - r["vmin"]) / 255 * 1_000_000
+        # floor quantization error is < one full step
+        assert r["max_abs_err_q"] <= step_q + 1
+
+
+def test_quantize_constant_vector_is_all_zero_codes(spark):
+    from github_etl_pipeline_spark.operators.quantize import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    for r in rows.values():
+        assert r["codes"] == [0] * 8
+        assert r["max_abs_err_q"] == 0
