@@ -1459,6 +1459,109 @@ GROUP BY n_name
     "TPC-H Q22 shape: uncorrelated scalar subquery (global mean, decimal-exact) + anti-join to recent orders — well-funded customers gone idle, by nation",
 )
 
+_sql_query(
+    "tpch_q8_market_share",
+    """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+     / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_items
+FROM (
+  SELECT YEAR(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2)) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+""",
+    "TPC-H Q8 shape: national market share per year — 7-way join (both fact-dim chains broadcast), conditional decimal-exact volume share, YEAR() grouping identical on both engines",
+)
+
+_sql_query(
+    "tpch_q9_product_profit",
+    """
+SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))
+              - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(8,2))
+                * CAST(0.10 AS DECIMAL(4,2))) AS DOUBLE) AS profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, YEAR(o_orderdate)
+""",
+    "TPC-H Q9 shape: product-line profit by supplier nation and year — LIKE-filtered part dim broadcast, fact-fact orderkey join, decimal-exact profit (retail-price cost proxy replaces the absent partsupp.ps_supplycost)",
+)
+
+_sql_query(
+    "tpch_q11_important_stock",
+    """
+WITH supply AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(8,2))) AS supply_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(supply_value AS DOUBLE) AS part_value
+FROM supply
+WHERE supply_value > (SELECT SUM(supply_value) * 0.001 FROM supply)
+ORDER BY part_value DESC, partkey
+""",
+    "TPC-H Q11 shape: per-part supply value vs a global-total scalar threshold (the aggregate-of-aggregate pattern); all-decimal comparison so the cut is engine-exact (lineitem value replaces the absent partsupp)",
+)
+
+_sql_query(
+    "tpch_q12_late_shipments",
+    """
+SELECT l_returnflag AS flag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 7 DAY
+GROUP BY l_returnflag
+""",
+    "TPC-H Q12 shape: priority split of late shipments — fact-fact orderkey join with the lateness predicate as join residual, all-integer conditional counts (returnflag stands in for the absent shipmode)",
+)
+
+_sql_query(
+    "tpch_q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+    "TPC-H Q15 shape: the revenue-view + MAX scalar-subquery pattern — the quarter aggregate is computed once, its max broadcast back as a filter; decimal equality so ties are engine-exact",
+)
+
 
 # --------------------------------------------------------------------------
 # Product-analytics block (round 2): funnel conversion, cohort retention,
