@@ -13,10 +13,15 @@ between the Spark result and the DuckDB oracle):
     ordering BY timestamps is fine
   * arrays are emitted as sorted CSV strings
   * rounding is half-up (Spark F.round == DuckDB round for positives)
-  * epoch conversions are integer `div` (`ts div 1000`), never
+  * epoch conversions go through functions.epoch.event_micros (dtype-
+    dispatching: unix_micros/timestampdiff for timestamp columns,
+    integer `div 1000` for bigint nanos) — NEVER a hard-coded physical
+    type (the driver's parquet types drift between rounds), and never
     F.floor(col / 1000): nanos (~1.7e18) exceed double's 53-bit exact
     range, so the double quotient can floor one micro off the oracle's
     exact epoch_us()
+  * integer-typed SUMs in oracle SQL are wrapped CAST(... AS BIGINT)
+    (DuckDB sums integers to HUGEINT -> float64 in pandas -> hash drift)
 """
 
 from __future__ import annotations

@@ -8,12 +8,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from github_etl_pipeline_spark.functions.epoch import event_micros
 from github_etl_pipeline_spark.plans.registry import register
 from github_etl_pipeline_spark.sources.tables import read_table as _t
 
 
 def _dec(col, scale: int = 2):
     return (F.col(col) if isinstance(col, str) else col).cast(f"decimal(18,{scale})")
+
+
+def _spark_sql_text(sql: str) -> str:
+    """Rewrite shared (Spark+DuckDB) SQL for Spark execution: temporal
+    literals become TIMESTAMP_NTZ so they compare naive-to-naive against
+    the testdata's TIMESTAMP_NTZ date columns. A plain ``TIMESTAMP`` literal
+    is LTZ in Spark, and an NTZ-vs-LTZ comparison casts through
+    ``spark.sql.session.timeZone`` — correct under the pinned UTC session
+    but silently shifting predicate boundaries if a deployment changes the
+    tz. DuckDB's TIMESTAMP is already naive, so the oracle string needs no
+    rewrite. tests/test_relational_extra.py re-runs the literal-dated
+    TPC-H queries under a deliberately non-UTC session tz to pin this."""
+    return sql.replace("TIMESTAMP '", "TIMESTAMP_NTZ '")
 
 
 # --------------------------------------------------------------------------
@@ -412,9 +426,8 @@ FROM s GROUP BY user_id, session_idx
     doc="gap-based sessionization (30-min inactivity) via lag + running sum; micros on both engines (DuckDB truncates parquet NANOS)",
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("tsu")
-    )
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", event_micros(ev, "ts").alias("tsu"))
     w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     m = e.withColumn(
         "is_new",
@@ -447,11 +460,12 @@ FROM err ASOF LEFT JOIN clk ON err.user_id = clk.user_id AND clk.tsu <= err.tsu
     doc="as-of join: most recent click at-or-before each error, per user — implemented as a merge (union + last_value window), one shuffle, vs DuckDB's native ASOF JOIN",
 )
 def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").select(
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
         "user_id",
         "event_id",
         "event_type",
-        F.expr("ts div 1000").alias("tsu"),
+        event_micros(ev, "ts").alias("tsu"),
     ).where(F.col("event_type").isin("error", "click"))
     # union-merge: order each user's clicks+errors by time; carry the last
     # click forward; emit error rows. Clicks sort BEFORE errors at equal
@@ -656,16 +670,17 @@ def range_join_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame
 
     e = _t(spark, sf_dir, "events")
     day_us = 86_400_000_000
+    tsu = event_micros(e, "ts")
     errors = e.where(F.col("event_type") == "error").select(
         "user_id",
         F.col("event_id").alias("error_id"),
-        F.expr("ts div 1000").alias("win_start"),
-        (F.expr("ts div 1000") + day_us).alias("win_end"),
+        tsu.alias("win_start"),
+        (tsu + day_us).alias("win_end"),
     )
     clicks = e.where(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),
-        F.expr("ts div 1000").alias("tsu"),
+        tsu.alias("tsu"),
     )
     return range_join(
         clicks, errors, "tsu", "win_start", "win_end", keys=("user_id",),
@@ -705,7 +720,7 @@ LIMIT 10
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_Q3_SQL.format(date_fmt="date_format(o_orderdate, 'yyyy-MM-dd')"))
+    return spark.sql(_spark_sql_text(_Q3_SQL.format(date_fmt="date_format(o_orderdate, 'yyyy-MM-dd')")))
 
 
 _Q5_SQL = """
@@ -733,7 +748,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_Q5_SQL)
+    return spark.sql(_spark_sql_text(_Q5_SQL))
 
 
 # --------------------------------------------------------------------------
@@ -790,8 +805,8 @@ def window_analytics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reuse pattern (TimescaleDB continuous aggregates, druid rollup). At
 # 100 TB the hourly relation is ~events/3600 rows, so the second
 # aggregation is near-free and the raw scan happens exactly once.
-# Integer-micros time math on both engines (events ts is parquet NANOS:
-# Spark reads nanos-as-long, DuckDB truncates to micros).
+# Integer-micros time math on both engines (event_micros dispatches on
+# the physical ts type; DuckDB epoch_us matches for both).
 # --------------------------------------------------------------------------
 @register(
     "hypertable_rollup_events",
@@ -813,10 +828,8 @@ FROM hourly GROUP BY 1
 def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     hourly = (
-        e.select(
-            F.expr("ts div 1000 div 3600000000").alias("hour_bucket"),
-            _dec("value").alias("_v"),
-        )
+        e.select(event_micros(e, "ts").alias("tsu"), _dec("value").alias("_v"))
+        .select(F.expr("tsu div 3600000000").alias("hour_bucket"), "_v")
         .groupBy("hour_bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_v").alias("v"))
     )
@@ -866,10 +879,8 @@ def gapfill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     daily = (
         e.where(F.col("event_type") == "purchase")
-        .select(
-            F.expr("(ts DIV 1000) DIV 86400000000").alias("day"),
-            _dec("value").alias("_v"),
-        )
+        .select(event_micros(e, "ts").alias("tsu"), _dec("value").alias("_v"))
+        .select(F.expr("tsu div 86400000000").alias("day"), "_v")
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("_v").cast("double").alias("rev"))
     )
@@ -967,7 +978,8 @@ FROM j
 def gapfill_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     d = (
-        e.select("user_id", F.expr("(ts DIV 1000) DIV 86400000000").alias("day"))
+        e.select("user_id", event_micros(e, "ts").alias("tsu"))
+        .select("user_id", F.expr("tsu div 86400000000").alias("day"))
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -1098,8 +1110,8 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_orderkey_unique"),
         cnt(F.col("o_totalprice") < 0).alias("o_totalprice_nonnegative"),
         cnt(
-            (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
-            | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp_ntz"))
+            | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz"))
         ).alias("o_orderdate_in_range"),
         cnt(
             ~F.col("o_orderstatus").isin("O", "F", "P")
@@ -1196,7 +1208,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_Q7_SQL)
+    return spark.sql(_spark_sql_text(_Q7_SQL))
 
 
 # --------------------------------------------------------------------------
@@ -1229,7 +1241,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.sources.tables import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_Q19_SQL)
+    return spark.sql(_spark_sql_text(_Q19_SQL))
 
 
 # --------------------------------------------------------------------------
@@ -1250,7 +1262,7 @@ def _sql_query(name: str, sql: str, doc: str):
         from github_etl_pipeline_spark.sources.tables import register_views
 
         register_views(spark, sf_dir)
-        return spark.sql(sql)
+        return spark.sql(_spark_sql_text(sql))
 
     builder.__name__ = name
     builder.__doc__ = doc
@@ -1520,18 +1532,18 @@ WITH supply AS (
 )
 SELECT partkey, CAST(supply_value AS DOUBLE) AS part_value
 FROM supply
-WHERE supply_value > (SELECT SUM(supply_value) * 0.001 FROM supply)
+WHERE supply_value > (SELECT CAST(SUM(supply_value) * 0.001 AS DECIMAL(18,2)) FROM supply)
 ORDER BY part_value DESC, partkey
 """,
-    "TPC-H Q11 shape: per-part supply value vs a global-total scalar threshold (the aggregate-of-aggregate pattern); all-decimal comparison so the cut is engine-exact (lineitem value replaces the absent partsupp)",
+    "TPC-H Q11 shape: per-part supply value vs a global-total scalar threshold (the aggregate-of-aggregate pattern); the threshold is pinned to DECIMAL(18,2) in both engines so decimal-overflow resolution differences cannot move the cut",
 )
 
 _sql_query(
     "tpch_q12_late_shipments",
     """
 SELECT l_returnflag AS flag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1587,28 +1599,31 @@ SELECT (SELECT COUNT(*) FROM v) AS n_view,
        (SELECT COUNT(*) FROM c) AS n_view_click,
        (SELECT COUNT(*) FROM p) AS n_funnel
 """,
-    doc="ordered funnel (view -> later click -> later purchase) in ONE user_id shuffle: per-user sorted event-time arrays, stage timestamps by array filter — vs the oracle's three sequential join-aggregates",
+    doc="ordered funnel (view -> later click -> later purchase) in ONE user_id shuffle: chained unbounded window-mins over the user partition (t1 = min view, t2 = min click > t1, t3 = min purchase > t2) — vs the oracle's three sequential join-aggregates",
 )
 def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr("ts div 1000").alias("tsu")
+    # Skew note (100-TB): stage times come from conditional MIN window
+    # functions over the user partition, NOT per-user collect_list arrays —
+    # a heavy user costs O(1) aggregate state (WindowExec buffers spill to
+    # disk; an array-collecting agg buffer does not). All three windows
+    # share one partitioning, so Catalyst plans a single user_id exchange,
+    # and the final groupBy reuses it. tests/test_relational_extra.py
+    # exercises a synthetic heavy user.
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", event_micros(ev, "ts").alias("tsu"))
+    wu = Window.partitionBy("user_id")
+    tsu, et = F.col("tsu"), F.col("event_type")
+    e = e.withColumn("t1", F.min(F.when(et == "view", tsu)).over(wu))
+    e = e.withColumn(
+        "t2", F.min(F.when((et == "click") & (tsu > F.col("t1")), tsu)).over(wu)
     )
-
-    def stage_times(t: str):
-        return F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == t, F.col("tsu")))
-        )
-
+    e = e.withColumn(
+        "t3", F.min(F.when((et == "purchase") & (tsu > F.col("t2")), tsu)).over(wu)
+    )
     per_user = e.groupBy("user_id").agg(
-        stage_times("view").alias("vs"),
-        stage_times("click").alias("cs"),
-        stage_times("purchase").alias("ps"),
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
     )
-    t1 = F.element_at("vs", 1)
-    t2 = F.element_at(F.filter("cs", lambda c: c > t1), 1)
-    t3 = F.element_at(F.filter("ps", lambda p: p > t2), 1)
-    staged = per_user.select(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
-    return staged.agg(
+    return per_user.agg(
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_view_click"),
         F.count("t3").alias("n_funnel"),
@@ -1632,9 +1647,8 @@ GROUP BY cohort_week, week_offset
     doc="cohort retention: users bucketed by first-seen week, distinct-active counts per (cohort, week offset) — first-seen via window MIN (no self-join), all-integer week math",
 )
 def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000").alias("tsu")
-    )
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", event_micros(ev, "ts").alias("tsu"))
     w = Window.partitionBy("user_id")
     e = e.withColumn("first_ts", F.min("tsu").over(w))
     return (
@@ -1668,9 +1682,8 @@ WHERE a_start <= b_end AND b_start <= a_end
 def overlap_click_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.operators.joins import interval_overlap_join
 
-    e = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr("ts div 1000").alias("tsu")
-    )
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", event_micros(ev, "ts").alias("tsu"))
 
     def windows(t: str, prefix: str) -> DataFrame:
         return (

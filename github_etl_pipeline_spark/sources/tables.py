@@ -27,11 +27,18 @@ def sf_dir_from_env(default: str = DEFAULT_SF_DIR) -> str:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table. The events table carries parquet
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects by default —
-    the legacy conf reads it as LongType (nanos since epoch), which is also
-    the safest representation for cross-engine compares (pure ordering, no
-    timezone semantics)."""
+    """Read one test table.
+
+    The driver regenerates the testdata between rounds and the physical
+    type of ``events.ts`` has flipped across regenerations: parquet
+    TIMESTAMP(NANOS) (rejected by Spark's vectorized reader unless the
+    legacy conf maps it to LongType nanos) vs ``timestamp[us]`` (read as
+    TIMESTAMP_NTZ). We keep the legacy conf on so nano files load, and
+    NEVER assume the resolved dtype downstream — all event-time epoch
+    math goes through ``functions.epoch.event_micros``, which dispatches
+    on the column's actual type. tests/test_schema_smoke.py analyzes
+    every registered query against the on-disk testdata to catch the
+    next physical-type drift at pytest speed."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

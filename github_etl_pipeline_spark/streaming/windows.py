@@ -36,14 +36,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# event-time column is integer NANOS since epoch (see sources/tables.py);
-# convert to a real timestamp for window()/watermark semantics
-def _event_time(col: str = "ts") -> F.Column:
-    # integral DIV, not double division: ts/1000 as a double rounds
-    # half-up at ~1.7e15 magnitude, while DuckDB's nanos->micros read
-    # TRUNCATES — a 1-us skew that cross-engine-exact outputs (e.g. the
-    # stream-stream join's left_us/right_us) would expose
-    return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+from github_etl_pipeline_spark.functions.epoch import event_micros, event_time
+
+# event-time column's physical type varies across driver testdata
+# regenerations (BIGINT nanos vs TIMESTAMP_NTZ micros) — functions/epoch.py
+# dispatches on the resolved dtype and yields the identical instant either
+# way, as a proper timestamp for window()/watermark semantics
+def _event_time(df: DataFrame, col: str = "ts") -> F.Column:
+    return event_time(df, col)
 
 
 def windowed_event_counts(
@@ -59,7 +59,7 @@ def windowed_event_counts(
     Output: window_start/window_end (epoch micros), event_type, cnt,
     sum_value.
     """
-    et = _event_time(time_col).alias("_et")
+    et = _event_time(events, time_col).alias("_et")
     w = F.window("_et", window_duration)
     df = events.select(et, "event_type", "value")
     if df.isStreaming:
@@ -121,7 +121,7 @@ def sessionize_stateful(
         else:
             ts_all = []
             for pdf in pdfs:
-                ts_all.extend((pdf[time_col] // 1000).tolist())
+                ts_all.extend(pdf["_us"].tolist())
             for t in sorted(ts_all):
                 if last_us is not None and t - last_us > gap_us:
                     sessions.append((user_id, start_us, n, (last_us - start_us) // 1000))
@@ -138,9 +138,9 @@ def sessionize_stateful(
             columns=["user_id", "session_start_us", "n_events", "duration_ms"],
         )
 
-    et = _event_time(time_col).alias("_et")
+    et = _event_time(events, time_col).alias("_et")
     return (
-        events.select("user_id", time_col, et)
+        events.select("user_id", event_micros(events, time_col).alias("_us"), et)
         .withWatermark("_et", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -182,12 +182,12 @@ def interval_join_streams(
     l = left.select(
         F.col(key_col),
         F.col(id_col).alias("left_id"),
-        _event_time(time_col).alias("_lt"),
+        _event_time(left, time_col).alias("_lt"),
     )
     r = right.select(
         F.col(key_col).alias("_rkey"),
         F.col(id_col).alias("right_id"),
-        _event_time(time_col).alias("_rt"),
+        _event_time(right, time_col).alias("_rt"),
     )
     if l.isStreaming:
         l = l.withWatermark("_lt", left_watermark)
@@ -226,7 +226,7 @@ def dedup_stream(
     dropDuplicates (Spark's unified semantics), which is what the
     batch-equality test exercises; the dedup-pipeline analog over
     documents is ``operators.dedup.exact_dedup``."""
-    e = events.withColumn("_event_time", _event_time(time_col))
+    e = events.withColumn("_event_time", _event_time(events, time_col))
     return e.withWatermark("_event_time", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
