@@ -37,6 +37,8 @@ def compact_parquet(
     output_dir: str | Path,
     sort_cols: list[str],
     target_rows_per_file: int = 1_000_000,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> dict:
     """Rewrite ``input_dir`` (parquet) into ``output_dir`` as
     range-partitioned, key-sorted files of ~``target_rows_per_file``
@@ -44,11 +46,24 @@ def compact_parquet(
 
     ``sort_cols`` should be the columns downstream scans filter on most
     — they become the cross-file range-pruning key.
+
+    ``zorder_by`` (mutually exclusive with ``sort_cols``) lays files out
+    by a Morton-interleaved key over SEVERAL non-negative integer
+    bucket columns (functions/zorder.py) instead of a lexicographic key:
+    min/max row-group stats then prune filters on ANY participating
+    column, not just the leading one — the Delta/Iceberg OPTIMIZE ZORDER
+    technique on plain parquet. The z-key is computed, range-partitioned
+    and sorted on, then dropped before the write.
     """
-    if not sort_cols:
-        raise ValueError("compact_parquet requires at least one sort column")
+    if bool(sort_cols) == bool(zorder_by):
+        raise ValueError("compact_parquet: pass exactly one of sort_cols / zorder_by")
     input_dir, output_dir = Path(input_dir), Path(output_dir)
     df = spark.read.parquet(str(input_dir))
+    if zorder_by:
+        from github_etl_pipeline_spark.functions.zorder import zorder_sql
+
+        df = df.withColumn("_zkey", F.expr(zorder_sql(zorder_by, zorder_bits)))
+        sort_cols = ["_zkey"]
 
     files_before = len(list(input_dir.glob("*.parquet")))
     rows = df.count()
@@ -63,10 +78,13 @@ def compact_parquet(
     staging = output_dir.with_name(output_dir.name + ".staging")
     if staging.exists():
         shutil.rmtree(staging)
+    out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols]).sortWithinPartitions(
+        *sort_cols
+    )
+    if sort_cols == ["_zkey"]:
+        out = out.drop("_zkey")
     (
-        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
-        .sortWithinPartitions(*sort_cols)
-        .write.option("maxRecordsPerFile", per_file_cap)
+        out.write.option("maxRecordsPerFile", per_file_cap)
         .mode("overwrite")
         .parquet(str(staging))
     )

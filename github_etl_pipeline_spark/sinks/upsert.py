@@ -31,35 +31,60 @@ def merge_into(
     target: str | Path,
     updates: DataFrame,
     on: str = "source_file",
+    backend: str = "auto",
 ) -> None:
     """MERGE-shaped upsert boundary (reference S8, etl/load.py:16-82):
 
         MERGE INTO target USING updates ON target.<on> = updates.<on>
         WHEN MATCHED THEN UPDATE SET *    WHEN NOT MATCHED THEN INSERT *
 
-    Backend: Delta's literal ``MERGE INTO`` when delta-spark is
-    importable and the target is a Delta table; otherwise the plain-
-    parquet emulation (``upsert_parquet``: union + keep-newest-per-key +
-    atomic snapshot swap). The emulation is LAST-WRITER-WINS and not
-    ACID under concurrent writers — the reference's read-modify-write
-    JSON has exactly the same property, and callers needing concurrent
-    MERGE should run on Delta, where this same call becomes transactional
-    without code changes."""
-    try:
-        from delta.tables import DeltaTable  # noqa: F401 — optional backend
+    Backends:
+      * ``delta`` — Delta Lake's literal transactional ``MERGE INTO``.
+        A missing target is CREATED as a Delta table (so a pipeline
+        started on Delta is ACID from its first write, not its second).
+      * ``parquet`` — the dependency-free emulation (``upsert_parquet``:
+        union + keep-newest-per-key + atomic snapshot swap). LAST-WRITER-
+        WINS, not ACID under concurrent writers — the reference's
+        read-modify-write JSON has exactly the same property.
+      * ``auto`` (default) — Delta when delta-spark is importable AND the
+        target is absent-or-Delta; an existing plain-parquet table keeps
+        the parquet path (never silently rewrites a parquet table's
+        format under the caller).
 
-        if DeltaTable.isDeltaTable(spark, str(target)):
-            (
-                DeltaTable.forPath(spark, str(target))
-                .alias("t")
-                .merge(updates.alias("u"), f"t.{on} = u.{on}")
-                .whenMatchedUpdateAll()
-                .whenNotMatchedInsertAll()
-                .execute()
-            )
-            return
-    except ImportError:
-        pass
+    ``backend="delta"`` raises ImportError when delta-spark is missing,
+    so a deployment that REQUIRES transactional semantics fails loudly
+    instead of degrading to last-writer-wins."""
+    if backend not in ("auto", "delta", "parquet"):
+        raise ValueError(f"merge_into: unknown backend {backend!r}")
+    if backend != "parquet":
+        try:
+            from delta.tables import DeltaTable  # optional backend
+        except ImportError:
+            if backend == "delta":
+                raise
+        else:
+            t = str(target)
+            if DeltaTable.isDeltaTable(spark, t):
+                (
+                    DeltaTable.forPath(spark, t)
+                    .alias("t")
+                    .merge(updates.alias("u"), f"t.{on} = u.{on}")
+                    .whenMatchedUpdateAll()
+                    .whenNotMatchedInsertAll()
+                    .execute()
+                )
+                return
+            if Path(target).exists():
+                if backend == "delta":
+                    raise ValueError(
+                        f"merge_into(backend='delta'): {t} exists but is not a "
+                        "Delta table — refusing to overwrite a parquet table's "
+                        "format; migrate it explicitly (CONVERT TO DELTA) first"
+                    )
+                # auto + existing plain-parquet table -> emulation below
+            else:
+                updates.write.format("delta").mode("error").save(t)
+                return
     upsert_parquet(spark, updates, target, key=on)
 
 

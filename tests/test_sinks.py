@@ -93,18 +93,58 @@ def test_full_output_surface(spark, tmp_path):
     assert len(csv_text.strip().splitlines()) == 3
 
 
+def _has_delta() -> bool:
+    try:
+        import delta.tables  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_merge_into_upserts_and_is_idempotent(spark, tmp_path):
     from github_etl_pipeline_spark.sinks.upsert import merge_into
 
     table = tmp_path / "merged"
-    merge_into(spark, table, _pools_df(spark, [("a", 1.0), ("b", 2.0)]))
-    merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]))
+    merge_into(spark, table, _pools_df(spark, [("a", 1.0), ("b", 2.0)]), backend="parquet")
+    merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), backend="parquet")
     got = {r.source_file: r.rtp for r in spark.read.parquet(str(table)).collect()}
     assert got == {"a": 9.0, "b": 2.0, "c": 3.0}  # matched update + insert
     # MERGE of the same updates twice == once
-    merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]))
+    merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), backend="parquet")
     again = {r.source_file: r.rtp for r in spark.read.parquet(str(table)).collect()}
     assert again == got
+
+
+@pytest.mark.skipif(not _has_delta(), reason="delta-spark not installed")
+def test_merge_into_delta_backend(spark, tmp_path):
+    """Same MERGE semantics through the transactional Delta backend
+    (first call CREATES the Delta table; later calls are literal
+    MERGE INTO)."""
+    from github_etl_pipeline_spark.sinks.upsert import merge_into
+
+    table = tmp_path / "merged_delta"
+    merge_into(spark, table, _pools_df(spark, [("a", 1.0), ("b", 2.0)]), backend="delta")
+    merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), backend="delta")
+    read = spark.read.format("delta").load(str(table))
+    got = {r.source_file: r.rtp for r in read.collect()}
+    assert got == {"a": 9.0, "b": 2.0, "c": 3.0}
+    merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), backend="delta")
+    again = {r.source_file: r.rtp for r in spark.read.format("delta").load(str(table)).collect()}
+    assert again == got
+
+
+@pytest.mark.skipif(_has_delta(), reason="delta-spark installed")
+def test_merge_into_delta_backend_fails_loudly_without_delta(spark, tmp_path):
+    """backend='delta' must raise, never silently degrade to the
+    last-writer-wins parquet emulation."""
+    from github_etl_pipeline_spark.sinks.upsert import merge_into
+
+    with pytest.raises(ImportError):
+        merge_into(
+            spark, tmp_path / "t", _pools_df(spark, [("a", 1.0)]), backend="delta"
+        )
+    assert not (tmp_path / "t").exists()
 
 
 def test_upsert_schema_evolution(spark, tmp_path):

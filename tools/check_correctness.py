@@ -4,8 +4,12 @@ query through Spark AND its DuckDB oracle at sf0.01, compare row count,
 schema (column names), and values (columns sorted by name, rows sorted
 by every column, floats compared to 1e-9 relative tolerance).
 
-Usage: python tools/check_correctness.py [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [query ...]
 Exit 0 iff every checked query matches.
+
+With --json, per-query results (status, rows, seconds, mismatch reason)
+are written to OUT.json — committed each round as CHECK_LOCAL.json so
+coverage of queries the driver's rotating sample skipped stays auditable.
 """
 
 from __future__ import annotations
@@ -71,7 +75,14 @@ def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
+    results: dict[str, dict] = {}
 
     import duckdb
 
@@ -99,24 +110,41 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             print(f"ERR  {name}: spark error: {e}")
+            results[name] = {"status": "spark_error", "err": str(e)[:500]}
             continue
         for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
             rdd.unpersist()
+        secs = round(time.perf_counter() - t0, 2)
         if name not in oracles:
-            print(f"rows_only  {name}: {len(sdf)} rows  ({time.perf_counter()-t0:.1f}s)")
+            print(f"rows_only  {name}: {len(sdf)} rows  ({secs}s)")
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf), "sec": secs}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"oracle error: {e}"))
             print(f"ERR  {name}: oracle error: {e}")
+            results[name] = {"status": "oracle_error", "err": str(e)[:500]}
             continue
         ok, why = _values_match(_normalize(sdf), _normalize(odf))
         status = "ok" if ok else "MISMATCH"
-        print(f"{status:9s}  {name}: {len(sdf)}/{len(odf)} rows  ({time.perf_counter()-t0:.1f}s)")
+        print(f"{status:9s}  {name}: {len(sdf)}/{len(odf)} rows  ({secs}s)")
+        results[name] = {
+            "status": status,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "sec": secs,
+        }
         if not ok:
             failures.append((name, why))
+            results[name]["why"] = why
             print(f"           -> {why}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "results": results}, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(results)} queries)")
     print(f"\n{len(failures)} failures")
     for name, why in failures:
         print(f"  {name}: {why}")
