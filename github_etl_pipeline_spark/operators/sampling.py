@@ -16,7 +16,7 @@ are stable), which makes incremental mixture rebalancing cheap.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SAMPLE_SEED = "spark-graft-sample"
@@ -87,4 +87,47 @@ def exact_k_per_stratum(
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
+    )
+
+
+WEIGHTED_SEED = "spark-graft-wsample"
+_U_HEX_DIGITS = 13  # 52 bits -> exact double
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = WEIGHTED_SEED,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: k rows where
+    inclusion probability tracks ``weight_col`` (Efraimidis-Spirakis
+    exponential-keys, "Weighted random sampling with a reservoir", IPL
+    2006; public technique): draw u ~ U(0,1] per row, rank by
+    -ln(u)/w ascending, keep the k smallest.
+
+    Determinism/cross-engine notes: u is md5-derived (52 hex bits ->
+    exactly representable double), so re-runs and both engines draw the
+    SAME u. The ranking key is rounded to 12 decimals before comparison:
+    ln() may differ by 1 ulp between libm and the JVM, and an unrounded
+    1-ulp flip at the k-th place would change the selected SET — after
+    rounding, a flip requires two keys within 1e-12 of a rounding edge.
+    Ties (including exact weight+u collisions) break by id.
+
+    Scale shape: one scan computing the key + a global top-k — Catalyst
+    plans the empty-partition rank<=k as TakeOrderedAndProject(limit=k):
+    each task keeps its local k smallest, one tiny merge on the driver-
+    side reduce, never a full sort (verified in the committed plan).
+    """
+    w = _c(weight_col).cast("double")
+    hex13 = F.substring(F.md5(F.concat(F.lit(seed + ":"), _c(id_col).cast("string"))), 1, _U_HEX_DIGITS)
+    u = (F.conv(hex13, 16, 10).cast("double") + F.lit(1.0)) / F.lit(float(16**_U_HEX_DIGITS))
+    key = F.round(-F.log(u) / w, 12)
+    ranked = df.where(w > 0).withColumn("_wkey", key)
+    win = Window.orderBy(F.col("_wkey").asc(), _c(id_col).asc())
+    return (
+        ranked.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_wkey", "_rn")
     )

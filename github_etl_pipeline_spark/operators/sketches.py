@@ -20,7 +20,7 @@ registered query outputs exact integers.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from github_etl_pipeline_spark.functions.hashing import portable_hash32
@@ -133,3 +133,67 @@ def hll_estimate(registers: dict[int, int], buckets: int = HLL_BUCKETS) -> float
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: decimal-digit log histogram
+# ---------------------------------------------------------------------------
+def digit_bucket_lo(col: Column | str) -> Column:
+    """Lower bound of the value's decimal-digit log bucket: value v maps
+    to [g * 10^(d-1), (g+1) * 10^(d-1)) where d = digit count and g =
+    leading digit of floor(v). Built ONLY from floor + string ops
+    (substring/length/repeat/concat) so both engines bucket
+    bit-identically — no log()/power() transcendental whose last-ulp
+    could flip a boundary. ~9 buckets per decade => a bucket-lower-bound
+    quantile estimate has one-bucket-width worst-case error (100% of the
+    value at g=1, ~11% at g=9). Requires v >= 0 (filter first)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.floor(c).cast("long").cast("string")
+    return F.concat(
+        F.substring(s, 1, 1), F.repeat(F.lit("0"), F.length(s) - F.lit(1))
+    ).cast("long")
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    quantiles_pct: tuple[int, ...] = (25, 50, 75, 95),
+) -> DataFrame:
+    """Approximate quantiles from the digit-bucket histogram: the sketch
+    is one COUNT-per-bucket aggregate (map-side combined, ~9 buckets per
+    decade regardless of rows — mergeable like CMS/HLL: merging partials
+    is the same SUM), the estimate for quantile q is the lower bound of
+    the first bucket whose cumulative count reaches ceil(q * n).
+
+    All-integer math end-to-end: the threshold test is cum * 100 >= q * n
+    (no fractions, no ceil), so the DuckDB oracle reproduces estimates
+    bit-for-bit. Per-q minimums are conditional aggregates over the tiny
+    bucket table — no join, no nested loop.
+
+    Output: (q, est_lo) — one row per requested percentile.
+    """
+    b = (
+        df.where(F.col(value_col) >= 0)
+        .select(digit_bucket_lo(value_col).alias("lo"))
+        .groupBy("lo")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = Window.orderBy("lo").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "lo",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    est_cols = [
+        F.min(F.when(F.col("cum") * 100 >= F.lit(q) * F.col("n"), F.col("lo"))).alias(
+            f"est_{q}"
+        )
+        for q in quantiles_pct
+    ]
+    wide = cum.agg(*est_cols)
+    return wide.unpivot(
+        ids=[], values=[f"est_{q}" for q in quantiles_pct],
+        variableColumnName="q_label", valueColumnName="est_lo",
+    ).select(
+        F.regexp_replace("q_label", "est_", "").cast("long").alias("q"), "est_lo"
+    )

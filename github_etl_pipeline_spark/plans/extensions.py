@@ -990,3 +990,118 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.transform("codes", lambda c: c.cast("string"))).alias("codes_csv"),
         "max_abs_err_q",
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) near-dup pairs — PassJoin segment banding (r3)
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_pairs_documents",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, rpad(substr(lower(text), 1, 24), 24, '~') AS key FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_distance
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 2
+""",
+    doc="fuzzy near-dup pairs: Levenshtein <= 2 on the 24-char key via the "
+    "PassJoin segment filter (operators/dedup.py::fuzzy_pairs) — 3 segments + "
+    "shifted-substring probes make an O(n) hash equi-join candidate set, exact "
+    "levenshtein verify after; the oracle is the quadratic brute-force join "
+    "(fine at sf0.01, the reason the banded path exists at scale)",
+)
+def fuzzy_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(read_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (r3)
+# ---------------------------------------------------------------------------
+_WSAMPLE_K = 100
+
+
+def _wsample_oracle() -> str:
+    from github_etl_pipeline_spark.operators.sampling import WEIGHTED_SEED, _U_HEX_DIGITS
+
+    u = (
+        f"(CAST(('0x' || substr(md5('{WEIGHTED_SEED}:' || CAST(doc_id AS VARCHAR)), 1, "
+        f"{_U_HEX_DIGITS})) AS BIGINT) + 1.0) / {float(16**_U_HEX_DIGITS)}"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(-ln({u}) / CAST(n_chars AS DOUBLE), 12) AS wkey
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (ORDER BY wkey, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= {_WSAMPLE_K}
+"""
+
+
+@register(
+    "weighted_sample_documents",
+    oracle=_wsample_oracle(),
+    doc=f"weighted sampling WITHOUT replacement (k={_WSAMPLE_K}, weight = n_chars): "
+    "Efraimidis-Spirakis exponential keys on an md5-derived 52-bit uniform — "
+    "deterministic across runs AND engines (key rounded to 12dp so a 1-ulp ln() "
+    "difference cannot flip the k-th place); plans as TakeOrderedAndProject — "
+    "per-task partial top-k, never a full sort (operators/sampling.py::weighted_sample_wor)",
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sampling import weighted_sample_wor
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_wor(d, "n_chars", _WSAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (r3)
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_sketch_lineitem",
+    oracle="""
+WITH v AS (
+  SELECT CAST(
+    substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+    || repeat('0', length(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR)) - 1)
+  AS BIGINT) AS lo
+  FROM lineitem WHERE l_extendedprice >= 0
+),
+b AS (SELECT lo, COUNT(*) AS c FROM v GROUP BY lo),
+cums AS (
+  SELECT lo,
+         SUM(c) OVER (ORDER BY lo ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM b
+),
+wide AS (
+  SELECT MIN(CASE WHEN cum * 100 >= 25 * n THEN lo END) AS est_25,
+         MIN(CASE WHEN cum * 100 >= 50 * n THEN lo END) AS est_50,
+         MIN(CASE WHEN cum * 100 >= 75 * n THEN lo END) AS est_75,
+         MIN(CASE WHEN cum * 100 >= 95 * n THEN lo END) AS est_95
+  FROM cums
+)
+SELECT 25 AS q, est_25 AS est_lo FROM wide
+UNION ALL SELECT 50, est_50 FROM wide
+UNION ALL SELECT 75, est_75 FROM wide
+UNION ALL SELECT 95, est_95 FROM wide
+""",
+    doc="mergeable quantile sketch: decimal-digit log histogram (~9 buckets/decade, "
+    "constant size, merging partials = the same SUM — like CMS/HLL) built from "
+    "floor+string ops only (no transcendental whose ulp could flip a bucket "
+    "boundary); estimate = lower bound of the bucket reaching ceil(q*n), tested "
+    "as all-integer cum*100 >= q*n (operators/sketches.py::quantile_sketch); "
+    "exact complement: quantiles_lineitem",
+)
+def quantile_sketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sketches import quantile_sketch
+
+    return quantile_sketch(read_table(spark, sf_dir, "lineitem"), "l_extendedprice")

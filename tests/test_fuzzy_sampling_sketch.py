@@ -1,0 +1,113 @@
+"""Round-3 operators: PassJoin fuzzy pairs (banding must lose NO pair vs
+brute force), Efraimidis-Spirakis weighted sampling (deterministic,
+weight-biased), and the digit-bucket quantile sketch (one-bucket error
+bound vs exact percentiles)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.operators.dedup import fuzzy_key, fuzzy_pairs
+from github_etl_pipeline_spark.operators.sampling import weighted_sample_wor
+from github_etl_pipeline_spark.operators.sketches import quantile_sketch
+from github_etl_pipeline_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fuzzy_pairs_equals_brute_force(spark):
+    """The segment filter is a CANDIDATE generator — it must retain every
+    true pair (pigeonhole guarantee). Compare against the quadratic
+    crossJoin ground truth on the small corpus, including indel cases
+    where the match is at a shifted position."""
+    docs = read_table(spark, SF, "documents")
+    got = {
+        (r.id_a, r.id_b, r.edit_distance) for r in fuzzy_pairs(docs).collect()
+    }
+    k = docs.select(F.col("doc_id").alias("id"), fuzzy_key("text").alias("key"))
+    a = k.select(F.col("id").alias("id_a"), F.col("key").alias("ka"))
+    b = k.select(F.col("id").alias("id_b"), F.col("key").alias("kb"))
+    brute = {
+        (r.id_a, r.id_b, r.ed)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("ka", "kb").cast("long").alias("ed"))
+        .where(F.col("ed") <= 2)
+        .collect()
+    }
+    assert got == brute
+    assert brute, "fixture produced no fuzzy pairs — test would be vacuous"
+
+
+def test_fuzzy_pairs_synthetic_indels(spark):
+    """Hand-built cases on exact-key-length strings: substitutions at
+    distance 1/2 caught, distance 3 excluded, and a front-deletion that
+    SHIFTS every segment (caught only because probes scan start offsets
+    within +-max_ed — the part a naive same-position segment join
+    misses)."""
+    base = "abcdefghijklmnopqrstuvwx"  # exactly FUZZY_KEY_LEN chars
+    rows = [
+        (1, base),
+        (2, "1" + base[1:]),                       # 1 substitution
+        (3, "1" + base[1:12] + "2" + base[13:]),   # 2 substitutions
+        (4, "1" + base[1:11] + "23" + base[13:]),  # 3 substitutions
+        (5, base[1:] + "z"),  # delete front + append: ed 2, all segs shift -1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.edit_distance for r in fuzzy_pairs(df).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert got[(1, 5)] == 2
+    assert (1, 4) not in got
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """Same k rows on every run; heavy rows must be overrepresented
+    relative to their population share."""
+    rows = [(i, 1000 if i < 100 else 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = sorted(r.doc_id for r in weighted_sample_wor(df, "w", 50, id_col="doc_id").collect())
+    s2 = sorted(r.doc_id for r in weighted_sample_wor(df, "w", 50, id_col="doc_id").collect())
+    assert s1 == s2 and len(s1) == 50
+    heavy = sum(1 for i in s1 if i < 100)
+    # heavy rows are 10% of the population at 100x the weight — they must
+    # dominate the sample (E[heavy] ~ 46/50); >25 is a generous floor
+    assert heavy > 25, heavy
+
+
+def test_weighted_sample_excludes_nonpositive_and_respects_k(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 7), (4, 7)], "doc_id long, w long"
+    )
+    got = sorted(r.doc_id for r in weighted_sample_wor(df, "w", 10, id_col="doc_id").collect())
+    assert got == [3, 4]
+
+
+def test_quantile_sketch_one_bucket_error(spark):
+    """Every estimate must be a bucket lower bound at-or-below the exact
+    percentile, and the exact percentile must fall inside that bucket
+    (lo <= exact < 10 * lo)."""
+    li = read_table(spark, SF, "lineitem")
+    est = {r.q: r.est_lo for r in quantile_sketch(li, "l_extendedprice").collect()}
+    exact = li.selectExpr(
+        "percentile(l_extendedprice, array(0.25, 0.50, 0.75, 0.95)) AS p"
+    ).collect()[0].p
+    for q, ex in zip((25, 50, 75, 95), exact):
+        lo = est[q]
+        assert lo <= ex < 10 * lo, (q, lo, ex)
+
+
+def test_quantile_sketch_is_constant_size(spark):
+    """The sketch aggregate's bucket table must stay ~9/decade regardless
+    of row count — the mergeability/constant-size claim."""
+    from github_etl_pipeline_spark.operators.sketches import digit_bucket_lo
+
+    li = read_table(spark, "/root/testdata/sf0.01", "lineitem")
+    n_buckets = (
+        li.where(F.col("l_extendedprice") >= 0)
+        .select(digit_bucket_lo("l_extendedprice").alias("lo"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets < 60, n_buckets
