@@ -459,3 +459,74 @@ def centroid_outliers(
         .where(F.col("rank") <= k)
         .select(group_col, "rank", id_col)
     )
+
+
+def cosine_topk_gemm(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Exact cosine top-k via ONE BLAS matmul per Arrow batch — the
+    vectorized twin of ``cosine_topk``. The broadcast-small-queries /
+    scan-the-corpus shape is identical; the per-pair SQL expression tree
+    is replaced by ``V @ Q.T`` inside mapInPandas, which is the form that
+    keeps up when dim x queries grows (expression-tree dots evaluate
+    interpreted per element; BLAS is a fused kernel per batch).
+
+    Cross-engine determinism: BLAS pairwise/FMA summation differs from a
+    sequential SQL fold in final ulps, so similarities are rounded to
+    ``round_dp`` decimals BEFORE ranking (ties then break by neighbor
+    id) — both the per-batch local top-k and the global rank use that
+    same total order, making local-then-global top-k exact. Each batch
+    emits at most queries x k rows, so the final exchange is tiny.
+
+    Float32 embeddings are promoted to float64 BEFORE any arithmetic
+    (matches the SQL/DuckDB double pipelines bit-for-bit on the inputs).
+    """
+    qpdf = queries.select(query_id_col, query_vec_col).toPandas()  # query set: small by contract
+    import numpy as np
+
+    qids = qpdf[query_id_col].to_numpy()
+    qmat = np.stack(qpdf[query_vec_col].to_numpy()).astype(np.float64)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+    out_schema = f"{query_id_col} long, neighbor_id long, sim double"
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            vnorm = np.sqrt((vmat * vmat).sum(axis=1))
+            sims = np.round(
+                (vmat @ qmat.T) / (vnorm[:, None] * qnorm[None, :]), round_dp
+            )
+            cols_q, cols_n, cols_s = [], [], []
+            for j in range(len(qids)):
+                mask = ids != qids[j]
+                sj, ij = sims[mask, j], ids[mask]
+                order = np.lexsort((ij, -sj))[:k]
+                cols_q.extend([qids[j]] * len(order))
+                cols_n.extend(ij[order].tolist())
+                cols_s.extend(sj[order].tolist())
+            yield pd.DataFrame(
+                {query_id_col: cols_q, "neighbor_id": cols_n, "sim": cols_s}
+            )
+
+    local = emb.select(id_col, vec_col).mapInPandas(fn, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id")
+    )

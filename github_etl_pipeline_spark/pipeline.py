@@ -67,6 +67,11 @@ def run_pipeline(
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         consolidated = output_dir / "all_pools_data.json"
+        # the output surface takes THREE actions over pools (JSON collect,
+        # counter agg, CSV export) — persist the pool-cardinality aggregate
+        # so the corpus-sized scan+shuffle below it runs once, not three
+        # times (pools is one row per file: tiny at any corpus size)
+        pools.persist()
         write_consolidated_json(pools, consolidated)
 
         # A9 counters: a file "failed" when it had raw lines but none
@@ -84,5 +89,6 @@ def run_pipeline(
         save_summary_report(summary, counters, output_dir / "_pipeline_summary.json")
         generate_index_file(consolidated, output_dir / "_index.json")
         save_as_csv(pools, output_dir / "_all_files_summary.csv")
+        pools.unpersist()
 
     return pools, summary

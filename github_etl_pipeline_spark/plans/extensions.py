@@ -1105,3 +1105,72 @@ def quantile_sketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.operators.sketches import quantile_sketch
 
     return quantile_sketch(read_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured via VARIANT (Spark 4) — binary-encoded JSON, typed path
+# extraction without per-query re-parsing (r3)
+# ---------------------------------------------------------------------------
+@register(
+    "props_variant_events",
+    oracle="""
+WITH p AS (
+  SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+  FROM events
+)
+SELECT k // 10 AS k_decile, COUNT(*) AS cnt,
+       CAST(MAX(k) AS BIGINT) AS max_k,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM p WHERE k IS NOT NULL GROUP BY k // 10
+""",
+    doc="VARIANT-typed semi-structured extraction (Spark 4 try_parse_json + "
+    "try_variant_get): props parses ONCE into the binary Variant encoding, "
+    "typed paths extract without re-tokenizing — vs props_parse_events' "
+    "regex path; at 100 TB parse-once-then-extract beats per-field regex "
+    "passes and survives schema-on-read drift (malformed rows -> NULL, "
+    "TRY semantics on both engines)",
+)
+def props_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    p = e.select(k.alias("k"), "value").where(F.col("k").isNotNull())
+    return (
+        p.select(F.expr("k div 10").alias("k_decile"), "k", "value")
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ann_topk_gemm",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(e.ev, q.qv)
+               / (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))), 9) AS cos
+  FROM e CROSS JOIN q WHERE e.vec_id != q.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+""",
+    doc="exact cosine top-k via BLAS matmul per Arrow batch (mapInPandas GEMM, "
+    "operators/similarity.py::cosine_topk_gemm) — the vectorized fast path next "
+    "to ann_topk_bruteforce's expression-tree baseline; similarities rounded to "
+    "9dp before ranking so BLAS-vs-sequential summation ulps cannot flip ranks, "
+    "per-batch local top-k bounds the exchange to queries x k rows per task",
+)
+def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.cosine_topk_gemm(emb, queries, k=5)

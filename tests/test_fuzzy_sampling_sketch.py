@@ -111,3 +111,22 @@ def test_quantile_sketch_is_constant_size(spark):
         .count()
     )
     assert n_buckets < 60, n_buckets
+
+
+def test_gemm_topk_equals_expression_topk(spark):
+    """The BLAS path and the SQL expression tree must produce identical
+    ranks (the 9dp rounding absorbs summation-order ulps)."""
+    from pyspark.sql import functions as F
+
+    from github_etl_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_gemm,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = {(r.query_id, r.rank, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    b = {(r.query_id, r.rank, r.neighbor_id) for r in cosine_topk_gemm(emb, queries, k=5).collect()}
+    assert a == b and len(a) == 25

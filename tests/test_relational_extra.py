@@ -131,3 +131,31 @@ def test_event_micros_rejects_unsupported_dtype(spark):
     df = spark.createDataFrame([("x",)], "ts string")
     with pytest.raises(TypeError, match="unsupported dtype"):
         event_micros(df, "ts")
+
+
+def test_event_micros_batch_roundtrip_all_dtypes(spark):
+    """200 pseudo-random instants (1970..2100, microsecond precision)
+    through all three physical representations must yield identical
+    micros — the batch version of the single-instant dispatch test."""
+    import hashlib
+
+    us_values = [
+        int.from_bytes(hashlib.md5(f"epoch:{i}".encode()).digest()[:7], "big")
+        % 4_102_444_800_000_000
+        for i in range(200)
+    ]
+    dts = [
+        datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=u)
+        for u in us_values
+    ]
+    nanos = spark.createDataFrame([(u * 1000,) for u in us_values], "ts long")
+    ntz = spark.createDataFrame([(d,) for d in dts], "ts timestamp_ntz")
+    ltz = spark.createDataFrame([(d,) for d in dts], "ts timestamp")
+    results = []
+    for df in (nanos, ntz, ltz):
+        got = sorted(
+            r.us for r in df.select(event_micros(df, "ts").alias("us")).collect()
+        )
+        results.append(got)
+    assert results[0] == sorted(us_values)
+    assert results[0] == results[1] == results[2]
