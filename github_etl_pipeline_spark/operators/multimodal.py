@@ -210,3 +210,99 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return media.where(F.col("kind") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average-hash (aHash) for media dedup — real algorithm over the
+# deterministic fake decode (the documented codec stub)
+# ---------------------------------------------------------------------------
+AHASH_BITS = 48  # 3 md5 digests x 16 bytes = 48 "pixels" (pigeonhole-bandable)
+AHASH_BANDS = 4
+
+
+def ahash_pixel_digests(text_col):
+    """The fake-decoded 'grayscale pixels': 3 md5 digests of the payload
+    with a counter suffix, 16 bytes each — deterministic, engine-portable
+    (DuckDB computes the identical hex). A real decoder would replace
+    this with an 8x8 downscale; everything downstream (mean threshold,
+    bit packing, Hamming banding) is the actual aHash algorithm."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [F.md5(F.concat(c, F.lit(str(d)))) for d in range(AHASH_BITS // 16)]
+
+
+def media_ahash(media_text: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(media_id, ahash): 48-bit perceptual average-hash — bit j set iff
+    pixel_j >= mean, tested in exact integers as pixel_j * 48 >= sum
+    (no float mean, no rounding ambiguity). Pure generated expressions:
+    two projections (digests, then pixels+pack), no UDF, no shuffle."""
+    h = media_text.select(
+        F.col(id_col).alias("media_id"),
+        *[d.alias(f"_h{i}") for i, d in enumerate(ahash_pixel_digests(text_col))],
+    )
+    pixels = [
+        F.conv(F.substring(f"_h{d}", 2 * i + 1, 2), 16, 10).cast("long")
+        for d in range(AHASH_BITS // 16)
+        for i in range(16)
+    ]
+    p = h.select("media_id", *[px.alias(f"_p{j}") for j, px in enumerate(pixels)])
+    total = sum((F.col(f"_p{j}") for j in range(AHASH_BITS)), F.lit(0))
+    s = p.withColumn("_total", total)
+    packed = sum(
+        (
+            F.when(F.col(f"_p{j}") * AHASH_BITS >= F.col("_total"), F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(AHASH_BITS)
+        ),
+        F.lit(0),
+    )
+    return s.select("media_id", packed.cast("long").alias("ahash"))
+
+
+def media_dup_pairs(
+    media_text: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual near-dup media pairs: band the 48-bit aHash into 4
+    12-bit keys (pigeonhole: Hamming <= 3 pairs agree on >= 1 band —
+    LOSSLESS for the threshold), hash-join bands, verify with
+    bit_count(xor) exactly. Same scale shape as the SimHash text pairs:
+    the shuffle carries (band, key) rows, never all pairs."""
+    ah = media_ahash(media_text, text_col, id_col)
+    bits_per_band = AHASH_BITS // AHASH_BANDS
+    mask = (1 << bits_per_band) - 1
+    keyed = ah.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("ahash", b * bits_per_band)
+                        .bitwiseAND(mask)
+                        .alias("bkey"),
+                    )
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("media_id", "ahash", "_bk.band", "_bk.bkey")
+    a = keyed.select(
+        F.col("media_id").alias("id_a"), F.col("ahash").alias("ha"), "band", "bkey"
+    )
+    b = keyed.select(
+        F.col("media_id").alias("id_b"), F.col("ahash").alias("hb"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.where(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.cast("long").alias("hamming")
+    )

@@ -1174,3 +1174,109 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.cosine_topk_gemm(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual media dedup (aHash over the deterministic fake decode, r3)
+# ---------------------------------------------------------------------------
+def _ahash_ctes() -> str:
+    from github_etl_pipeline_spark.operators.multimodal import AHASH_BITS
+
+    digests = ", ".join(
+        f"md5(text || '{d}') AS h{d}" for d in range(AHASH_BITS // 16)
+    )
+    pixels = ", ".join(
+        f"CAST(('0x' || substr(h{d}, {2 * i + 1}, 2)) AS BIGINT) AS p{d * 16 + i}"
+        for d in range(AHASH_BITS // 16)
+        for i in range(16)
+    )
+    total = " + ".join(f"p{j}" for j in range(AHASH_BITS))
+    packed = " + ".join(
+        f"(CASE WHEN p{j} * {AHASH_BITS} >= total THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(AHASH_BITS)
+    )
+    return f"""
+h AS (SELECT doc_id AS media_id, {digests} FROM documents),
+p AS (SELECT media_id, {pixels} FROM h),
+s AS (SELECT media_id, {total} AS total, * FROM p),
+ah AS (SELECT media_id, {packed} AS ahash FROM s)
+"""
+
+
+@register(
+    "media_ahash_documents",
+    oracle=f"WITH {_ahash_ctes().strip()}\nSELECT media_id, ahash FROM ah",
+    doc="perceptual average-hash (aHash) per media payload: bit j set iff "
+    "pixel_j >= mean, tested as exact-integer pixel*48 >= sum over the "
+    "deterministic fake-decode pixels (real decoder stubbed, algorithm real) — "
+    "two pure projections, no UDF, no shuffle (operators/multimodal.py)",
+)
+def media_ahash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.multimodal import media_ahash
+
+    return media_ahash(read_table(spark, sf_dir, "documents"))
+
+
+def _ahash_pairs_oracle() -> str:
+    from github_etl_pipeline_spark.operators.multimodal import AHASH_BANDS, AHASH_BITS
+
+    bpb = AHASH_BITS // AHASH_BANDS
+    mask = (1 << bpb) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT media_id, ahash, {b} AS band, (ahash >> {b * bpb}) & {mask} AS bkey FROM ah"
+        for b in range(AHASH_BANDS)
+    )
+    return f"""
+WITH {_ahash_ctes().strip()},
+bk AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.ahash AS ha, b.ahash AS hb
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
+@register(
+    "media_dup_pairs_documents",
+    oracle=_ahash_pairs_oracle(),
+    doc="perceptual near-dup media pairs: 4x12-bit banding of the 48-bit aHash "
+    "(lossless for Hamming <= 3 by pigeonhole), hash-join bands, exact "
+    "bit_count(xor) verify — the SimHash pair-mining shape applied to media "
+    "payloads; shuffle carries (band, key) rows, never all pairs. NOTE the "
+    "fake decode is md5-random, NOT perceptual: only byte-identical payloads "
+    "can pair on this testdata (driver corpus has none -> 0 rows in BOTH "
+    "engines; tests/test_fuzzy_sampling_sketch.py exercises real dup payloads)",
+)
+def media_dup_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.multimodal import media_dup_pairs
+
+    return media_dup_pairs(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sliding_event_counts",
+    oracle="""
+WITH e AS (SELECT epoch_us(ts) AS tsu, event_type, value FROM events),
+x AS (SELECT tsu, event_type, value, unnest([0, 1]) AS k FROM e)
+SELECT (tsu // 1800000000 - k) * 1800000000 AS window_start_us,
+       (tsu // 1800000000 - k) * 1800000000 + 3600000000 AS window_end_us,
+       event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM x GROUP BY 1, 2, 3
+""",
+    doc="sliding event-time windows (1h duration / 30min slide): each event "
+    "fans out to duration/slide = 2 overlapping windows JVM-side (Expand) "
+    "before ONE aggregate shuffle — the oracle reproduces the fan-out with "
+    "an integer unnest; unified batch/streaming operator "
+    "(streaming/windows.py::windowed_event_counts with slide)",
+)
+def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(
+        read_table(spark, sf_dir, "events"),
+        window_duration="1 hour",
+        slide="30 minutes",
+    )

@@ -15,12 +15,14 @@ volume, each micro-batch shuffles only its own partial (one hash
 aggregate per batch), and restarts are safe because the streaming
 checkpoint replays unprocessed files only.
 
-One semantic caveat (documented, tested): the combine step is keyed by
-hour bucket and ADDS partials, so replaying the SAME batch twice would
-double-count — exactly-once here relies on the file-source checkpoint
-(as the reference's CI ledger does, streaming/incremental.py). A
-content-keyed MERGE (batch_id high-water column) would make the combine
-itself idempotent; noted as the Delta upgrade path.
+Exactly-once: Structured Streaming may re-run a micro-batch after a
+sink failure (foreachBatch is at-least-once), and ADDING the same
+partial twice double-counts. The sink therefore records the epoch id it
+last applied in a ``_last_batch`` sidecar INSIDE the store directory
+(swapped atomically with the data): a replayed batch_id <= high-water is
+skipped. Sidecar-and-data move together in the same staging rename, so
+a crash between "data written" and "marker written" cannot happen —
+retries are idempotent (tested by replaying a batch through the sink).
 """
 
 from __future__ import annotations
@@ -69,10 +71,20 @@ def maintain_hourly_rollup(
     time_col: str = "ts",
 ):
     """Start (availableNow) a stream that keeps the hourly rollup store
-    current. Returns the StreamingQuery; callers awaitTermination()."""
+    current. Returns the StreamingQuery; callers awaitTermination().
+
+    The store and ``checkpoint_dir`` are a PAIR: epoch ids in the
+    store's ``_last_batch`` high-water marker are only meaningful against
+    the checkpoint that produced them. Re-pointing an existing store at a
+    fresh checkpoint restarts epoch numbering at 0 and the marker would
+    silently skip the first batches — start a fresh store with a fresh
+    checkpoint."""
     store_path = Path(store_path)
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        marker = store_path / "_last_batch"
+        if marker.exists() and batch_id <= int(marker.read_text()):
+            return  # replayed epoch — already applied, skip (idempotent)
         partial = hourly_partial(batch_df, time_col)
         if store_path.exists():
             existing = spark.read.parquet(str(store_path))
@@ -81,6 +93,8 @@ def maintain_hourly_rollup(
             merged = partial
         staging = store_path.with_name(store_path.name + "._staging")
         merged.write.mode("overwrite").parquet(str(staging))
+        # high-water travels WITH the data in one atomic rename
+        (staging / "_last_batch").write_text(str(batch_id))
         import shutil
 
         if store_path.exists():

@@ -51,8 +51,13 @@ def windowed_event_counts(
     window_duration: str = "1 hour",
     watermark: str = "2 hours",
     time_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + decimal-exact value sums per event_type.
+    """Tumbling (default) or sliding (``slide`` < duration) window counts
+    + decimal-exact value sums per event_type. A sliding window assigns
+    each event to duration/slide overlapping windows (Spark's window()
+    does the fan-out JVM-side as an Expand, before the one aggregate
+    shuffle).
 
     ``events`` may be a streaming OR batch DataFrame; with streaming input
     the watermark bounds state and drops data later than ``watermark``.
@@ -60,7 +65,7 @@ def windowed_event_counts(
     sum_value.
     """
     et = _event_time(events, time_col).alias("_et")
-    w = F.window("_et", window_duration)
+    w = F.window("_et", window_duration, slide) if slide else F.window("_et", window_duration)
     df = events.select(et, "event_type", "value")
     if df.isStreaming:
         df = df.withWatermark("_et", watermark)

@@ -130,3 +130,31 @@ def test_gemm_topk_equals_expression_topk(spark):
     a = {(r.query_id, r.rank, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
     b = {(r.query_id, r.rank, r.neighbor_id) for r in cosine_topk_gemm(emb, queries, k=5).collect()}
     assert a == b and len(a) == 25
+
+
+def test_media_ahash_pairs_on_duplicate_payloads(spark):
+    """The registered corpus has no byte-identical payloads (md5 fake
+    pixels are not perceptual), so the end-to-end pair query is 0-row by
+    construction; this exercises the actual dedup path: byte-identical
+    payloads MUST pair at hamming 0, near-miss bytes must not."""
+    from github_etl_pipeline_spark.operators.multimodal import (
+        media_ahash,
+        media_dup_pairs,
+    )
+
+    rows = [
+        (1, "payload-alpha"),
+        (2, "payload-alpha"),   # exact duplicate of 1
+        (3, "payload-alpha!"),  # different bytes -> unrelated md5 pixels
+        (4, "payload-beta"),
+        (5, "payload-beta"),    # exact duplicate of 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.hamming for r in media_dup_pairs(df).collect()}
+    assert got.get((1, 2)) == 0
+    assert got.get((4, 5)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+    # hash determinism: same payload -> same 48-bit hash, within range
+    hashes = {r.media_id: r.ahash for r in media_ahash(df).collect()}
+    assert hashes[1] == hashes[2] and hashes[4] == hashes[5]
+    assert all(0 <= h < (1 << 48) for h in hashes.values())

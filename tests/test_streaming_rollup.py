@@ -61,3 +61,32 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
     # derived average agrees with total/n
     for r in read_rollup(spark, store).collect():
         assert abs(r.avg_value - r.total_value / r.n) < 1e-9
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate a replay by wiping the
+    checkpoint (the same file re-arrives as epoch 0 again) — the store's
+    _last_batch high-water must skip it, keeping totals un-doubled."""
+    src = tmp_path / "replay_src"
+    src.mkdir()
+    store = tmp_path / "replay_store"
+    ck = tmp_path / "replay_ck"
+
+    batch_events = read_table(spark, SF, "events")
+    pdf = batch_events.limit(300).toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(src / "a.parquet")
+
+    def drain():
+        stream = spark.readStream.schema(batch_events.schema).parquet(str(src))
+        q = maintain_hourly_rollup(spark, stream, store, ck)
+        q.awaitTermination()
+
+    drain()
+    first = {r.hour_bucket: r.n for r in read_rollup(spark, store).collect()}
+    assert (store / "_last_batch").read_text() == "0"
+
+    shutil.rmtree(ck)  # lost checkpoint -> the batch replays as epoch 0
+    drain()
+    again = {r.hour_bucket: r.n for r in read_rollup(spark, store).collect()}
+    assert again == first, "replayed epoch must not double-count"
