@@ -149,3 +149,92 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     s, s2, k = F.col("s"), F.col("s2"), F.col("k")
     z = (F.col("revenue") - s / k) / F.sqrt((s2 - s * s / k) / (k - 1))
     return t.where(k >= 2).select("day", "revenue", F.round(z, 4).alias("zscore"))
+
+
+@register(
+    "user_value_trend_events",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tsu, value FROM events WHERE event_type = 'purchase'
+),
+b AS (SELECT MIN(tsu) AS t0 FROM e),
+s AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         SUM(CAST((tsu - t0) // {_DAY_US} AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sy,
+         SUM(CAST((tsu - t0) // {_DAY_US} AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxy,
+         SUM(CAST((tsu - t0) // {_DAY_US} AS DECIMAL(18,2)) * CAST((tsu - t0) // {_DAY_US} AS DECIMAL(18,2))) AS sx2
+  FROM e CROSS JOIN b
+  GROUP BY user_id
+)
+SELECT user_id, n,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+FROM s
+WHERE n >= 3 AND n * sx2 <> sx * sx
+""",
+    doc="per-user spend trend: closed-form OLS (slope/intercept) from ONE "
+    "grouped pass of decimal-exact sums (n, sx, sy, sxy, sx2) — per-key "
+    "regression without applyInPandas; day offsets from the corpus min keep "
+    "x small so decimal squares never overflow; degenerate (constant-x or "
+    "n<3) groups filtered identically in both engines",
+)
+def user_value_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        event_micros(ev, "ts").alias("tsu"),
+        F.col("value").cast("decimal(18,2)").alias("_y"),
+    )
+    t0 = e.agg(F.min("tsu").alias("t0"))
+    e = e.crossJoin(F.broadcast(t0)).select(
+        "user_id",
+        F.expr(f"CAST((tsu - t0) div {_DAY_US} AS DECIMAL(18,2))").alias("_x"),
+        "_y",
+    )
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sx2"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sx2 = F.col("sxy").cast("double"), F.col("sx2").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return s.where(
+        (n >= 3) & (n * F.col("sx2") != F.col("sx") * F.col("sx"))
+    ).select(
+        "user_id", "n", F.round(slope, 6).alias("slope"), F.round(intercept, 6).alias("intercept")
+    )
+
+
+@register(
+    "latency_percentiles_events",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.90), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+    doc="per-group exact interpolated percentiles (the p50/p90/p99 service "
+    "report shape): Spark percentile() == DuckDB quantile_cont (same "
+    "linear-interpolation definition; 6dp rounding absorbs the engines' "
+    "differing-but-equivalent interpolation expressions); one shuffle, "
+    "sort-based percentile within each group",
+)
+def latency_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )

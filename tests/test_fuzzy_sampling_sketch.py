@@ -158,3 +158,46 @@ def test_media_ahash_pairs_on_duplicate_payloads(spark):
     hashes = {r.media_id: r.ahash for r in media_ahash(df).collect()}
     assert hashes[1] == hashes[2] and hashes[4] == hashes[5]
     assert all(0 <= h < (1 << 48) for h in hashes.values())
+
+
+def test_fuzzy_pairs_randomized_edits_vs_brute(spark):
+    """Deterministic randomized stress: 150 random base strings plus
+    mutants at 1-3 seeded edits (substitution / deletion / insertion at
+    random positions) — the banded result must equal brute force on the
+    whole set (the pigeonhole argument exercised across random edit
+    placements, not just hand-picked cases)."""
+    import random
+
+    rng = random.Random(20260813)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    rows = []
+    doc_id = 0
+    for _ in range(150):
+        base = "".join(rng.choice(alphabet) for _ in range(24))
+        rows.append((doc_id, base)); doc_id += 1
+        s = base
+        for _ in range(rng.randint(1, 3)):
+            pos = rng.randrange(len(s))
+            op = rng.choice("sdi")
+            if op == "s":
+                s = s[:pos] + rng.choice(alphabet) + s[pos + 1:]
+            elif op == "d" and len(s) > 1:
+                s = s[:pos] + s[pos + 1:]
+            else:
+                s = s[:pos] + rng.choice(alphabet) + s[pos:]
+        rows.append((doc_id, s)); doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b, r.edit_distance) for r in fuzzy_pairs(df).collect()}
+    k = df.select(F.col("doc_id").alias("id"), fuzzy_key("text").alias("key"))
+    a = k.select(F.col("id").alias("id_a"), F.col("key").alias("ka"))
+    b = k.select(F.col("id").alias("id_b"), F.col("key").alias("kb"))
+    brute = {
+        (r.id_a, r.id_b, r.ed)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("ka", "kb").cast("long").alias("ed"))
+        .where(F.col("ed") <= 2)
+        .collect()
+    }
+    assert got == brute
+    assert len(brute) >= 50, len(brute)  # the mutants guarantee real pairs

@@ -29,6 +29,8 @@ SF_DIR = "/root/testdata/sf0.001"
 #     heavy-hitter relation
 #   unigram_logprob_outliers — 1-row corpus-token-total broadcast onto
 #     the unigram vocab relation
+#   user_value_trend_events — 1-row corpus-min-timestamp broadcast
+#     attached before the per-user OLS aggregate (scalar attach)
 ALLOWED_NESTED_LOOP = {
     "ann_topk_bruteforce",
     "top_terms_by_source",
@@ -36,6 +38,7 @@ ALLOWED_NESTED_LOOP = {
     "vocabulary_documents",
     "skew_profile_orders",
     "unigram_logprob_outliers",
+    "user_value_trend_events",
 }
 
 
