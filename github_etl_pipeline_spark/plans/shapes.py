@@ -86,3 +86,130 @@ def unpivot_order_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="status_metric",
         valueColumnName="n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two table versions) — r3
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s, o_orderpriority AS p,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS t
+  FROM orders
+),
+new AS (
+  SELECT k, s, p, CASE WHEN k % 101 = 0 THEN t + 1 ELSE t END AS t
+  FROM old WHERE k % 97 <> 0
+  UNION ALL
+  SELECT k + 10000000, s, p, t FROM old WHERE k % 103 = 0
+),
+d AS (
+  SELECT COALESCE(o.k, n.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.s <> n.s OR o.p <> n.p OR o.t <> n.t THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old o FULL JOIN new n ON o.k = n.k
+)
+SELECT change_type, COUNT(*) AS n,
+       CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key
+FROM d GROUP BY change_type
+""",
+    doc="snapshot CDC diff (operators/diff.py::snapshot_diff): added/removed/"
+    "changed/unchanged per key via ONE full-outer hash join comparing md5 row "
+    "fingerprints (16 bytes per matched key, independent of column count) — "
+    "the new snapshot is the old one with deterministic synthetic drops (k%97), "
+    "price bumps (k%101) and inserts (k%103); decimals in the fingerprint so "
+    "the canonical string encoding is engine-portable (the oracle compares "
+    "columns directly — same semantics, different mechanism)",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.diff import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("t"),
+    )
+    k, t = F.col("k"), F.col("t")
+    new = old.where(k % 97 != 0).withColumn(
+        "t", F.when(k % 101 == 0, t + 1).otherwise(t)
+    ).unionByName(
+        old.where(k % 103 == 0).withColumn("k", k + 10_000_000)
+    )
+    d = snapshot_diff(old, new, key="k", compare_cols=["s", "p", "t"])
+    return d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass all-columns table profiler — r3
+# ---------------------------------------------------------------------------
+@register(
+    "profile_columns_orders",
+    oracle="""
+WITH c AS (
+  SELECT o_orderkey AS o_orderkey, o_custkey,
+         o_orderstatus, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS o_totalprice,
+         CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name, COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_s, CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM c
+UNION ALL
+SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM c
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus) FROM c
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority) FROM c
+UNION ALL
+SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+       MIN(o_totalprice), MAX(o_totalprice) FROM c
+UNION ALL
+SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+       MIN(o_orderdate), MAX(o_orderdate) FROM c
+""",
+    doc="one-pass all-columns profiler (the DESCRIBE/data-catalog surface): "
+    "per column null count, exact distinct count, canonical min/max strings — "
+    "ONE aggregate over the scan (Catalyst plans multi-distinct via Expand), "
+    "then a zero-shuffle unpivot; doubles profiled through DECIMAL(18,2) and "
+    "timestamps through DATE so min/max strings are engine-canonical",
+)
+def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("o_totalprice"),
+        F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+    )
+    aggs = []
+    for col in c.columns:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
+            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
+            F.min(col).cast("string").alias(f"{col}__min"),
+            F.max(col).cast("string").alias(f"{col}__max"),
+        ]
+    wide = c.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', `{col}__nulls`, `{col}__distinct`, `{col}__min`, `{col}__max`"
+        for col in c.columns
+    )
+    return wide.selectExpr(
+        f"stack({len(c.columns)}, {stack_args}) AS (column_name, n_nulls, n_distinct, min_s, max_s)"
+    )

@@ -201,3 +201,20 @@ def test_fuzzy_pairs_randomized_edits_vs_brute(spark):
     }
     assert got == brute
     assert len(brute) >= 50, len(brute)  # the mutants guarantee real pairs
+
+
+def test_snapshot_diff_semantics(spark):
+    from github_etl_pipeline_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "", 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
+    # 1 unchanged; 2 changed (case); 3 removed; 5 added;
+    # 4: NULL -> "" must register as CHANGED (distinct canonical encodings)
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "changed", 5: "added"}
