@@ -100,6 +100,16 @@ FLAGSHIPS = {
         "user_id exchange — the built-in merge path, same shuffle count as "
         "the hand-rolled lag+sum sessionizer."
     ),
+    "snapshot_diff_orders": (
+        "CDC between snapshots: ONE full-outer SortMergeJoin on the key "
+        "comparing md5 row fingerprints — change detection cost is 16 bytes "
+        "per matched key, independent of how many columns are compared."
+    ),
+    "profile_columns_orders": (
+        "All-columns profiler in one pass: Catalyst plans the 6-column "
+        "multi-distinct aggregate with Expand (one scan), and the wide->long "
+        "melt is a zero-shuffle Generate/stack projection."
+    ),
 }
 
 HEADER = """# PLANS — flagship physical plans
