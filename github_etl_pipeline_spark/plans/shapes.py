@@ -188,28 +188,6 @@ SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate)
     "timestamps through DATE so min/max strings are engine-canonical",
 )
 def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    c = o.select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_orderpriority",
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("o_totalprice"),
-        F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
-    )
-    aggs = []
-    for col in c.columns:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
-            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
-            F.min(col).cast("string").alias(f"{col}__min"),
-            F.max(col).cast("string").alias(f"{col}__max"),
-        ]
-    wide = c.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{col}', `{col}__nulls`, `{col}__distinct`, `{col}__min`, `{col}__max`"
-        for col in c.columns
-    )
-    return wide.selectExpr(
-        f"stack({len(c.columns)}, {stack_args}) AS (column_name, n_nulls, n_distinct, min_s, max_s)"
-    )
+    from github_etl_pipeline_spark.operators.profile import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "orders"))

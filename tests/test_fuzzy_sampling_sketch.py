@@ -218,3 +218,20 @@ def test_snapshot_diff_semantics(spark):
     # 1 unchanged; 2 changed (case); 3 removed; 5 added;
     # 4: NULL -> "" must register as CHANGED (distinct canonical encodings)
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "changed", 5: "added"}
+
+
+def test_profile_columns_generic_on_events(spark):
+    """The generic profiler must handle the events table's timestamp and
+    double columns (dtype-aware canonicalization) and report exact
+    facts."""
+    from github_etl_pipeline_spark.operators.profile import profile_columns
+
+    e = read_table(spark, SF, "events")
+    prof = {r.column_name: r for r in profile_columns(e).collect()}
+    assert set(prof) == set(e.columns)
+    n = e.count()
+    assert prof["event_id"].n_nulls == 0
+    assert prof["event_id"].n_distinct == n  # primary key
+    assert prof["user_id"].n_distinct == e.select("user_id").distinct().count()
+    # timestamp profiled through DATE -> canonical ISO string
+    assert len(prof["ts"].min_s) == 10 and prof["ts"].min_s[4] == "-"
