@@ -223,3 +223,33 @@ def test_dedup_stream_bounded_state(spark, tmp_path):
     # one survivor per key, and no key emitted twice
     assert len(got) == expect
     assert len({(r.user_id, r.event_type) for r in got}) == expect
+
+
+def test_sliding_windows_stream_equals_batch(spark, tmp_path):
+    """Sliding (1h/30min) windowed counts on a REAL stream must equal the
+    batch execution — each event fans out to two overlapping windows in
+    both modes."""
+    batch_events = read_table(spark, SF, "events")
+    expect = {
+        (r.window_start_us, r.event_type): (r.cnt, r.sum_value)
+        for r in windowed_event_counts(batch_events, slide="30 minutes").collect()
+    }
+    stream = _stream_events(spark, tmp_path)
+    q = (
+        windowed_event_counts(stream, slide="30 minutes")
+        .writeStream.format("memory")
+        .queryName("slide_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start_us, r.event_type): (r.cnt, r.sum_value)
+        for r in spark.sql("SELECT * FROM slide_counts").collect()
+    }
+    assert got == expect
+    # sanity: sliding windows double-assign -> total window-event count
+    # is exactly 2x the tumbling assignment
+    assert sum(c for c, _ in got.values()) == 2 * batch_events.count()
