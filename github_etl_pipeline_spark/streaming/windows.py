@@ -5,8 +5,8 @@ micro-batch incremental, covered by streaming/incremental.py. These
 operators supply the Structured Streaming surface a training-data
 pipeline needs on event streams:
 
-  * ``windowed_event_counts`` — tumbling event-time windows with a
-    watermark for late data: the canonical
+  * ``windowed_event_counts`` — tumbling (or, with ``slide``, sliding)
+    event-time windows with a watermark for late data: the canonical
     ``readStream -> withWatermark -> groupBy(window(...)) -> writeStream``
     shape. Works identically on a batch DataFrame (Spark's unified
     semantics) — tests exercise both, so correctness is checkable
