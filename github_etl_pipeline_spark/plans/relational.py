@@ -1708,3 +1708,20 @@ def overlap_click_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFram
         "b_day",
         (F.least("a_end", "b_end") - F.greatest("a_start", "b_start")).alias("overlap_us"),
     )
+
+
+_sql_query(
+    "grouping_sets_orders",
+    """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+""",
+    "explicit GROUPING SETS (disjoint one-dimensional slices — neither rollup "
+    "nor cube) with GROUPING() disambiguation of the NULL-vs-'ALL' cells: one "
+    "Expand + one aggregate shuffle, identical SQL on both engines",
+)

@@ -191,3 +191,43 @@ def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.operators.profile import profile_columns
 
     return profile_columns(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "window_rank_extras_events",
+    oracle="""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         ROUND(percent_rank() OVER w, 6) AS pct_rank,
+         ROUND(cume_dist() OVER w, 6) AS cume,
+         nth_value(event_id, 2) OVER (PARTITION BY event_type ORDER BY value, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_id,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+)
+SELECT event_type, event_id, pct_rank, cume, second_id
+FROM r WHERE rn <= 50
+""",
+    doc="rank-family completion (percent_rank / cume_dist / nth_value) per "
+    "event_type over (value, event_id) — deterministic total order so the "
+    "relative-rank doubles are formula-identical across engines (6dp "
+    "rounding); limited to the 50 lowest rows per group to keep the "
+    "registered output bounded",
+)
+def window_rank_extras_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("event_id", 2).over(wf).alias("second_id"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return r.where(F.col("rn") <= 50).select(
+        "event_type", "event_id", "pct_rank", "cume", "second_id"
+    )
