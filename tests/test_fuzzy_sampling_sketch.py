@@ -235,3 +235,35 @@ def test_profile_columns_generic_on_events(spark):
     assert prof["user_id"].n_distinct == e.select("user_id").distinct().count()
     # timestamp profiled through DATE -> canonical ISO string
     assert len(prof["ts"].min_s) == 10 and prof["ts"].min_s[4] == "-"
+
+
+def test_fuzzy_pairs_hot_bucket_skew(spark):
+    """Adversarial skew: every doc shares the same first segment (one hot
+    (seg, value) bucket joining 300x300) — the banded join must complete
+    and still equal brute force. This is the skew shape the docstring
+    points at AQE/salting for at scale; correctness must hold regardless."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    rows = [
+        (i, "commonpr" + "".join(rng.choice(alphabet) for _ in range(16)))
+        for i in range(300)
+    ]
+    # a few true near-dups among the hot-prefix crowd
+    rows += [(1000, rows[0][1][:-1] + "q"), (1001, rows[5][1])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b, r.edit_distance) for r in fuzzy_pairs(df).collect()}
+    k = df.select(F.col("doc_id").alias("id"), fuzzy_key("text").alias("key"))
+    a = k.select(F.col("id").alias("id_a"), F.col("key").alias("ka"))
+    b = k.select(F.col("id").alias("id_b"), F.col("key").alias("kb"))
+    brute = {
+        (r.id_a, r.id_b, r.ed)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("ka", "kb").cast("long").alias("ed"))
+        .where(F.col("ed") <= 2)
+        .collect()
+    }
+    assert got == brute
+    assert (0, 1000, 1) in got and (5, 1001, 0) in got
