@@ -33,6 +33,26 @@ from pyspark.sql import types as T
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+def bucket_div_sql(expr: str, divisor: int) -> str:
+    """SQL fragment for the integer bucketing division used across every
+    time-bucket / decile plan, PINNED to the oracle's semantics.
+
+    Both engines truncate toward zero on integer division: Spark's
+    ``div`` by definition, and DuckDB's integer ``//`` as measured on the
+    baked-in DuckDB 1.0.0 (``-101 // 10 = -10``, ``-5 // 10 = 0`` — NOT
+    Python's floor). So ``expr div N`` on the Spark side and
+    ``expr // N`` in oracle SQL agree for ALL operands, negative
+    included (pre-epoch timestamps, negative keys). That cross-engine
+    agreement is a load-bearing contract, not a coincidence —
+    tests/test_floor_div.py re-measures DuckDB on every run and fails
+    loudly if a DuckDB upgrade ever changes ``//`` to floor semantics.
+    Pure integer arithmetic, stays inside whole-stage codegen.
+    """
+    if divisor <= 0:
+        raise ValueError(f"bucket_div_sql: divisor must be positive, got {divisor}")
+    return f"(({expr}) div {divisor})"
+
+
 def event_micros(df: DataFrame, col: str = "ts") -> Column:
     """BIGINT microseconds-since-epoch for an event-time column, whatever
     its physical type.

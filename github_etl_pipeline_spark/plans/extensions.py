@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from github_etl_pipeline_spark.functions.epoch import bucket_div_sql
 from github_etl_pipeline_spark.functions.hashing import (
     MINHASH_A,
     MINHASH_B,
@@ -1136,7 +1137,7 @@ def props_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.try_variant_get(v, "$.k", "bigint")
     p = e.select(k.alias("k"), "value").where(F.col("k").isNotNull())
     return (
-        p.select(F.expr("k div 10").alias("k_decile"), "k", "value")
+        p.select(F.expr(bucket_div_sql("k", 10)).alias("k_decile"), "k", "value")
         .groupBy("k_decile")
         .agg(
             F.count(F.lit(1)).alias("cnt"),

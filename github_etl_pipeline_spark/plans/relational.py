@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from github_etl_pipeline_spark.functions.epoch import event_micros
+from github_etl_pipeline_spark.functions.epoch import event_micros, bucket_div_sql
 from github_etl_pipeline_spark.plans.registry import register
 from github_etl_pipeline_spark.sources.tables import read_table as _t
 
@@ -829,12 +829,12 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     hourly = (
         e.select(event_micros(e, "ts").alias("tsu"), _dec("value").alias("_v"))
-        .select(F.expr("tsu div 3600000000").alias("hour_bucket"), "_v")
+        .select(F.expr(bucket_div_sql("tsu", 3600000000)).alias("hour_bucket"), "_v")
         .groupBy("hour_bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_v").alias("v"))
     )
     return (
-        hourly.groupBy(F.floor(F.col("hour_bucket") / 24).alias("day_bucket"))
+        hourly.groupBy(F.expr(bucket_div_sql("hour_bucket", 24)).alias("day_bucket"))
         .agg(
             F.sum("n").alias("n_events"),
             F.count(F.lit(1)).alias("n_active_hours"),
@@ -880,7 +880,7 @@ def gapfill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.where(F.col("event_type") == "purchase")
         .select(event_micros(e, "ts").alias("tsu"), _dec("value").alias("_v"))
-        .select(F.expr("tsu div 86400000000").alias("day"), "_v")
+        .select(F.expr(bucket_div_sql("tsu", 86400000000)).alias("day"), "_v")
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("_v").cast("double").alias("rev"))
     )
@@ -979,7 +979,7 @@ def gapfill_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     d = (
         e.select("user_id", event_micros(e, "ts").alias("tsu"))
-        .select("user_id", F.expr("tsu div 86400000000").alias("day"))
+        .select("user_id", F.expr(bucket_div_sql("tsu", 86400000000)).alias("day"))
         .groupBy("user_id", "day")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -1653,10 +1653,11 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e.withColumn("first_ts", F.min("tsu").over(w))
     return (
         e.select(
-            F.expr(f"first_ts div {_WEEK_US}").alias("cohort_week"),
-            (F.expr(f"tsu div {_WEEK_US}") - F.expr(f"first_ts div {_WEEK_US}")).alias(
-                "week_offset"
-            ),
+            F.expr(bucket_div_sql("first_ts", _WEEK_US)).alias("cohort_week"),
+            (
+                F.expr(bucket_div_sql("tsu", _WEEK_US))
+                - F.expr(bucket_div_sql("first_ts", _WEEK_US))
+            ).alias("week_offset"),
             "user_id",
         )
         .groupBy("cohort_week", "week_offset")
@@ -1688,7 +1689,7 @@ def overlap_click_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFram
     def windows(t: str, prefix: str) -> DataFrame:
         return (
             e.where(F.col("event_type") == t)
-            .groupBy("user_id", F.expr(f"tsu div {_DAY_US}").alias(f"{prefix}_day"))
+            .groupBy("user_id", F.expr(bucket_div_sql("tsu", _DAY_US)).alias(f"{prefix}_day"))
             .agg(F.min("tsu").alias(f"{prefix}_start"), F.max("tsu").alias(f"{prefix}_end"))
         )
 

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from github_etl_pipeline_spark.functions.epoch import event_micros, event_time
+from github_etl_pipeline_spark.functions.epoch import (
+    event_micros,
+    event_time,
+    bucket_div_sql,
+)
 from github_etl_pipeline_spark.plans.registry import register
 from github_etl_pipeline_spark.sources.tables import read_table as _t
 
@@ -90,7 +94,7 @@ def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.where(F.col("event_type") == "purchase")
         .select(event_micros(ev, "ts").alias("tsu"), F.col("value").cast("decimal(18,2)").alias("_v"))
-        .select(F.expr(f"tsu div {_DAY_US}").alias("day"), "_v")
+        .select(F.expr(bucket_div_sql("tsu", _DAY_US)).alias("day"), "_v")
         .groupBy("day")
         .agg(F.sum("_v").alias("rev"))
     )
@@ -134,7 +138,7 @@ def anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.where(F.col("event_type") == "purchase")
         .select(event_micros(ev, "ts").alias("tsu"), F.col("value").cast("decimal(18,2)").alias("_v"))
-        .select(F.expr(f"tsu div {_DAY_US}").alias("day"), "_v")
+        .select(F.expr(bucket_div_sql("tsu", _DAY_US)).alias("day"), "_v")
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_v").alias("rev"))
     )
@@ -192,7 +196,7 @@ def user_value_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 = e.agg(F.min("tsu").alias("t0"))
     e = e.crossJoin(F.broadcast(t0)).select(
         "user_id",
-        F.expr(f"CAST((tsu - t0) div {_DAY_US} AS DECIMAL(18,2))").alias("_x"),
+        F.expr(f"CAST({bucket_div_sql('tsu - t0', _DAY_US)} AS DECIMAL(18,2))").alias("_x"),
         "_y",
     )
     s = e.groupBy("user_id").agg(

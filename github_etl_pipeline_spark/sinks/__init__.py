@@ -1,4 +1,9 @@
-from github_etl_pipeline_spark.sinks.upsert import merge_into, upsert_parquet, write_consolidated_json
+from github_etl_pipeline_spark.sinks.upsert import (
+    merge_into,
+    read_store,
+    upsert_parquet,
+    write_consolidated_json,
+)
 from github_etl_pipeline_spark.sinks.reports import (
     save_summary_report,
     generate_index_file,
@@ -7,6 +12,7 @@ from github_etl_pipeline_spark.sinks.reports import (
 
 __all__ = [
     "merge_into",
+    "read_store",
     "upsert_parquet",
     "write_consolidated_json",
     "save_summary_report",

@@ -90,11 +90,38 @@ CSV_FIELDS = [
 ]
 
 
-def save_as_csv(pools: DataFrame, output_file: str | Path) -> Path:
-    """Flat single-file CSV export of the per-pool records (S11)."""
+# Bound on the driver-side single-file collect; above it the export is
+# written as sorted CSV shards by executors instead (see save_as_csv).
+CSV_DRIVER_MAX_ROWS = 1_000_000
+
+
+def save_as_csv(
+    pools: DataFrame,
+    output_file: str | Path,
+    max_driver_rows: int = CSV_DRIVER_MAX_ROWS,
+) -> Path:
+    """Flat CSV export of the per-pool records (S11).
+
+    Single-file (driver-side) up to ``max_driver_rows`` rows; beyond that
+    the collect is refused and executors write range-partitioned, sorted
+    CSV shards (with headers) to ``<output_file>.shards/`` — same columns,
+    same global sort order across shard file names."""
+    from pyspark.sql import functions as F
+
     output_file = Path(output_file)
     output_file.parent.mkdir(parents=True, exist_ok=True)
-    rows = [r.asDict() for r in pools.select(*CSV_FIELDS).collect()]
+    sel = pools.select(*CSV_FIELDS)
+    if sel.limit(max_driver_rows + 1).count() > max_driver_rows:
+        shard_dir = output_file.with_name(output_file.name + ".shards")
+        (
+            sel.repartitionByRange(F.col("source_file"))
+            .sortWithinPartitions("source_file")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(str(shard_dir))
+        )
+        return shard_dir
+    rows = [r.asDict() for r in sel.collect()]
     rows.sort(key=lambda r: r.get("source_file") or "")
     with open(output_file, "w", newline="", encoding="utf-8") as f:
         writer = csv.DictWriter(f, fieldnames=CSV_FIELDS)

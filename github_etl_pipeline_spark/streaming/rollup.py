@@ -21,8 +21,17 @@ partial twice double-counts. The sink therefore records the epoch id it
 last applied in a ``_last_batch`` sidecar INSIDE the store directory
 (swapped atomically with the data): a replayed batch_id <= high-water is
 skipped. Sidecar-and-data move together in the same staging rename, so
-a crash between "data written" and "marker written" cannot happen —
-retries are idempotent (tested by replaying a batch through the sink).
+the marker can never disagree with the data it describes.
+
+Crash windows during the swap itself are handled by a three-step
+rename protocol (never a delete-then-rename): the current store is
+renamed aside to ``<store>._old``, the fully-written staging dir is
+renamed into place, and only then is ``._old`` deleted. Every sink
+invocation first RECOVERS from a leftover ``._old`` (crash between
+rename-aside and promote: the old store is renamed back) and clears any
+stale staging dir before writing its own, so a retried batch always
+re-reads a complete previous store — the history is never exposed to a
+window where no copy exists on disk.
 """
 
 from __future__ import annotations
@@ -32,7 +41,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from github_etl_pipeline_spark.functions.epoch import event_micros
+from github_etl_pipeline_spark.functions.epoch import event_micros, bucket_div_sql
 
 HOUR_US = 3_600_000_000
 
@@ -47,9 +56,15 @@ def hourly_partial(events: DataFrame, time_col: str = "ts") -> DataFrame:
             event_micros(events, time_col).alias("tsu"),
             F.col("value").cast("decimal(18,2)").alias("_v"),
         )
-        .select(F.expr(f"tsu div {HOUR_US}").alias("hour_bucket"), "_v")
+        .select(F.expr(bucket_div_sql("tsu", HOUR_US)).alias("hour_bucket"), "_v")
         .groupBy("hour_bucket")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("_v").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # stored at decimal(38,2): a long-running rollup keeps adding
+            # partials, and a downcast back to (18,2) would turn overflow
+            # into a silent NULL with ANSI off
+            F.sum("_v").cast("decimal(38,2)").alias("v"),
+        )
     )
 
 
@@ -58,8 +73,10 @@ def combine_partials(existing: DataFrame, batch: DataFrame) -> DataFrame:
     return (
         existing.unionByName(batch)
         .groupBy("hour_bucket")
-        .agg(F.sum("n").alias("n"), F.sum(F.col("v").cast("decimal(18,2)")).alias("v"))
-        .select("hour_bucket", "n", F.col("v").cast("decimal(18,2)").alias("v"))
+        .agg(F.sum("n").alias("n"), F.sum(F.col("v").cast("decimal(38,2)")).alias("v"))
+        # keep the store schema pinned at decimal(38,2) — wide enough that
+        # overflow is practically unreachable, and never downcast a sum
+        .select("hour_bucket", "n", F.col("v").cast("decimal(38,2)").alias("v"))
     )
 
 
@@ -81,7 +98,23 @@ def maintain_hourly_rollup(
     checkpoint."""
     store_path = Path(store_path)
 
+    staging = store_path.with_name(store_path.name + "._staging")
+    old = store_path.with_name(store_path.name + "._old")
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        # -- crash recovery (see module docstring: three-rename protocol) --
+        if old.exists():
+            if store_path.exists():
+                # crashed after promote, before cleanup: new store is live
+                shutil.rmtree(old)
+            else:
+                # crashed between rename-aside and promote: restore history
+                old.rename(store_path)
+        if staging.exists():
+            shutil.rmtree(staging)  # incomplete write from a dead attempt
+
         marker = store_path / "_last_batch"
         if marker.exists() and batch_id <= int(marker.read_text()):
             return  # replayed epoch — already applied, skip (idempotent)
@@ -91,15 +124,17 @@ def maintain_hourly_rollup(
             merged = combine_partials(existing, partial)
         else:
             merged = partial
-        staging = store_path.with_name(store_path.name + "._staging")
         merged.write.mode("overwrite").parquet(str(staging))
         # high-water travels WITH the data in one atomic rename
         (staging / "_last_batch").write_text(str(batch_id))
-        import shutil
-
+        # promote via renames only — at every instant a complete copy of
+        # the store exists on disk (as <store>, ._old, or fully-written
+        # ._staging), so no crash point can lose the accumulated history
         if store_path.exists():
-            shutil.rmtree(store_path)
+            store_path.rename(old)
         staging.rename(store_path)
+        if old.exists():
+            shutil.rmtree(old)
 
     return (
         events_stream.writeStream.foreachBatch(sink)

@@ -6,7 +6,11 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from github_etl_pipeline_spark.sinks.upsert import upsert_parquet, write_consolidated_json
+from github_etl_pipeline_spark.sinks.upsert import (
+    read_store,
+    upsert_parquet,
+    write_consolidated_json,
+)
 
 
 def _pools_df(spark, rows):
@@ -18,7 +22,7 @@ def test_upsert_insert_update_preserve(spark, tmp_path):
     upsert_parquet(spark, _pools_df(spark, [("a", 1.0), ("b", 2.0)]), table)
     # update a, insert c, preserve b
     upsert_parquet(spark, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), table)
-    got = {r.source_file: r.rtp for r in spark.read.parquet(str(table)).collect()}
+    got = {r.source_file: r.rtp for r in read_store(spark, table).collect()}
     assert got == {"a": 9.0, "b": 2.0, "c": 3.0}
 
 
@@ -26,9 +30,9 @@ def test_upsert_idempotent(spark, tmp_path):
     table = tmp_path / "store"
     df = _pools_df(spark, [("a", 1.0), ("b", 2.0)])
     upsert_parquet(spark, df, table)
-    once = sorted(map(str, spark.read.parquet(str(table)).collect()))
+    once = sorted(map(str, read_store(spark, table).collect()))
     upsert_parquet(spark, df, table)
-    twice = sorted(map(str, spark.read.parquet(str(table)).collect()))
+    twice = sorted(map(str, read_store(spark, table).collect()))
     assert once == twice
 
 
@@ -108,11 +112,11 @@ def test_merge_into_upserts_and_is_idempotent(spark, tmp_path):
     table = tmp_path / "merged"
     merge_into(spark, table, _pools_df(spark, [("a", 1.0), ("b", 2.0)]), backend="parquet")
     merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), backend="parquet")
-    got = {r.source_file: r.rtp for r in spark.read.parquet(str(table)).collect()}
+    got = {r.source_file: r.rtp for r in read_store(spark, table).collect()}
     assert got == {"a": 9.0, "b": 2.0, "c": 3.0}  # matched update + insert
     # MERGE of the same updates twice == once
     merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), backend="parquet")
-    again = {r.source_file: r.rtp for r in spark.read.parquet(str(table)).collect()}
+    again = {r.source_file: r.rtp for r in read_store(spark, table).collect()}
     assert again == got
 
 
@@ -164,7 +168,7 @@ def test_upsert_schema_evolution(spark, tmp_path):
     upsert_parquet(spark, v2, path)
     got = {
         r["source_file"]: (r["rtp"], r["hit_frequency"])
-        for r in spark.read.parquet(str(path)).collect()
+        for r in read_store(spark, path).collect()
     }
     assert got == {"a.pol": (1.0, None), "b.pol": (2.5, 60.0), "c.pol": (3.0, 70.0)}
 
@@ -181,6 +185,120 @@ def test_upsert_schema_narrowing(spark, tmp_path):
     upsert_parquet(spark, v2, path)
     got = {
         r["source_file"]: (r["rtp"], r["hit_frequency"])
-        for r in spark.read.parquet(str(path)).collect()
+        for r in read_store(spark, path).collect()
     }
     assert got == {"a.pol": (1.0, 50.0), "b.pol": (2.0, None)}
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale property of the store layout: a delta merge must leave
+    every bucket that contains no updated key physically untouched (same
+    inode, same mtime) — maintenance cost is O(touched buckets), never
+    O(history)."""
+    table = tmp_path / "bstore"
+    n_buckets = 16
+    keys = [(f"k{i}.pol", float(i)) for i in range(50)]
+    upsert_parquet(spark, _pools_df(spark, keys), table, n_buckets=n_buckets)
+    assert any(p.name.startswith("_bucket=") for p in table.iterdir())
+
+    touched_bucket = (
+        spark.createDataFrame([("k3.pol",)], "source_file string")
+        .select(F.pmod(F.xxhash64("source_file"), F.lit(n_buckets)).alias("b"))
+        .first()
+        .b
+    )
+    before = {
+        str(p): (p.stat().st_ino, p.stat().st_mtime_ns)
+        for p in table.rglob("*.parquet")
+    }
+    upsert_parquet(spark, _pools_df(spark, [("k3.pol", 99.0)]), table, n_buckets=n_buckets)
+    after = {
+        str(p): (p.stat().st_ino, p.stat().st_mtime_ns)
+        for p in table.rglob("*.parquet")
+    }
+    untouched = {
+        p: v for p, v in before.items() if f"_bucket={touched_bucket}/" not in p
+    }
+    assert untouched, "test needs at least one untouched bucket"
+    for p, v in untouched.items():
+        assert after[p] == v, f"untouched bucket file was rewritten: {p}"
+
+    got = {r.source_file: r.rtp for r in read_store(spark, table).collect()}
+    want = {f"k{i}.pol": float(i) for i in range(50)}
+    want["k3.pol"] = 99.0
+    assert got == want
+
+
+def test_legacy_flat_store_migrates_to_bucketed(spark, tmp_path):
+    """A store written by the pre-bucketed sink (flat parquet, no _bucket
+    dirs) must merge correctly and come out bucketed (one-time migration)."""
+    table = tmp_path / "legacy"
+    _pools_df(spark, [("a", 1.0), ("b", 2.0)]).write.parquet(str(table))
+    upsert_parquet(spark, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), table)
+    assert any(p.name.startswith("_bucket=") for p in table.iterdir())
+    got = {r.source_file: r.rtp for r in read_store(spark, table).collect()}
+    assert got == {"a": 9.0, "b": 2.0, "c": 3.0}
+
+
+def _full_pools_df(spark, n):
+    rows = [
+        (
+            f"Pool_02{i:02d}_395.pol", f"02{i:02d}", "395", ["9493"], 25.0, 1000.0,
+            4749.78, 56.52, 0, ["GAB"], 100000, None, f"p/Pool_02{i:02d}_395.pol",
+            f"Pool_02{i:02d}_395.pol", "p", 100.0,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "pool_name string, pool_id string, pool_type string, game_ids array<string>, "
+        "min_bet double, max_win_factor double, rtp double, volatility double, "
+        "is_flat int, tag array<string>, size long, max_multiplier string, "
+        "source_file string, file_name string, folder_path string, hit_frequency double",
+    ).withColumn("processed_at", F.current_timestamp())
+
+
+def test_consolidated_json_spills_to_shards_over_threshold(spark, tmp_path):
+    """Above max_driver_rows the consolidated sink must refuse the driver
+    collect and write executor-side JSONL shards with the same record
+    shape."""
+    import json as _json
+
+    out = tmp_path / "all_pools_data.json"
+    got = write_consolidated_json(_full_pools_df(spark, 5), out, max_driver_rows=3)
+    assert got != out and got.name.endswith(".shards")
+    assert not out.exists(), "single-document path must not have been taken"
+    lines = []
+    for part in sorted(got.glob("part-*")):
+        lines += [l for l in part.read_text().splitlines() if l]
+    recs = {d["key"]: d["record"] for d in map(_json.loads, lines)}
+    assert len(recs) == 5
+    rec = recs["p/Pool_0203_395.pol"]
+    assert rec["rtp"] == 4749.78 and rec["metadata"]["hit_frequency"] == 100.0
+    assert rec["metadata"]["processed_at"].endswith("+00:00")
+    # under the threshold: unchanged single-document behavior
+    single = write_consolidated_json(_full_pools_df(spark, 2), out, max_driver_rows=3)
+    assert single == out and len(_json.loads(out.read_text())) == 2
+
+
+def test_csv_spills_to_shards_over_threshold(spark, tmp_path):
+    """save_as_csv must switch to executor-written sorted CSV shards when
+    the row count exceeds the driver bound."""
+    from github_etl_pipeline_spark.sinks.reports import save_as_csv
+
+    df = _full_pools_df(spark, 6).withColumn("max_multiplier", F.lit("x"))
+    out = tmp_path / "_all_files_summary.csv"
+    got = save_as_csv(df, out, max_driver_rows=4)
+    assert got.name.endswith(".shards") and not out.exists()
+    parts = sorted(got.glob("part-*.csv"))
+    assert parts
+    rows = []
+    for p in parts:
+        body = p.read_text().strip().splitlines()
+        assert body[0].startswith("source_file,pool_name")
+        rows += body[1:]
+    assert len(rows) == 6
+    assert rows == sorted(rows), "shards must be globally sorted by source_file"
+    # under the bound: single file, unchanged
+    single = save_as_csv(df.limit(2), out, max_driver_rows=4)
+    assert single == out and len(out.read_text().strip().splitlines()) == 3

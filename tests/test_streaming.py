@@ -4,6 +4,7 @@ Streaming with Trigger.AvailableNow)."""
 
 import pytest
 
+from github_etl_pipeline_spark.sinks.upsert import read_store
 from github_etl_pipeline_spark.sources.lookup import prepare_dim
 from github_etl_pipeline_spark.streaming.incremental import run_incremental
 
@@ -25,19 +26,19 @@ def test_incremental_two_runs(spark, tmp_path, dim_agg):
     (corpus / "Pool_0201_941.pol").write_text("100\n200\n")
     n1 = run_incremental(spark, corpus, ckpt, store, dim_agg)
     assert n1 >= 1
-    got1 = {r.source_file: r.size for r in spark.read.parquet(str(store)).collect()}
+    got1 = {r.source_file: r.size for r in read_store(spark, store).collect()}
     assert got1 == {"Pool_0201_941.pol": 2}
 
     # second run with a NEW file: only it is processed; old record preserved
     (corpus / "Pool_0201_395.pol").write_text("50\n")
     n2 = run_incremental(spark, corpus, ckpt, store, dim_agg)
     assert n2 >= 1
-    got2 = {r.source_file: r.size for r in spark.read.parquet(str(store)).collect()}
+    got2 = {r.source_file: r.size for r in read_store(spark, store).collect()}
     assert got2 == {"Pool_0201_941.pol": 2, "Pool_0201_395.pol": 1}
 
     # third run, nothing new -> no batches with data, store unchanged
     n3 = run_incremental(spark, corpus, ckpt, store, dim_agg)
-    got3 = {r.source_file: r.size for r in spark.read.parquet(str(store)).collect()}
+    got3 = {r.source_file: r.size for r in read_store(spark, store).collect()}
     assert got3 == got2
 
 
