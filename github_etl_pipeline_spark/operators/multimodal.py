@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched Pandas UDFs.
 
-The decode step itself is STUBBED — the real image/audio libraries are
-not in this environment — but everything Spark-side is real and tested:
-the schema contract, the ``mapInPandas`` batch shape, partition-count
-preservation, and a deterministic fake decoder so downstream feature
-columns have verifiable values.
+Decode: PNG has a REAL pure-stdlib decoder (``decode_png``: zlib +
+scanline unfiltering) that runs end-to-end through the mapInPandas
+plumbing via the ``decoder=`` seam of ``extract_features`` /
+``resize_images`` — tested on actual PNG bytes with exact expected
+pixels. Every other codec (JPEG, audio, video) still needs an external
+library injected through the same seam; absent one, a deterministic
+fake decoder keeps the Spark-side contract — schema, Arrow batch shape,
+partition preservation — fully testable.
 
 Scale notes: binary payloads ride in the DataFrame as parquet binary
 columns; per-batch processing (Arrow RecordBatch in, RecordBatch out)
@@ -54,13 +57,98 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(content: bytes, fmt: str | None):  # pragma: no cover - stub
-    """Real decoder entry point — requires an image library not present in
-    this environment. The Spark plumbing calls ``fake_decode`` instead
-    unless a decoder is injected."""
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
+    """Minimal pure-stdlib PNG decoder (zlib inflate + scanline
+    unfiltering): 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced.
+    Returns ``(width, height, channels, pixel_bytes)`` with pixels
+    row-major, channel-interleaved.
+
+    This is the REAL decode path for the one format the standard library
+    can fully handle — it exists so the mapInPandas plumbing
+    (``extract_features``/``resize_images`` with ``decoder=``) is
+    exercised end-to-end on actual image bytes, not only on
+    ``fake_decode``. Other codecs (JPEG, audio, video) still need an
+    external library injected through the same ``decoder`` seam.
+    """
+    import struct
+    import zlib
+
+    if content[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = len(_PNG_SIG)
+    idat = b""
+    w = h = channels = None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8:
+                raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8)")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color_type}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has unexpected length")
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        base = y * (stride + 1)
+        f = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"PNG filter type {f}")
+        out += line
+        prev = line
+    return w, h, channels, bytes(out)
+
+
+def decode_image(content: bytes, fmt: str | None) -> tuple[int, int, int, bytes]:
+    """Real decoder entry point: PNG is decoded with the stdlib decoder
+    above; every other format needs an imaging library injected through
+    the ``decoder=`` seam of ``extract_features``/``resize_images``.
+    Returns ``(width, height, channels, pixel_bytes)``."""
+    if (fmt or "").lower() == "png" or content[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(content)
     raise NotImplementedError(
-        "image decoding requires an imaging library; inject a decoder or "
-        "use fake_decode for plumbing tests"
+        f"decoding {fmt!r} requires an imaging library; inject a decoder "
+        "with the same (content, fmt) -> (w, h, channels, pixels) contract"
     )
 
 
@@ -76,16 +164,31 @@ def fake_decode(content: bytes) -> tuple[int, int]:
     return (int.from_bytes(digest[:4], "big"), len(content) % 512 + 1)
 
 
-def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    batch_hint: int | None = None,
+    decoder=None,
+) -> DataFrame:
     """mapInPandas feature extraction over the media table. Arrow batches
-    flow in/out; one output row per input row; decode stubbed behind
-    ``fake_decode`` (see module docstring).
+    flow in/out; one output row per input row.
 
-    The decode logic is re-declared LOCALLY so cloudpickle ships it by
-    value: a module-level reference would make every Python worker import
-    this package, which fails when the driver's cwd isn't the repo root
-    (the driver-contract deployment mode). Kept in sync with
+    ``decoder`` — optional real decode function with the
+    ``(content_bytes, fmt) -> (w, h, channels, pixel_bytes)`` contract
+    (e.g. :func:`decode_image`, whose PNG path is pure stdlib and runs
+    for real in this environment). With a decoder, ``feat_mean`` is the
+    integer mean pixel value and ``feat_dim`` the decoded pixel count —
+    exact, verifiable values. Without one, the deterministic
+    ``fake_decode`` stand-in keeps the plumbing testable (see module
+    docstring).
+
+    The fake-decode logic is re-declared LOCALLY so cloudpickle ships it
+    by value: a module-level reference would make every Python worker
+    import this package, which fails when the driver's cwd isn't the
+    repo root (the driver-contract deployment mode). An injected
+    ``decoder`` must itself be import-safe on workers (a self-contained
+    closure, or this package importable). Kept in sync with
     ``fake_decode`` by test_extensions.test_multimodal_plumbing."""
+    dec = decoder
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import hashlib
@@ -99,7 +202,23 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             return (int.from_bytes(digest[:4], "big"), len(content) % 512 + 1)
 
         for pdf in batches:
-            feat = pdf["content"].map(lambda c: _fake_decode(bytes(c) if c is not None else None))
+            if dec is None:
+                feat = pdf["content"].map(
+                    lambda c: _fake_decode(bytes(c) if c is not None else None)
+                )
+            else:
+
+                def _real(row):
+                    c, fmt = row
+                    if c is None:
+                        return (0, 0)
+                    _w, _h, _ch, px = dec(bytes(c), fmt)
+                    return (sum(px) // len(px) if px else 0, len(px))
+
+                feat = pd.Series(
+                    [_real(t) for t in zip(pdf["content"], pdf["format"])],
+                    index=pdf.index,
+                )
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -176,27 +295,49 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """mapInPandas image resize with the decode/encode step stubbed
-    behind a deterministic fake (md5 of payload + target geometry stands
-    in for the resampled pixels — same contract as ``extract_features``):
-    the Spark-side shape is real — Arrow batches, one row per image,
-    binary out, geometry columns typed. Swap ``_fake_resize`` for a real
-    codec via the same closure seam."""
+def resize_images(
+    media: DataFrame, width: int, height: int, decoder=None
+) -> DataFrame:
+    """mapInPandas image resize. With an injected ``decoder`` (the
+    ``(content, fmt) -> (w, h, channels, pixels)`` contract, e.g.
+    :func:`decode_image`) the REAL path runs: nearest-neighbor resample
+    of the decoded pixels, output ``content`` = raw channel-interleaved
+    pixel bytes at the target geometry. Without one, the decode/encode
+    step is stubbed behind a deterministic fake (md5 of payload + target
+    geometry) so the Spark-side shape — Arrow batches, one row per
+    image, binary out, typed geometry columns — stays testable."""
     w, h = int(width), int(height)
+    dec = decoder
 
     def run(batches):
         import hashlib
 
         import pandas as pd
 
-        def _fake_resize(content):
+        def _fake_resize(content, fmt):
             if content is None:
                 return None
             return hashlib.md5(bytes(content) + f":{w}x{h}".encode()).digest()
 
+        def _real_resize(content, fmt):
+            if content is None:
+                return None
+            sw, sh, ch, px = dec(bytes(content), fmt)
+            out = bytearray()
+            for y in range(h):
+                sy = min(sh - 1, (y * sh) // h)
+                for x in range(w):
+                    sx = min(sw - 1, (x * sw) // w)
+                    base = (sy * sw + sx) * ch
+                    out += px[base : base + ch]
+            return bytes(out)
+
+        resize = _fake_resize if dec is None else _real_resize
         for pdf in batches:
-            out_content = pdf["content"].map(_fake_resize)
+            out_content = pd.Series(
+                [resize(c, fmt) for c, fmt in zip(pdf["content"], pdf["format"])],
+                index=pdf.index,
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -114,7 +114,7 @@ def load_game_lookup(spark: SparkSession, repo_root: str | Path) -> DataFrame | 
     return None
 
 
-def prepare_dim(dim: DataFrame) -> DataFrame:
+def prepare_dim(dim: DataFrame, max_rows: int = 100_000) -> DataFrame:
     """Pre-aggregate the dimension to one row per normalized pool key.
 
     * ``min_bet``  — Bet of the FIRST row in source order (the reference's
@@ -124,7 +124,21 @@ def prepare_dim(dim: DataFrame) -> DataFrame:
 
     Pre-aggregating before the fact join avoids fan-out: the join is 1:1,
     so a million-row pool never duplicates into (pool_rows x games) rows.
+
+    DIMENSION-ONLY operator: the source-order pin is a GLOBAL window
+    (single partition by construction) — correct and cheap for the
+    hundreds-row Excel lookup this models, quadratically wrong for a
+    fact table. ``max_rows`` makes misuse loud instead of slow; raise it
+    deliberately if a legitimately larger dimension appears.
     """
+    n = dim.limit(int(max_rows) + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"prepare_dim: dimension has >{max_rows} rows; this operator "
+            "single-partitions the input to pin source order and is meant "
+            "for small lookup dimensions only. Pass max_rows=... to "
+            "override deliberately, or pre-aggregate the input."
+        )
     w = Window.orderBy(F.monotonically_increasing_id())
     indexed = dim.withColumn("_idx", F.row_number().over(w)).withColumn(
         "norm_pool_id", normalize_pool_id("Pool_id")

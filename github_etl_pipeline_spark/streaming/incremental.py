@@ -13,11 +13,19 @@ loop). The first run IS the full scan (S3 fallback); subsequent runs see
 only new/changed paths. Each micro-batch runs the same KPI transform and
 MERGE-upserts into the parquet store, so reruns are idempotent.
 
-Note: the file source tracks file PATHS — an in-place edit of an already
-seen file is not re-processed (git-diff would catch it). Matching the
-reference's loop exactly would key the ledger on (path, mtime); Spark's
-``maxFileAge``/``cleanSource`` options approximate this. At fleet scale
-pool files are immutable drops, so path-keying is the right trade.
+Two ledgers, two change models:
+
+  * ``run_incremental`` — Spark's streaming file-source checkpoint,
+    keyed on file PATH. New files are processed once; an in-place EDIT
+    of an already-seen file is not re-processed. Right for
+    immutable-drop fleets (the common case at scale).
+  * ``run_incremental_mtime`` — an explicit (path, mtime) ledger
+    matching the reference's git-diff semantics exactly
+    (etl/extract.py:55-80): a modified file shows a new mtime and is
+    re-processed, its store row upserted in place. The listing pass is
+    metadata-only (binaryFile schema pruned to path+modificationTime —
+    no bytes read); the anti-join against the ledger is O(corpus
+    listing), and only CHANGED files' contents are ever read.
 """
 
 from __future__ import annotations
@@ -27,7 +35,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 from github_etl_pipeline_spark.operators.kpis import pool_kpis
-from github_etl_pipeline_spark.sinks.upsert import upsert_parquet
+from github_etl_pipeline_spark.sinks.upsert import read_store, upsert_parquet
 from github_etl_pipeline_spark.sources.pol import parse_pol_lines, EXCLUDED_DIRS
 
 from pyspark.sql import functions as F
@@ -93,3 +101,88 @@ def run_incremental(
     )
     query.awaitTermination()
     return n_batches
+
+
+def _list_pol_files(spark: SparkSession, scan_dir: str) -> DataFrame:
+    """Metadata-only corpus listing: (path URI, mtime). binaryFile with
+    the content column pruned away never reads file bytes — this pass
+    costs one directory walk regardless of corpus size."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.pol")
+        .load(scan_dir)
+        .select(F.col("path"), F.col("modificationTime").alias("mtime"))
+    )
+    for d in EXCLUDED_DIRS:
+        df = df.filter(~F.col("path").contains(f"/{d}/"))
+    return df
+
+
+def run_incremental_mtime(
+    spark: SparkSession,
+    scan_dir: str | Path,
+    ledger_path: str | Path,
+    store_path: str | Path,
+    dim_agg: DataFrame | None = None,
+    rounding: str = "bankers",
+) -> int:
+    """(path, mtime)-keyed incremental run: process files that are NEW or
+    MODIFIED IN PLACE since the last run — the reference's git-diff change
+    model (etl/extract.py:55-80), which the path-keyed streaming ledger
+    cannot express. Returns the number of files processed.
+
+    The ledger is itself an ``upsert_parquet`` store keyed by path (so
+    ledger maintenance is bucket-pruned too). Change detection is a
+    left-anti join of the current metadata-only listing against the
+    ledger on (path, mtime): a brand-new path has no ledger row, an
+    edited file has a ledger row with a DIFFERENT mtime — both fall out
+    of the anti join. First run = everything changed = the full-scan
+    fallback (S3).
+
+    The changed-path list is collected to the driver to drive the read —
+    bounded by CHURN, not corpus size (steady-state incremental churn is
+    small; the one large collect is the first/full run, where a path
+    list is unavoidable anyway since the alternative is a full re-read).
+    """
+    scan_dir = str(scan_dir)
+    # Spark's session FileStatusCache pins file lengths forever
+    # (metadataCacheTTLSeconds=-1): an in-place edit would otherwise be
+    # LISTED with its new mtime but READ at its stale cached length
+    # (truncated/padded content). Detecting edits is this mode's whole
+    # contract, so drop cached listings under the scan root first.
+    spark.catalog.refreshByPath(scan_dir)
+    listing = _list_pol_files(spark, scan_dir)
+    ledger_path = Path(ledger_path)
+    if ledger_path.exists():
+        seen = read_store(spark, ledger_path).select("path", "mtime")
+        changed = listing.join(seen, ["path", "mtime"], "left_anti")
+    else:
+        changed = listing
+    paths = [r.path for r in changed.select("path").collect()]
+    if not paths:
+        return 0
+
+    raw = spark.read.format("text").load(paths)
+    scan_posix = scan_dir.rstrip("/").replace("\\", "/")
+    import re
+
+    fpath = F.col("_metadata.file_path")
+    rel = F.regexp_replace(fpath, r"^.*?" + re.escape(scan_posix) + "/", "")
+    folder = F.when(rel.contains("/"), F.regexp_replace(rel, r"/[^/]+$", "")).otherwise(
+        F.lit("root")
+    )
+    lines = raw.select(
+        F.col("value"),
+        rel.alias("source_file"),
+        F.col("_metadata.file_name").alias("file_name"),
+        folder.alias("folder_path"),
+        F.element_at(F.split(folder, "/"), -1).alias("parent_folder"),
+        F.col("_metadata.file_size").alias("file_size"),
+        F.col("_metadata.file_modification_time").alias("file_mtime"),
+    )
+    parsed = parse_pol_lines(lines, keep_invalid=True)
+    pools = pool_kpis(parsed, dim_agg=dim_agg, rounding=rounding)
+    upsert_parquet(spark, pools, store_path)
+    upsert_parquet(spark, changed, ledger_path, key="path")
+    return len(paths)

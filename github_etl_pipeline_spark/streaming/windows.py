@@ -11,9 +11,14 @@ pipeline needs on event streams:
     shape. Works identically on a batch DataFrame (Spark's unified
     semantics) — tests exercise both, so correctness is checkable
     without wall-clock waits.
-  * ``sessionize_stateful`` — gap-based session windows via
-    ``applyInPandasWithState``: the custom-stateful-operator escape
-    hatch for semantics window functions can't express incrementally.
+  * ``sessionize_native`` — THE DEFAULT sessionizer: gap-based session
+    windows via Spark's built-in ``F.session_window`` (JVM-side state
+    merge, batch/streaming unified, no Python in the loop).
+  * ``sessionize_stateful`` — the custom-state ESCAPE HATCH
+    (``applyInPandasWithState``), kept for semantics the native
+    operator cannot express (e.g. per-session early emission rules,
+    value-dependent gaps). Python state in a streaming hot path — use
+    only when the native operator genuinely can't express the logic.
     State = (last_ts, session_start, n_events) per user; a session is
     emitted when the inactivity gap passes or the group times out.
 
@@ -86,14 +91,66 @@ SESSION_STATE_SCHEMA = "last_us long, start_us long, n long"
 SESSION_OUTPUT_SCHEMA = "user_id long, session_start_us long, n_events long, duration_ms long"
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    time_col: str = "ts",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based sessions via the built-in ``F.session_window`` — the
+    DEFAULT sessionizer (same output schema as ``sessionize_stateful``).
+
+    Prefer this over ``sessionize_stateful`` everywhere the semantics
+    fit: session merging runs JVM-side inside the streaming state store
+    (no Arrow transfer, no Python workers), it works identically on
+    batch and streaming inputs, and in streaming append mode a session
+    emits once the watermark passes its close — the same emission rule
+    the stateful operator implements by hand (equality on a real stream
+    is tested in tests/test_streaming_windows.py).
+
+    Boundary semantics: native sessions are half-open — an event landing
+    EXACTLY at last_event + gap starts a NEW session, where the stateful
+    sessionizer's ``> gap`` check keeps it in the old one. Identical for
+    every other input; microsecond-resolution data hits the boundary
+    with probability ~0 (the equivalence test asserts the precondition).
+
+    Output: (user_id, session_start_us, n_events, duration_ms), with
+    ``duration_ms = last_event - first_event`` (NOT window end, which
+    native semantics place at last + gap).
+    """
+    et = _event_time(events, time_col).alias("_et")
+    df = events.select("user_id", event_micros(events, time_col).alias("_us"), et)
+    if df.isStreaming:
+        df = df.withWatermark("_et", watermark_delay)
+    s = df.groupBy(
+        "user_id", F.session_window("_et", f"{gap_ms} milliseconds").alias("_w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_us").alias("session_start_us"),
+        F.max("_us").alias("_last_us"),
+    )
+    return s.select(
+        "user_id",
+        "session_start_us",
+        "n_events",
+        F.expr("(_last_us - session_start_us) div 1000").alias("duration_ms"),
+    )
+
+
 def sessionize_stateful(
     events: DataFrame,
     gap_ms: int = 30 * 60 * 1000,
     time_col: str = "ts",
     watermark_delay: str = "0 seconds",
 ) -> DataFrame:
-    """Gap-based sessions via applyInPandasWithState (streaming) with the
-    same semantics as plans/relational.py::sessionize_events (batch).
+    """Gap-based sessions via applyInPandasWithState — the CUSTOM-STATE
+    ESCAPE HATCH, not the default. Use :func:`sessionize_native`
+    (``F.session_window``, JVM-side, no Python in the streaming hot
+    path) unless the session logic genuinely needs arbitrary per-key
+    state (early emission, value-dependent gaps, cross-session
+    carryover). Semantics match plans/relational.py::sessionize_events
+    (batch) — gap close on ``> gap`` (see sessionize_native's boundary
+    note).
 
     Event-time timeouts: a session closes when the WATERMARK passes its
     last event + gap — deterministic under Trigger.AvailableNow (a

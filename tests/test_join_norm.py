@@ -97,3 +97,20 @@ def test_kpis_gate_excludes_reference_misses(spark):
     assert out["0201"].min_bet == 25.0 and out["0201"].rtp is not None
     assert out["00201"].min_bet is None and out["00201"].rtp is None
     assert out["00201"].game_ids == []
+
+
+def test_prepare_dim_rejects_oversized_input(spark):
+    """prepare_dim single-partitions its input to pin source order — meant
+    for small dimensions only; a large input must fail loudly, not run
+    quadratically on one task."""
+    import pytest
+    from github_etl_pipeline_spark.sources.lookup import prepare_dim
+
+    big = spark.range(0, 50).selectExpr(
+        "'G' AS Game", "CAST(id AS STRING) AS Game_id",
+        "CAST(id AS STRING) AS Pool_id", "CAST(id AS DOUBLE) AS Bet",
+    )
+    with pytest.raises(ValueError, match="small lookup dimensions"):
+        prepare_dim(big, max_rows=10)
+    # explicit override still works
+    assert prepare_dim(big, max_rows=1000).count() == 50

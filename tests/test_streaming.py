@@ -50,3 +50,45 @@ def test_incremental_kpis_match_batch(spark, tmp_path, dim_agg):
     row = spark.read.parquet(str(tmp_path / "st")).first()
     # size=4, total=600, bet=25: rtp = 600/(4*25)*100 = 600.0
     assert row.size == 4 and row.rtp == 600.0 and row.hit_frequency == 75.0
+
+
+def test_incremental_mtime_reprocesses_in_place_edit(spark, tmp_path, dim_agg):
+    """The (path, mtime)-keyed ledger (run_incremental_mtime) must match
+    the reference's git-diff change model: an IN-PLACE edit of an
+    already-processed file is detected and its KPI row updated — the
+    case the path-keyed streaming checkpoint cannot see."""
+    import os
+    import time
+
+    from github_etl_pipeline_spark.streaming.incremental import run_incremental_mtime
+
+    corpus = tmp_path / "corpus_m"
+    corpus.mkdir()
+    ledger = tmp_path / "ledger_m"
+    store = tmp_path / "store_m"
+
+    f = corpus / "Pool_0201_941.pol"
+    f.write_text("100\n200\n")
+    n1 = run_incremental_mtime(spark, corpus, ledger, store, dim_agg)
+    assert n1 == 1
+    got1 = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got1 == {"Pool_0201_941.pol": 2}
+
+    # no changes -> nothing processed
+    assert run_incremental_mtime(spark, corpus, ledger, store, dim_agg) == 0
+
+    # IN-PLACE edit (same path, new content, strictly newer mtime)
+    f.write_text("100\n200\n300\n")
+    later = time.time() + 2
+    os.utime(f, (later, later))
+    n2 = run_incremental_mtime(spark, corpus, ledger, store, dim_agg)
+    assert n2 == 1, "in-place edit must be detected"
+    got2 = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got2 == {"Pool_0201_941.pol": 3}, "KPI row must reflect the edit"
+
+    # a NEW file alongside: only it is processed, edited row preserved
+    (corpus / "Pool_0201_395.pol").write_text("50\n")
+    n3 = run_incremental_mtime(spark, corpus, ledger, store, dim_agg)
+    assert n3 == 1
+    got3 = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got3 == {"Pool_0201_941.pol": 3, "Pool_0201_395.pol": 1}

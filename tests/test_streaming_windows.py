@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from github_etl_pipeline_spark.sources.tables import read_table
 from github_etl_pipeline_spark.streaming.windows import (
+    sessionize_native,
     sessionize_stateful,
     windowed_event_counts,
 )
@@ -100,6 +101,50 @@ def test_sessionize_stateful_stream(spark, tmp_path):
             )
         ]
         assert counts == batch_counts[: len(counts)], uid
+
+
+def test_sessionize_native_equals_stateful_on_stream(spark, tmp_path):
+    """The promoted default (F.session_window, JVM-side) and the
+    custom-state escape hatch (applyInPandasWithState) must emit the
+    SAME closed sessions on the same real stream — same users, same
+    starts, same counts, same durations."""
+    gap_ms = 30 * 60 * 1000
+    batch_events = read_table(spark, SF, "events")
+
+    # boundary precondition: the two sessionizers differ only for an
+    # event landing EXACTLY at last+gap (native >=, stateful >) — assert
+    # the data has no such pair so equality is exact
+    from pyspark.sql import Window as W
+    from github_etl_pipeline_spark.functions.epoch import event_micros
+
+    e = batch_events.select("user_id", event_micros(batch_events, "ts").alias("us"))
+    d = e.withColumn("prev", F.lag("us").over(W.partitionBy("user_id").orderBy("us")))
+    n_boundary = d.where(F.col("us") - F.col("prev") == gap_ms * 1000).count()
+    assert n_boundary == 0, "fixture hits the gap boundary exactly; pick another gap"
+
+    def run(op, name, ck):
+        stream = _stream_events(spark, tmp_path / name)
+        q = (
+            op(stream, gap_ms=gap_ms)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.user_id, r.session_start_us, r.n_events, r.duration_ms)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    (tmp_path / "nat_sessions").mkdir()
+    (tmp_path / "st_sessions").mkdir()
+    native = run(sessionize_native, "nat_sessions", "ck_nat")
+    stateful = run(sessionize_stateful, "st_sessions", "ck_st")
+    assert native, "native sessionizer emitted nothing"
+    assert native == stateful
 
 
 def test_watermark_drops_late_data(spark, tmp_path):
