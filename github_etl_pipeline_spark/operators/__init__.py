@@ -31,6 +31,7 @@ from github_etl_pipeline_spark.operators.curation import (
     boilerplate_ngrams,
     chunk_documents,
     decontaminate,
+    duplicate_spans,
     pack_sequences,
     quality_filter,
     temperature_sample,
@@ -70,6 +71,7 @@ __all__ = [
     "text_profile",
     "boilerplate_ngrams",
     "chunk_documents",
+    "duplicate_spans",
     "decontaminate",
     "pack_sequences",
     "quality_filter",

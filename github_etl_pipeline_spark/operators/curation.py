@@ -86,6 +86,66 @@ def boilerplate_ngrams(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate-span detection (the exact-substring
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", re-expressed relationally): every token
+    position opening a ``k``-gram that occurs >= ``min_count`` times
+    ANYWHERE in the corpus (other documents or repetition within the
+    same document) is a duplicated position; runs of adjacent duplicated
+    positions merge into maximal spans. Output one row per span:
+    (id, span_start, span_end, n_dup_grams) with token-index bounds —
+    the removal mask a curation pipeline applies before training, at
+    span granularity where ``exact_dedup``/MinHash only work per-doc.
+
+    Shape at 100 TB: documents explode to skinny (id, pos, gram-hash)
+    rows — 16-hex-char md5 prefixes, never gram text — and the corpus
+    frequency attaches via ONE count window partitioned by the hash
+    (single shuffle; a groupBy + self-join would shuffle the relation
+    twice). The islands pass is a per-document window over positions,
+    partitioned by id. Worst-case partition = the corpus frequency of
+    ONE k-gram; for k=8 natural text that is boilerplate-bounded, and
+    the rows are ~24 bytes. Suffix arrays (the paper's structure) don't
+    distribute; the k-gram relational form is the standard scale-out
+    equivalent (ccnet/RefinedWeb-style).
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_grams = docs.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "_gram")
+    ).select(id_col, "pos", F.substring(F.md5("_gram"), 1, 16).alias("_gh"))
+    freq_w = Window.partitionBy("_gh")
+    hits = (
+        pos_grams.withColumn("_freq", F.count(F.lit(1)).over(freq_w))
+        .where(F.col("_freq") >= min_count)
+        .select(id_col, "pos")
+    )
+    island_w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        hits.withColumn("_isl", F.col("pos") - F.row_number().over(island_w))
+        .groupBy(id_col, "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_dup_grams")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

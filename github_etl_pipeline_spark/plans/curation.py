@@ -117,6 +117,53 @@ def boilerplate_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-span detection: maximal runs of token positions whose word
+# 5-gram occurs >= 2 times corpus-wide (substring-level dedup, Lee et
+# al. 2022 re-expressed relationally — see operators.curation.
+# duplicate_spans for the 100-TB shape).
+# ---------------------------------------------------------------------------
+_SPAN_K, _SPAN_MIN = 5, 2
+
+
+@register(
+    "dup_span_documents",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS w FROM documents
+),
+pos AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         substr(md5(array_to_string(w[i:i+{_SPAN_K - 1}], ' ')), 1, 16) AS gh
+  FROM toks,
+       UNNEST(CASE WHEN len(w) >= {_SPAN_K}
+                   THEN range(1, len(w) - {_SPAN_K} + 2)
+                   ELSE CAST([] AS BIGINT[]) END) AS t(i)
+),
+hits AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) AS freq FROM pos
+  ) WHERE freq >= {_SPAN_MIN}
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM hits
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS INTEGER) AS span_start,
+       CAST(MAX(pos) + {_SPAN_K - 1} AS INTEGER) AS span_end,
+       COUNT(*) AS n_dup_grams
+FROM isl GROUP BY doc_id, g
+""",
+    doc=f"substring-level duplicate spans: maximal runs of positions whose word {_SPAN_K}-gram occurs >= {_SPAN_MIN}x corpus-wide; skinny (id,pos,hash) explode + ONE count-window shuffle + per-doc islands pass",
+)
+def dup_span_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.duplicate_spans(
+        _docs(spark, sf_dir), k=_SPAN_K, min_count=_SPAN_MIN
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chunking: fixed-size token windows with overlap
 # ---------------------------------------------------------------------------
 _CHUNK, _OVERLAP = 32, 8

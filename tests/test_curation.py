@@ -247,3 +247,51 @@ def test_source_profile_dup_ratio(spark):
     assert abs(got["a"].dup_ratio - (1 - 2 / 3)) < 1e-6
     assert got["a"].total_tokens == 4 + 4 + 3
     assert got["b"].n_docs == 1 and got["b"].dup_ratio == 0.0
+
+
+def test_duplicate_spans_planted(spark):
+    from github_etl_pipeline_spark.operators.curation import duplicate_spans
+
+    # doc 1 and doc 2 share tokens 0..5 ("a b c d e f"): with k=3 the
+    # duplicated 3-gram start positions are 0..3 -> ONE maximal span
+    # covering tokens 0..5. The tails ("x1 y1 z1" vs "x2 y2 z2") are
+    # unique, so no span reaches them.
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f x1 y1 z1", "web"),
+            (2, "a b c d e f x2 y2 z2", "web"),
+            (3, "totally different words here now", "web"),
+        ],
+    )
+    got = {r.doc_id: r for r in duplicate_spans(docs, k=3).collect()}
+    assert set(got) == {1, 2}
+    for d in (1, 2):
+        assert (got[d].span_start, got[d].span_end, got[d].n_dup_grams) == (0, 5, 4)
+
+
+def test_duplicate_spans_within_doc_repetition(spark):
+    from github_etl_pipeline_spark.operators.curation import duplicate_spans
+
+    # one doc repeating the same 3 tokens twice: both occurrences of the
+    # repeated 3-gram count toward the corpus frequency, so both spans
+    # surface — and they are disjoint islands (positions 0..2 and 5..7).
+    docs = _docs(spark, [(1, "p q r sep1 sep2 p q r tail", "web")])
+    rows = sorted(
+        duplicate_spans(docs, k=3).collect(), key=lambda r: r.span_start
+    )
+    assert [(r.span_start, r.span_end, r.n_dup_grams) for r in rows] == [
+        (0, 2, 1),
+        (5, 7, 1),
+    ]
+
+
+def test_duplicate_spans_short_and_empty_docs(spark):
+    from github_etl_pipeline_spark.operators.curation import duplicate_spans
+
+    docs = _docs(
+        spark,
+        [(1, "a b", "web"), (2, "a b", "web"), (3, "", "web"), (4, None, "web")],
+    )
+    # docs shorter than k produce no k-grams at all -> no spans anywhere
+    assert duplicate_spans(docs, k=3).count() == 0

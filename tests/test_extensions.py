@@ -103,11 +103,15 @@ def test_multimodal_plumbing(spark):
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_dispatch():
     from github_etl_pipeline_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
+    # PNG routes to the real stdlib decoder, which rejects garbage bytes
+    with pytest.raises(ValueError):
         decode_image(b"x", "png")
+    # every other codec still needs an injected decoder
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0jpegish", "jpeg")
 
 
 def test_ann_ivf_recall(spark):

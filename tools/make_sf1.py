@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Generate a deterministic sf1 dataset (10x sf0.1) for scaling probes.
+
+The driver ships sf{0.001,0.01,0.1}; the 128 GiB local[32] sandbox holds
+sf1 comfortably, and VERDICT r3 asks for alpha(0.1->1) exponents measured
+on real 10x data rather than extrapolated. /root/testdata is read-only,
+so the scaled copy lives in the gitignored ``.sf1/`` directory and is
+regenerated on demand (same bytes every run: the construction below is
+purely deterministic).
+
+Construction: 10 key-offset copies of every sf0.1 table, sharded-TPC-H
+style — each copy's foreign keys point at its own copy of the dims, so
+join selectivities and per-key group sizes are preserved while every
+table's cardinality grows 10x. Two tables need value perturbation to
+preserve *distributional* properties rather than literal bytes:
+
+- documents: every token in copy i>0 gets a ``~i`` suffix, so copies of
+  the same doc share NO word-2gram shingles (operators/dedup.py:58).
+  Without this each doc would acquire 9 near-identical clones and the
+  near-dup pair count would inflate ~45x — a data-property change, not a
+  scale measurement. Within each copy the original similarity structure
+  is intact, so dup-rate per row is constant across SFs, which is what a
+  scaling exponent should hold fixed.
+- embeddings: copy i>0 adds small deterministic noise (seeded per copy)
+  so no vectors are bit-identical while the cosine geometry stays put.
+
+events keeps its time range (more events per window, more users — the
+realistic way an event stream scales) with user_id offset per copy so
+per-user session/window sizes stay constant.
+
+Usage: python tools/make_sf1.py  [--out DIR]  (default .sf1/)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+# key column -> offset step (well above every sf0.1 max key)
+STEPS = {
+    "c_custkey": 1_000_000,
+    "s_suppkey": 1_000_000,
+    "p_partkey": 10_000_000,
+    "o_orderkey": 100_000_000,
+    "l_orderkey": 100_000_000,
+    "l_partkey": 10_000_000,
+    "l_suppkey": 1_000_000,
+    "o_custkey": 1_000_000,
+    "event_id": 100_000_000,
+    "user_id": 10_000_000,
+    "doc_id": 1_000_000,
+    "vec_id": 1_000_000,
+}
+
+# dims that do not scale with SF in TPC-H
+FIXED = {"region", "nation"}
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _offset_keys(tbl: pa.Table, i: int) -> pa.Table:
+    for name, step in STEPS.items():
+        if name in tbl.column_names:
+            idx = tbl.column_names.index(name)
+            col = tbl.column(idx)
+            shifted = pc.add(col, pa.scalar(i * step, type=col.type))
+            tbl = tbl.set_column(idx, tbl.field(idx), shifted.cast(col.type))
+    return tbl
+
+
+def _mangle_documents(tbl: pa.Table, i: int) -> pa.Table:
+    texts = tbl.column("text").to_pylist()
+    suf = f"~{i}"
+    new = [None if t is None else t.replace(" ", f"{suf} ") + suf for t in texts]
+    tbl = tbl.set_column(
+        tbl.column_names.index("text"), tbl.field("text"),
+        pa.array(new, type=pa.string()))
+    n_chars = pa.array([None if t is None else len(t) for t in new], type=pa.int64())
+    return tbl.set_column(tbl.column_names.index("n_chars"), tbl.field("n_chars"), n_chars)
+
+
+def _perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
+    col = tbl.column("embedding").combine_chunks()
+    arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.values, dtype=np.float32)
+    rng = np.random.RandomState(1000 + i)
+    noisy = flat + rng.normal(0.0, 0.02, size=flat.shape).astype(np.float32)
+    new = pa.ListArray.from_arrays(arr.offsets, pa.array(noisy, type=pa.float32()))
+    return tbl.set_column(
+        tbl.column_names.index("embedding"), tbl.field("embedding"), new)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1"))
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    for name in TABLES:
+        src = pq.read_table(f"{SRC}/{name}.parquet")
+        # strip pandas metadata; keep the arrow schema byte-compatible
+        src = src.replace_schema_metadata(None)
+        if name in FIXED:
+            out = src
+        else:
+            parts = []
+            for i in range(COPIES):
+                t = _offset_keys(src, i)
+                if name == "documents" and i > 0:
+                    t = _mangle_documents(t, i)
+                if name == "embeddings" and i > 0:
+                    t = _perturb_embeddings(t, i)
+                parts.append(t)
+            out = pa.concat_tables(parts)
+        pq.write_table(out, f"{args.out}/{name}.parquet",
+                       compression="snappy", row_group_size=256 * 1024)
+        print(f"{name}: {src.num_rows} -> {out.num_rows} rows", flush=True)
+    print(f"wrote sf1 to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
