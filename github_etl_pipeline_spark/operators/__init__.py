@@ -32,6 +32,7 @@ from github_etl_pipeline_spark.operators.curation import (
     chunk_documents,
     decontaminate,
     duplicate_spans,
+    remove_duplicate_spans,
     pack_sequences,
     quality_filter,
     temperature_sample,
@@ -72,6 +73,7 @@ __all__ = [
     "boilerplate_ngrams",
     "chunk_documents",
     "duplicate_spans",
+    "remove_duplicate_spans",
     "decontaminate",
     "pack_sequences",
     "quality_filter",

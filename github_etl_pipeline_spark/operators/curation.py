@@ -146,6 +146,62 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply the ``duplicate_spans`` mask: drop every token lying inside
+    a duplicated span and re-join the survivors — the text-cleaning step
+    a curation pipeline runs between span detection and shard writing.
+    Removes ALL occurrences of a duplicated span (the conservative
+    C4-style policy; keep-first-occurrence needs a global occurrence
+    order, i.e. one extra rank window, and is intentionally not the
+    default). Output per input doc: (id, n_tokens, n_removed,
+    clean_md5) — the md5 of the cleaned text stands in for the text
+    itself so comparisons/sinks ship 16 bytes, not documents.
+
+    Shape at 100 TB: spans (few per doc) collect_list into one
+    array<[start,end]> per doc — a groupBy on the doc id, skinny rows —
+    then LEFT-join back to the corpus on the same id (docs without spans
+    pass through untouched). Token filtering is a pure array expression
+    inside the scan; text never shuffles (the span join carries id +
+    span array only).
+    """
+    toks_raw = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    toks = F.coalesce(toks_raw, F.array().cast("array<string>"))
+    spans = (
+        duplicate_spans(docs, text_col, id_col, k, min_count)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.array(F.col("span_start"), F.col("span_end"))
+            ).alias("_spans")
+        )
+    )
+    covered = lambda i, sp: F.exists(  # noqa: E731
+        sp, lambda s: (i >= F.element_at(s, 1)) & (i <= F.element_at(s, 2))
+    )
+    with_spans = docs.join(spans, on=id_col, how="left").select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.coalesce(
+            F.col("_spans"), F.array().cast("array<array<int>>")
+        ).alias("_sp"),
+    )
+    kept = F.filter(
+        F.col("_toks"), lambda t, i: ~covered(i, F.col("_sp"))
+    )
+    return with_spans.select(
+        id_col,
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("clean_md5"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

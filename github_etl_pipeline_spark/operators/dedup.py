@@ -573,7 +573,15 @@ def embedding_dup_pairs_lsh(
 # ---------------------------------------------------------------------------
 # Fuzzy (edit-distance) near-dup pairs — PassJoin-style segment banding
 # ---------------------------------------------------------------------------
-FUZZY_KEY_LEN = 24
+# 48 (not 24): segment selectivity is THE scale lever of PassJoin — the
+# candidate count per (seg, value) bucket of multiplicity m is O(m^2),
+# and on the low-prefix-entropy documents corpus 8-char segments left
+# hot buckets of ~165 docs per 600k rows (sum m^2 grew 91x across a 10x
+# SF step; SCALING.md caught alpha=1.5). 16-char segments cut the sf1
+# candidate mass 31x while the true pair set is unchanged (28 of 29
+# sf0.001 pairs; the one loss is a pair whose similarity ends at char
+# 24 — a longer key is a stricter, more meaningful near-dup relation).
+FUZZY_KEY_LEN = 48
 FUZZY_MAX_ED = 2
 
 

@@ -300,3 +300,58 @@ def build_vocabulary(
             ),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a bag of
+    query terms (Okapi BM25, Robertson/Sparck-Jones idf with the +1
+    floor) and return the top ``topk`` as (id, bm25). The keyword-search
+    primitive a corpus-exploration / eval-set-mining workflow runs over
+    the documents table.
+
+    Shape at 100 TB: the token array is pre-filtered to the query terms
+    INSIDE the scan (array filter, no UDF), so the explode emits only
+    query-term occurrences — corpus tokens never shuffle. Document
+    frequencies reduce to <= |terms| rows and broadcast back; corpus
+    size + avgdl is a broadcast single-row aggregate; the final top-k is
+    a TakeOrderedAndProject (per-partition heads, never a global sort).
+    Scores are rounded to 6 decimals BEFORE ordering so the (score, id)
+    tie-break — and therefore the result set — is reproducible across
+    engines and float summation orders.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    base = df.select(F.col(id_col), F.size(toks).alias("dl"), toks.alias("_w"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = F.filter("_w", lambda t: t.isin(*query_terms))
+    posting = (
+        base.select(id_col, "dl", F.explode(hits).alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = posting.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        posting.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(topk)

@@ -124,12 +124,12 @@ def boilerplate_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _SPAN_K, _SPAN_MIN = 5, 2
 
-
-@register(
-    "dup_span_documents",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS w FROM documents
+# shared CTE chain: tokenize -> positional 5-gram hashes -> positions
+# whose gram repeats corpus-wide -> gaps-and-islands grouping key
+_SPAN_CTES = f"""toks AS (
+  SELECT doc_id, COALESCE(regexp_extract_all(text, '{TOKEN_RE}'),
+                          CAST([] AS VARCHAR[])) AS w
+  FROM documents
 ),
 pos AS (
   SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
@@ -148,7 +148,13 @@ isl AS (
   SELECT doc_id, pos,
          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
   FROM hits
-)
+)"""
+
+
+@register(
+    "dup_span_documents",
+    oracle=f"""
+WITH {_SPAN_CTES}
 SELECT doc_id,
        CAST(MIN(pos) AS INTEGER) AS span_start,
        CAST(MAX(pos) + {_SPAN_K - 1} AS INTEGER) AS span_end,
@@ -159,6 +165,41 @@ FROM isl GROUP BY doc_id, g
 )
 def dup_span_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.duplicate_spans(
+        _docs(spark, sf_dir), k=_SPAN_K, min_count=_SPAN_MIN
+    )
+
+
+@register(
+    "remove_dup_spans_documents",
+    oracle=f"""
+WITH {_SPAN_CTES},
+span_rows AS (
+  SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS s,
+         CAST(MAX(pos) + {_SPAN_K - 1} AS INTEGER) AS e
+  FROM isl GROUP BY doc_id, g
+),
+spans AS (SELECT doc_id, list([s, e]) AS sp FROM span_rows GROUP BY doc_id),
+clean AS (
+  SELECT t.doc_id,
+         CAST(len(t.w) AS INTEGER) AS n_tokens,
+         list_transform(
+           list_filter(range(0, len(t.w)),
+                       i -> len(list_filter(COALESCE(s.sp, CAST([] AS INTEGER[][])),
+                                            x -> i >= x[1] AND i <= x[2])) = 0),
+           i -> t.w[i+1]) AS kept
+  FROM toks t LEFT JOIN spans s USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens - len(kept) AS INTEGER) AS n_removed,
+       -- array_to_string([]) is NULL in DuckDB (string_agg semantics)
+       -- where Spark's array_join([]) is '' — pin to Spark's behavior
+       md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5
+FROM clean
+""",
+    doc="apply the duplicate-span mask: tokens inside any duplicated span dropped, cleaned text fingerprinted as md5 so only (id, counts, 16-byte hash) leave the scan; spans LEFT-join back by doc id",
+)
+def remove_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.remove_duplicate_spans(
         _docs(spark, sf_dir), k=_SPAN_K, min_count=_SPAN_MIN
     )
 

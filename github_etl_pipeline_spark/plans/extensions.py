@@ -878,6 +878,53 @@ def vocabulary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval: keyword search over the documents table
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("join", "stream", "filter")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+@register(
+    "bm25_search_documents",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS w FROM documents
+),
+dls AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS dl, w FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls),
+posting AS (
+  SELECT doc_id, dl, t AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl,
+               unnest(list_filter(w, x -> x IN {_BM25_TERMS!r})) AS t
+        FROM dls)
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM posting GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         round(SUM(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * p.tf * ({_BM25_K1} + 1)
+           / (p.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl))
+         ), 6) AS bm25
+  FROM posting p JOIN dfreq d USING (term) CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, bm25 FROM scored
+ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
+""",
+    doc=f"Okapi BM25 top-{_BM25_TOPK} keyword search for terms {_BM25_TERMS}: token array pre-filtered to query terms inside the scan, doc-frequency + corpus stats broadcast, TakeOrderedAndProject top-k; scores rounded before ordering for a cross-engine-stable tie-break",
+)
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _docs(spark, sf_dir), _BM25_TERMS,
+        k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding curation: centroid-distance outliers (SemDeDup-style audit)
 # ---------------------------------------------------------------------------
 @register(
@@ -998,16 +1045,16 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "fuzzy_pairs_documents",
-    oracle="""
+    oracle=f"""
 WITH k AS (
-  SELECT doc_id, rpad(substr(lower(text), 1, 24), 24, '~') AS key FROM documents
+  SELECT doc_id, rpad(substr(lower(text), 1, {D.FUZZY_KEY_LEN}), {D.FUZZY_KEY_LEN}, '~') AS key FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_distance
 FROM k a JOIN k b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.key, b.key) <= 2
 """,
-    doc="fuzzy near-dup pairs: Levenshtein <= 2 on the 24-char key via the "
+    doc=f"fuzzy near-dup pairs: Levenshtein <= 2 on the {D.FUZZY_KEY_LEN}-char key via the "
     "PassJoin segment filter (operators/dedup.py::fuzzy_pairs) — 3 segments + "
     "shifted-substring probes make an O(n) hash equi-join candidate set, exact "
     "levenshtein verify after; the oracle is the quadratic brute-force join "

@@ -295,3 +295,34 @@ def test_duplicate_spans_short_and_empty_docs(spark):
     )
     # docs shorter than k produce no k-grams at all -> no spans anywhere
     assert duplicate_spans(docs, k=3).count() == 0
+
+
+def test_remove_duplicate_spans_planted(spark):
+    from github_etl_pipeline_spark.operators.curation import remove_duplicate_spans
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f x1 y1 z1", "web"),
+            (2, "a b c d e f x2 y2 z2", "web"),
+            (3, "totally different words here now", "web"),
+            (4, None, "web"),
+        ],
+    )
+    got = {r.doc_id: r for r in remove_duplicate_spans(docs, k=3).collect()}
+    # every input doc survives (removal edits text, never drops rows)
+    assert set(got) == {1, 2, 3, 4}
+    # docs 1/2 lose the shared 6-token prefix, keep their unique tails
+    import hashlib
+
+    for d, tail in ((1, "x1 y1 z1"), (2, "x2 y2 z2")):
+        assert got[d].n_tokens == 9 and got[d].n_removed == 6
+        assert got[d].clean_md5 == hashlib.md5(tail.encode()).hexdigest()
+    # untouched doc: zero removed, md5 of the original text
+    assert got[3].n_removed == 0
+    assert got[3].clean_md5 == hashlib.md5(
+        b"totally different words here now"
+    ).hexdigest()
+    # null text -> zero tokens, md5('')
+    assert got[4].n_tokens == 0 and got[4].n_removed == 0
+    assert got[4].clean_md5 == hashlib.md5(b"").hexdigest()

@@ -46,7 +46,7 @@ def test_fuzzy_pairs_synthetic_indels(spark):
     SHIFTS every segment (caught only because probes scan start offsets
     within +-max_ed — the part a naive same-position segment join
     misses)."""
-    base = "abcdefghijklmnopqrstuvwx"  # exactly FUZZY_KEY_LEN chars
+    base = "abcdefghijklmnopqrstuvwxyz0123456789+-*/=<>?!@#$"  # exactly FUZZY_KEY_LEN chars
     rows = [
         (1, base),
         (2, "1" + base[1:]),                       # 1 substitution

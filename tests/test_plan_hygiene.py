@@ -31,8 +31,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #     the unigram vocab relation
 #   user_value_trend_events — 1-row corpus-min-timestamp broadcast
 #     attached before the per-user OLS aggregate (scalar attach)
+#   bm25_search_documents — 1-row (n_docs, avgdl) corpus-stats broadcast
+#     attached to the <= |query terms| posting aggregate
 ALLOWED_NESTED_LOOP = {
     "ann_topk_bruteforce",
+    "bm25_search_documents",
     "top_terms_by_source",
     "boilerplate_ngrams_documents",
     "vocabulary_documents",
