@@ -23,7 +23,9 @@ from github_etl_pipeline_spark.operators.similarity import (
 )
 from github_etl_pipeline_spark.operators.text import (
     pii_profile,
+    max_multiplicity,
     repetition_profile,
+    repetition_signals,
     source_profile,
     text_profile,
 )
@@ -67,7 +69,9 @@ __all__ = [
     "ann_lsh_topk",
     "cosine_topk",
     "pii_profile",
+    "max_multiplicity",
     "repetition_profile",
+    "repetition_signals",
     "source_profile",
     "text_profile",
     "boilerplate_ngrams",

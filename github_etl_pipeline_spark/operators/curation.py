@@ -21,9 +21,9 @@ Scale design (the 100-TB story):
     unpartitioned window) — each source's running token total is an
     independent partition-local cumsum, exactly how shard-building
     pipelines pack per input shard.
-  * quality_filter: per-row expressions + the repetition aggregate
-    (explode -> two map-side-combined groupBys); no text leaves the
-    scan stage.
+  * quality_filter: EVERY signal (length, repetition, punctuation,
+    word shape) is a pure expression in one scan projection — zero
+    shuffles, zero joins; no text leaves the scan stage.
   * temperature_sample: per-source counts are a ~|sources|-row
     aggregate, broadcast back; the keep decision is an INTEGER
     inequality (bucket^2 * n_s < n_min * BUCKETS^2), so no float
@@ -36,12 +36,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from github_etl_pipeline_spark.operators.dedup import shingle_hashes, shingles
+from github_etl_pipeline_spark.operators.dedup import kgrams_of, shingle_hashes, shingles
 from github_etl_pipeline_spark.operators.sampling import BUCKETS, sample_bucket
 from github_etl_pipeline_spark.operators.text import (
     TOKEN_RE,
     quality_features,
-    repetition_profile,
+    repetition_signals,
 )
 
 
@@ -117,13 +117,11 @@ def duplicate_spans(
     """
     toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
     n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # kgrams_of (chained zip_with), not transform-over-indices: the
+    # index-lambda form re-evaluates the token array per element
+    grams = F.when(n >= k, kgrams_of(toks, k)).otherwise(
+        F.array().cast("array<string>")
+    )
     pos_grams = docs.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "_gram")
     ).select(id_col, "pos", F.substring(F.md5("_gram"), 1, 16).alias("_gh"))
@@ -346,16 +344,20 @@ def quality_filter(
     ``QUALITY_RULES`` (length, repetition, punctuation, word-shape) and
     emits (doc_id, keep, reasons) where ``reasons`` is the
     comma-joined, fixed-order list of failed rules ('' when keep).
-    Per-row signals stay in the scan; the repetition signals reuse
-    ``repetition_profile``'s two map-side-combined aggregates."""
+    EVERY signal — length, repetition, punctuation, word shape — is a
+    pure expression in one scan projection (repetition via
+    ``repetition_signals``), so the filter adds zero shuffles and
+    composes with predicate pushdown."""
     feats = quality_features(text_col)
-    base = docs.select(
+    rep = repetition_signals(text_col)
+    j = docs.select(
         F.col(id_col),
         feats["punct_ratio"].alias("punct_ratio"),
         feats["mean_word_len"].alias("mean_word_len"),
+        rep["n_words"].alias("n_words"),
+        rep["top_word_frac"].alias("top_word_frac"),
+        rep["dup_bigram_frac"].alias("dup_bigram_frac"),
     )
-    rep = repetition_profile(docs, text_col, id_col)
-    j = base.join(rep, id_col)
     conds = {
         "too_few_words": F.col("n_words") < 5,
         "repetitive_top_word": F.col("top_word_frac") > 0.30,

@@ -55,19 +55,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def kgrams_of(w: Column, k: int) -> Column:
+    """POSITIONAL word k-grams of an existing token array, space-joined,
+    as k-1 chained zip_with passes + a final slice.
+
+    NOT transform-over-indices with slice/element_at lambdas: an
+    expression referenced inside a higher-order-function lambda is
+    re-evaluated per ELEMENT, making the index form O(n^2) per row
+    (measured 7x slower on ~100-token docs); each zip pass touches each
+    element once, so this is O(k*n). Rows shorter than ``k`` yield []
+    — callers add their own short-doc fallback."""
+    n = F.size(w)
+    out = w
+    for j in range(1, k):
+        shifted = F.slice(w, j + 1, F.greatest(n - j, F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.slice(out, 1, F.greatest(n - (k - 1), F.lit(0)))
+
+
 def shingles(col: Column | str, k: int = 2) -> Column:
     """Distinct word k-gram shingle array."""
     toks = F.regexp_extract_all(F.col(col) if isinstance(col, str) else col, F.lit(TOKEN_RE), 0)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     gram = F.when(
         n >= k,
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-            )
-        ),
+        F.array_distinct(kgrams_of(toks, k)),
     ).otherwise(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
     return gram
 
@@ -88,10 +100,9 @@ def ordered_shingle_hashes(col: Column | str, k: int = 2) -> Column:
     ``shingle_hashes`` the MinHash path uses."""
     toks = F.regexp_extract_all(F.col(col) if isinstance(col, str) else col, F.lit(TOKEN_RE), 0)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.when(
         n >= k,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+        kgrams_of(toks, k),
     ).otherwise(
         F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(
             F.array().cast("array<string>")

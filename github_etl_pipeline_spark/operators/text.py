@@ -183,15 +183,75 @@ def words_lower(col: Column | str) -> Column:
     return F.regexp_extract_all(F.lower(_c(col)), F.lit(WORD_RE), 0)
 
 
+def _bigrams_of(w: Column) -> Column:
+    """NON-distinct consecutive bigrams of an existing word array.
+
+    Built as zip_with(w, w[2:], concat) + drop-last rather than
+    transform-over-indices with slice/element_at lambdas: expressions
+    referenced inside a higher-order-function lambda are re-evaluated
+    per ELEMENT, so the index-lambda form is O(n^2) per row (measured
+    7x slower on ~100-word docs at sf1); the zip form touches each
+    element once."""
+    n = F.size(w)
+    shifted = F.slice(w, 2, F.greatest(n - F.lit(1), F.lit(0)))
+    zipped = F.zip_with(w, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(
+        n >= 2, F.slice(zipped, 1, F.greatest(n - F.lit(1), F.lit(0)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_bigrams(col: Column | str) -> Column:
     """NON-distinct consecutive word bigrams (repetition needs counts,
     unlike the dedup shingles which are a set)."""
+    return _bigrams_of(words_lower(col))
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Count of the most frequent element of an array, as a pure
+    expression: sort, then the longest run of equal adjacent elements —
+    O(n log n) per ROW, inside the scan. This replaces the
+    explode -> groupBy(id, word) -> groupBy(id) -> join-back shape for
+    per-document word statistics: that pipeline shuffles the entire
+    tokenized corpus twice and re-joins it, which benchmarked
+    SUPERLINEAR across the sf0.1->sf1 step (alpha 1.1) while this form
+    is embarrassingly parallel and shuffles nothing."""
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(s, init, step, lambda acc: acc["best"])
+
+
+def repetition_signals(col: Column | str) -> dict[str, Column]:
+    """The per-document repetition measures as pure column expressions
+    over ONE tokenization: total word count, top-word fraction
+    (via ``max_multiplicity``), duplicated-bigram fraction. Usable
+    inline by any scan — no aggregation, no join, no shuffle."""
     w = words_lower(col)
     n = F.size(w)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(2), F.lit(0)))
-    return F.when(
-        n >= 2, F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, 2), " "))
-    ).otherwise(F.array().cast("array<string>"))
+    bg = _bigrams_of(w)
+    nbg, ndbg = F.size(bg), F.size(F.array_distinct(bg))
+    return {
+        "n_words": F.when(n > 0, n).otherwise(F.lit(0)).cast("long"),
+        "top_word_frac": F.round(
+            F.when(n > 0, max_multiplicity(w) / n).otherwise(F.lit(0.0)), 6
+        ),
+        "dup_bigram_frac": F.round(
+            F.when(nbg > 0, F.lit(1.0) - ndbg.cast("double") / nbg).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ),
+    }
 
 
 def repetition_profile(
@@ -199,38 +259,17 @@ def repetition_profile(
 ) -> DataFrame:
     """Per-document repetition signals used by quality filters
     (Gopher/C4-style): the fraction of words taken by the single most
-    frequent word, and the duplicated fraction of word bigrams. Shapes:
-    the top-word pass is explode -> two partial-aggregated groupBys on
-    (doc, word) — never wider than the tokenized corpus; the bigram
-    fraction is a pure array expression in the same scan."""
-    w = df.select(F.col(id_col), F.explode(words_lower(text_col)).alias("w"))
-    wc = w.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
-    top = wc.groupBy(id_col).agg(
-        F.max("c").alias("_top"), F.sum("c").alias("_total")
-    )
-    bg = df.select(
+    frequent word, and the duplicated fraction of word bigrams. ONE
+    zero-shuffle projection: all three signals are array expressions
+    over a single tokenization (see ``repetition_signals`` /
+    ``max_multiplicity`` for why this beats the explode+groupBy form
+    at scale)."""
+    sig = repetition_signals(text_col)
+    return df.select(
         F.col(id_col),
-        F.size(word_bigrams(text_col)).alias("_nbg"),
-        F.size(F.array_distinct(word_bigrams(text_col))).alias("_ndbg"),
-    )
-    return (
-        df.select(id_col)
-        .join(top, id_col, "left")
-        .join(bg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("_total", F.lit(0)).alias("n_words"),
-            F.round(
-                F.when(F.col("_total") > 0, F.col("_top") / F.col("_total")).otherwise(0.0), 6
-            ).alias("top_word_frac"),
-            F.round(
-                F.when(
-                    F.col("_nbg") > 0,
-                    1.0 - F.col("_ndbg").cast("double") / F.col("_nbg"),
-                ).otherwise(0.0),
-                6,
-            ).alias("dup_bigram_frac"),
-        )
+        sig["n_words"].alias("n_words"),
+        sig["top_word_frac"].alias("top_word_frac"),
+        sig["dup_bigram_frac"].alias("dup_bigram_frac"),
     )
 
 

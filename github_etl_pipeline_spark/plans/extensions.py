@@ -287,8 +287,9 @@ walk(id, lbl) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT b.dst, w.lbl FROM walk w JOIN bi b ON b.src = w.id
-)
-SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
+),
+cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id)
+SELECT doc_id, cluster_id FROM cl
 """
     )
 
@@ -300,6 +301,23 @@ SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
 )
 def dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_clusters(_docs(spark, sf_dir), threshold=0.2)
+
+
+@register(
+    "dedup_canonical_documents",
+    oracle=_dup_clusters_oracle(0.2).replace(
+        "SELECT doc_id, cluster_id FROM cl",
+        """SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN cl ON cl.doc_id = d.doc_id
+WHERE cl.cluster_id = d.doc_id""",
+    ),
+    doc="end-to-end near-dup corpus cleaning: keep exactly ONE canonical doc (the min id) per MinHash+LSH connected component — the kept-set a curation pipeline ships to training; cluster labels are skinny (id, id) rows, the text re-attaches via one equi-join",
+)
+def dedup_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    clusters = D.dup_clusters(docs, threshold=0.2)
+    canon = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return docs.join(canon, "doc_id").select("doc_id", "source", "n_chars")
 
 
 # ---------------------------------------------------------------------------
