@@ -267,3 +267,30 @@ def test_fuzzy_pairs_hot_bucket_skew(spark):
     }
     assert got == brute
     assert (0, 1000, 1) in got and (5, 1001, 0) in got
+
+
+def test_kgrams_of_matches_python_reference(spark):
+    """kgrams_of (chained zip_with) must equal the straightforward
+    positional k-gram definition for every k and ragged/short/empty/
+    duplicate-token inputs — it silently feeds MinHash, Jaccard,
+    boilerplate and duplicate-span detection."""
+    from github_etl_pipeline_spark.operators.dedup import kgrams_of
+
+    rows = [
+        (1, ["a", "b", "c", "d", "e"]),
+        (2, ["a", "a", "a"]),        # duplicate tokens preserved positionally
+        (3, ["x", "y"]),
+        (4, ["solo"]),               # shorter than any k >= 2 -> []
+        (5, []),
+    ]
+    df = spark.createDataFrame(rows, "id long, toks array<string>")
+    for k in (2, 3, 5):
+        got = {
+            r.id: r.g
+            for r in df.select("id", kgrams_of(F.col("toks"), k).alias("g")).collect()
+        }
+        for rid, toks in rows:
+            want = [
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            ] if len(toks) >= k else []
+            assert got[rid] == want, (rid, k, got[rid], want)

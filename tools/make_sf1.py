@@ -21,8 +21,13 @@ preserve *distributional* properties rather than literal bytes:
   scale measurement. Within each copy the original similarity structure
   is intact, so dup-rate per row is constant across SFs, which is what a
   scaling exponent should hold fixed.
-- embeddings: copy i>0 adds small deterministic noise (seeded per copy)
-  so no vectors are bit-identical while the cosine geometry stays put.
+- embeddings: copy i>0 applies a per-copy ORTHOGONAL transform
+  (dimension permutation x random sign flips, seeded per copy). An
+  isometry preserves every within-copy distance/cosine exactly — so
+  each copy has sf0.1's near-dup structure — while cross-copy cosines
+  collapse to noise (additive perturbation instead leaves copies of the
+  same vector at cosine ~0.999, inflating near-dup pair density ~45x
+  and turning the dup-cluster benchmarks into a different workload).
 
 events keeps its time range (more events per window, more users — the
 realistic way an event stream scales) with user_id offset per copy so
@@ -95,9 +100,13 @@ def _perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
     col = tbl.column("embedding").combine_chunks()
     arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
     flat = np.asarray(arr.values, dtype=np.float32)
+    dim = int(np.diff(arr.offsets.to_numpy())[0])
+    mat = flat.reshape(-1, dim)
     rng = np.random.RandomState(1000 + i)
-    noisy = flat + rng.normal(0.0, 0.02, size=flat.shape).astype(np.float32)
-    new = pa.ListArray.from_arrays(arr.offsets, pa.array(noisy, type=pa.float32()))
+    perm = rng.permutation(dim)
+    signs = rng.choice(np.array([-1.0, 1.0], dtype=np.float32), size=dim)
+    rotated = (mat[:, perm] * signs).astype(np.float32).reshape(-1)
+    new = pa.ListArray.from_arrays(arr.offsets, pa.array(rotated, type=pa.float32()))
     return tbl.set_column(
         tbl.column_names.index("embedding"), tbl.field("embedding"), new)
 
