@@ -129,19 +129,27 @@ def prepare_dim(dim: DataFrame, max_rows: int = 100_000) -> DataFrame:
     (single partition by construction) — correct and cheap for the
     hundreds-row Excel lookup this models, quadratically wrong for a
     fact table. ``max_rows`` makes misuse loud instead of slow; raise it
-    deliberately if a legitimately larger dimension appears.
+    deliberately if a legitimately larger dimension appears. The guard
+    is IN-PLAN (raise_error on the row index the window computes anyway)
+    rather than an eager ``count()``: an extra action per pipeline run
+    costs a Spark job and blocks lazy composition, while the in-plan
+    check is one comparison per dimension row and fires on the first
+    oversized partition at execution time.
     """
-    n = dim.limit(int(max_rows) + 1).count()
-    if n > max_rows:
-        raise ValueError(
+    w = Window.orderBy(F.monotonically_increasing_id())
+    # guard rides on the GROUPING KEY so no amount of column pruning can
+    # eliminate it (an _idx-only guard column gets pruned under count())
+    guarded_key = F.when(
+        F.col("_idx") > int(max_rows),
+        F.raise_error(
             f"prepare_dim: dimension has >{max_rows} rows; this operator "
             "single-partitions the input to pin source order and is meant "
             "for small lookup dimensions only. Pass max_rows=... to "
             "override deliberately, or pre-aggregate the input."
-        )
-    w = Window.orderBy(F.monotonically_increasing_id())
+        ).cast("string"),
+    ).otherwise(normalize_pool_id("Pool_id"))
     indexed = dim.withColumn("_idx", F.row_number().over(w)).withColumn(
-        "norm_pool_id", normalize_pool_id("Pool_id")
+        "norm_pool_id", guarded_key
     )
     agg = indexed.groupBy("norm_pool_id").agg(
         F.min_by("Bet", "_idx").alias("min_bet"),
