@@ -22,6 +22,7 @@ from github_etl_pipeline_spark.operators.similarity import (
     cosine_topk,
 )
 from github_etl_pipeline_spark.operators.text import (
+    bm25_topk,
     pii_profile,
     max_multiplicity,
     repetition_profile,
@@ -50,6 +51,7 @@ from github_etl_pipeline_spark.operators.multimodal import extract_features
 from github_etl_pipeline_spark.operators.joins import range_join
 
 __all__ = [
+    "bm25_topk",
     "tag_expr",
     "is_flat_expr",
     "max_multiplier_expr",

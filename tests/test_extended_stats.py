@@ -65,3 +65,42 @@ def test_first_last_k_match_file(stats_row):
     expect_last = [int(v) for v in lines[-10:]]
     assert list(stats_row.first_k) == expect_first
     assert list(stats_row.last_k) == expect_last
+
+
+def test_bm25_ranked_retrieval_matches_reference_formula(spark):
+    """Planted corpus with hand-computable Okapi BM25 (k1=1.2, b=0.75):
+    the operator must reproduce the reference formula and rank docs with
+    more distinct query-term mass higher; docs with no query terms never
+    appear."""
+    import math
+
+    from github_etl_pipeline_spark.operators.text import bm25_topk
+
+    docs = [
+        (1, "spark joins data fast spark"),   # 'spark' x2 of 5
+        (2, "spark only once here"),          # 'spark' x1 of 4
+        (3, "unrelated words entirely"),      # no hit -> absent
+        (4, "joins joins joins joins"),       # 'joins' x4 of 4
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.bm25 for r in bm25_topk(df, ("spark", "joins"), topk=10).collect()}
+    assert set(got) == {1, 2, 4}
+
+    # independent reference computation
+    k1, b = 1.2, 0.75
+    dls = {1: 5, 2: 4, 3: 3, 4: 4}
+    n, avgdl = 4, sum(dls.values()) / 4
+    dfreq = {"spark": 2, "joins": 2}
+    tfs = {1: {"spark": 2, "joins": 1}, 2: {"spark": 1}, 4: {"joins": 4}}
+
+    def score(doc):
+        s = 0.0
+        for t, tf in tfs[doc].items():
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[doc] / avgdl))
+        return round(s, 6)
+
+    for d in (1, 2, 4):
+        assert abs(got[d] - score(d)) < 1e-9, (d, got[d], score(d))
+    # doc 1 carries both terms -> outranks the single-term docs
+    assert got[1] > got[2]
