@@ -92,6 +92,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Substring-level duplicate-span detection (the exact-substring
     dedup of Lee et al. 2022, "Deduplicating Training Data Makes
@@ -99,7 +100,10 @@ def duplicate_spans(
     position opening a ``k``-gram that occurs >= ``min_count`` times
     ANYWHERE in the corpus (other documents or repetition within the
     same document) is a duplicated position; runs of adjacent duplicated
-    positions merge into maximal spans. Output one row per span:
+    positions merge into maximal spans. With ``keep_first`` the globally
+    first occurrence of each repeated k-gram is exempt (the paper's
+    keep-one-copy removal rule); the default marks every occurrence
+    (conservative C4-style). Output one row per span:
     (id, span_start, span_end, n_dup_grams) with token-index bounds —
     the removal mask a curation pipeline applies before training, at
     span granularity where ``exact_dedup``/MinHash only work per-doc.
@@ -125,12 +129,24 @@ def duplicate_spans(
     pos_grams = docs.select(
         F.col(id_col), F.posexplode(grams).alias("pos", "_gram")
     ).select(id_col, "pos", F.substring(F.md5("_gram"), 1, 16).alias("_gh"))
-    freq_w = Window.partitionBy("_gh")
-    hits = (
-        pos_grams.withColumn("_freq", F.count(F.lit(1)).over(freq_w))
-        .where(F.col("_freq") >= min_count)
-        .select(id_col, "pos")
-    )
+    if keep_first:
+        # Lee-et-al removal semantics: the globally FIRST occurrence of a
+        # repeated k-gram (min (id, pos) order) is the survivor; only
+        # LATER occurrences are duplicated positions. Same single shuffle
+        # on the gram hash, rank window instead of count window.
+        occ_w = Window.partitionBy("_gh").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+        hits = (
+            pos_grams.withColumn("_occ", F.row_number().over(occ_w))
+            .where(F.col("_occ") >= min_count)
+            .select(id_col, "pos")
+        )
+    else:
+        freq_w = Window.partitionBy("_gh")
+        hits = (
+            pos_grams.withColumn("_freq", F.count(F.lit(1)).over(freq_w))
+            .where(F.col("_freq") >= min_count)
+            .select(id_col, "pos")
+        )
     island_w = Window.partitionBy(id_col).orderBy("pos")
     return (
         hits.withColumn("_isl", F.col("pos") - F.row_number().over(island_w))

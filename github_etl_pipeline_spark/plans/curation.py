@@ -169,6 +169,43 @@ def dup_span_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# keep-first variant: swap the count window for a global-occurrence-rank
+# window — the first occurrence of each repeated k-gram is exempt
+_SPAN_CTES_KEEP_FIRST = _SPAN_CTES.replace(
+    """hits AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) AS freq FROM pos
+  ) WHERE freq >= {m}
+),""".format(m=_SPAN_MIN),
+    """hits AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS occ
+    FROM pos
+  ) WHERE occ >= {m}
+),""".format(m=_SPAN_MIN),
+)
+assert "occ" in _SPAN_CTES_KEEP_FIRST  # replace() must have matched
+
+
+@register(
+    "dup_span_keep_first_documents",
+    oracle=f"""
+WITH {_SPAN_CTES_KEEP_FIRST}
+SELECT doc_id,
+       CAST(MIN(pos) AS INTEGER) AS span_start,
+       CAST(MAX(pos) + {_SPAN_K - 1} AS INTEGER) AS span_end,
+       COUNT(*) AS n_dup_grams
+FROM isl GROUP BY doc_id, g
+""",
+    doc=f"duplicate spans under Lee-et-al keep-one-copy removal: the globally first occurrence of each repeated {_SPAN_K}-gram survives, later occurrences merge into removal spans; same single gram-hash shuffle as dup_span_documents with a rank window instead of a count window",
+)
+def dup_span_keep_first_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.duplicate_spans(
+        _docs(spark, sf_dir), k=_SPAN_K, min_count=_SPAN_MIN, keep_first=True
+    )
+
+
 @register(
     "remove_dup_spans_documents",
     oracle=f"""

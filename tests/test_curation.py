@@ -326,3 +326,24 @@ def test_remove_duplicate_spans_planted(spark):
     # null text -> zero tokens, md5('')
     assert got[4].n_tokens == 0 and got[4].n_removed == 0
     assert got[4].clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_duplicate_spans_keep_first_exempts_first_occurrence(spark):
+    from github_etl_pipeline_spark.operators.curation import duplicate_spans
+
+    # docs 1 and 2 share the leading 3-gram run; under keep_first only
+    # doc 2 (the later occurrence in global (id, pos) order) is marked
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f x1 y1 z1", "web"),
+            (2, "a b c d e f x2 y2 z2", "web"),
+        ],
+    )
+    got = {r.doc_id: r for r in duplicate_spans(docs, k=3, keep_first=True).collect()}
+    assert set(got) == {2}
+    assert (got[2].span_start, got[2].span_end) == (0, 5)
+    # within-doc repetition: first copy survives, second is a span
+    rep = _docs(spark, [(7, "p q r sep1 sep2 p q r", "web")])
+    rows = duplicate_spans(rep, k=3, keep_first=True).collect()
+    assert [(r.span_start, r.span_end) for r in rows] == [(5, 7)]
