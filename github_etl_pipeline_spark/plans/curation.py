@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from github_etl_pipeline_spark.operators import curation as C
 from github_etl_pipeline_spark.operators import dedup as D
-from github_etl_pipeline_spark.operators.text import TOKEN_RE, WORD_RE
+from github_etl_pipeline_spark.operators.text import PUNCT_RE, STOPWORDS, TOKEN_RE, WORD_RE
 from github_etl_pipeline_spark.plans.extensions import (
     _band_sql,
     _docs,
@@ -238,6 +238,50 @@ FROM clean
 def remove_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.remove_duplicate_spans(
         _docs(spark, sf_dir), k=_SPAN_K, min_count=_SPAN_MIN
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-derived quality gate: keep docs at or above the corpus's
+# 20th-percentile composite quality score
+# ---------------------------------------------------------------------------
+_QGATE_P = 0.2
+
+_QUALITY_SQL = """round(0.25 * (CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END)
+      + 0.25 * least(CASE WHEN n_tokens > 0 THEN CAST(n_words AS DOUBLE)/n_tokens ELSE 0.0 END, 1.0)
+      + 0.25 * (CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(s_en AS DOUBLE)/n_tokens ELSE 0.0 END) > 0.02 THEN 1.0 ELSE 0.5 END)
+      + 0.25 * (CASE WHEN (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END) > 0.2 THEN 0.5 ELSE 1.0 END), 4)"""
+
+
+@register(
+    "quality_percentile_gate_documents",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+         len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+         len(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct,
+         len(regexp_extract_all(lower(text), '{STOPWORDS["en"]}')) AS s_en
+  FROM documents
+),
+q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM f),
+thr AS (SELECT round(quantile_cont(quality, {_QGATE_P}), 6) AS _thr FROM q)
+SELECT doc_id, quality, quality >= _thr AS keep
+FROM q CROSS JOIN thr
+""",
+    doc=f"distribution-derived quality gate: keep docs >= the corpus p{int(_QGATE_P*100)} composite quality score; the threshold is a broadcast single-row EXACT percentile (4dp scores, 6dp threshold — cross-engine-stable compare; at fleet scale swap in approx_percentile, same plan shape)",
+)
+def quality_percentile_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    thr = scored.agg(
+        F.round(F.expr(f"percentile(quality, {_QGATE_P})"), 6).alias("_thr")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "quality", (F.col("quality") >= F.col("_thr")).alias("keep")
     )
 
 

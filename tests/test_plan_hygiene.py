@@ -33,7 +33,10 @@ SF_DIR = "/root/testdata/sf0.001"
 #     attached before the per-user OLS aggregate (scalar attach)
 #   bm25_search_documents — 1-row (n_docs, avgdl) corpus-stats broadcast
 #     attached to the <= |query terms| posting aggregate
+#   quality_percentile_gate_documents — 1-row exact-percentile threshold
+#     broadcast onto the scored corpus
 ALLOWED_NESTED_LOOP = {
+    "quality_percentile_gate_documents",
     "ann_topk_bruteforce",
     "bm25_search_documents",
     "top_terms_by_source",
