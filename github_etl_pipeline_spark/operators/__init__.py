@@ -6,6 +6,7 @@ from github_etl_pipeline_spark.operators.classify import (
 from github_etl_pipeline_spark.operators.kpis import pool_kpis, pool_distribution
 from github_etl_pipeline_spark.operators.rollup import aggregated_summary
 from github_etl_pipeline_spark.operators.dedup import (
+    kgrams_of,
     connected_components,
     dup_clusters,
     embedding_dup_pairs_lsh,
@@ -51,6 +52,7 @@ from github_etl_pipeline_spark.operators.multimodal import extract_features
 from github_etl_pipeline_spark.operators.joins import range_join
 
 __all__ = [
+    "kgrams_of",
     "bm25_topk",
     "tag_expr",
     "is_flat_expr",

@@ -166,14 +166,15 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Apply the ``duplicate_spans`` mask: drop every token lying inside
     a duplicated span and re-join the survivors — the text-cleaning step
     a curation pipeline runs between span detection and shard writing.
-    Removes ALL occurrences of a duplicated span (the conservative
-    C4-style policy; keep-first-occurrence needs a global occurrence
-    order, i.e. one extra rank window, and is intentionally not the
-    default). Output per input doc: (id, n_tokens, n_removed,
+    Removes ALL occurrences of a duplicated span by default (the
+    conservative C4-style policy); ``keep_first`` forwards to
+    ``duplicate_spans`` for the Lee-et-al keep-one-copy rule, where the
+    first occurrence of each repeated gram survives removal. Output per input doc: (id, n_tokens, n_removed,
     clean_md5) — the md5 of the cleaned text stands in for the text
     itself so comparisons/sinks ship 16 bytes, not documents.
 
@@ -187,7 +188,7 @@ def remove_duplicate_spans(
     toks_raw = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
     toks = F.coalesce(toks_raw, F.array().cast("array<string>"))
     spans = (
-        duplicate_spans(docs, text_col, id_col, k, min_count)
+        duplicate_spans(docs, text_col, id_col, k, min_count, keep_first)
         .groupBy(id_col)
         .agg(
             F.collect_list(

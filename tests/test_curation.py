@@ -347,3 +347,18 @@ def test_duplicate_spans_keep_first_exempts_first_occurrence(spark):
     rep = _docs(spark, [(7, "p q r sep1 sep2 p q r", "web")])
     rows = duplicate_spans(rep, k=3, keep_first=True).collect()
     assert [(r.span_start, r.span_end) for r in rows] == [(5, 7)]
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    from github_etl_pipeline_spark.operators.curation import remove_duplicate_spans
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f x1 y1 z1", "web"),
+            (2, "a b c d e f x2 y2 z2", "web"),
+        ],
+    )
+    got = {r.doc_id: r for r in remove_duplicate_spans(docs, k=3, keep_first=True).collect()}
+    # doc 1 holds the first occurrence -> untouched; doc 2 loses the prefix
+    assert got[1].n_removed == 0 and got[2].n_removed == 6
