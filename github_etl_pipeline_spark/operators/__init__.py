@@ -33,9 +33,11 @@ from github_etl_pipeline_spark.operators.text import (
 )
 from github_etl_pipeline_spark.operators.curation import (
     boilerplate_ngrams,
+    build_gram_index,
     chunk_documents,
     decontaminate,
     duplicate_spans,
+    duplicate_spans_against_index,
     remove_duplicate_spans,
     pack_sequences,
     quality_filter,
@@ -80,7 +82,9 @@ __all__ = [
     "text_profile",
     "boilerplate_ngrams",
     "chunk_documents",
+    "build_gram_index",
     "duplicate_spans",
+    "duplicate_spans_against_index",
     "remove_duplicate_spans",
     "decontaminate",
     "pack_sequences",

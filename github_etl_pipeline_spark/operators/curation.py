@@ -119,16 +119,7 @@ def duplicate_spans(
     distribute; the k-gram relational form is the standard scale-out
     equivalent (ccnet/RefinedWeb-style).
     """
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
-    n = F.size(toks)
-    # kgrams_of (chained zip_with), not transform-over-indices: the
-    # index-lambda form re-evaluates the token array per element
-    grams = F.when(n >= k, kgrams_of(toks, k)).otherwise(
-        F.array().cast("array<string>")
-    )
-    pos_grams = docs.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "_gram")
-    ).select(id_col, "pos", F.substring(F.md5("_gram"), 1, 16).alias("_gh"))
+    pos_grams = _pos_gram_hashes(docs, text_col, id_col, k)
     if keep_first:
         # Lee-et-al removal semantics: the globally FIRST occurrence of a
         # repeated k-gram (min (id, pos) order) is the survivor; only
@@ -147,6 +138,26 @@ def duplicate_spans(
             .where(F.col("_freq") >= min_count)
             .select(id_col, "pos")
         )
+    return _merge_spans(hits, id_col, k)
+
+
+def _pos_gram_hashes(
+    docs: "DataFrame", text_col: str, id_col: str, k: int
+) -> "DataFrame":
+    """(id, pos, gh): positional 16-hex-char md5 k-gram hashes — the
+    skinny relation every span operator shuffles instead of text."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    n = F.size(toks)
+    grams = F.when(n >= k, kgrams_of(toks, k)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "_gram")
+    ).select(id_col, "pos", F.substring(F.md5("_gram"), 1, 16).alias("_gh"))
+
+
+def _merge_spans(hits: "DataFrame", id_col: str, k: int) -> "DataFrame":
+    """Gaps-and-islands merge of duplicated positions into maximal spans."""
     island_w = Window.partitionBy(id_col).orderBy("pos")
     return (
         hits.withColumn("_isl", F.col("pos") - F.row_number().over(island_w))
@@ -158,6 +169,67 @@ def duplicate_spans(
         )
         .select(id_col, "span_start", "span_end", "n_dup_grams")
     )
+
+
+def build_gram_index(
+    docs: "DataFrame",
+    index_path,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's DISTINCT k-gram hash set — 8 bytes per
+    distinct gram, thousands of times smaller than the text — the span
+    sibling of ``dedup.build_minhash_index``. A daily delta joins its
+    own gram positions against this index, so the historical corpus is
+    never re-read or re-tokenized. ``mode="append"`` adds a cleaned
+    delta's grams after it has been span-deduped (the ingest loop);
+    appended duplicates of already-indexed hashes are harmless (the
+    probe is a semi join) and can be compacted with a DISTINCT rewrite.
+    """
+    (
+        _pos_gram_hashes(docs, text_col, id_col, k)
+        .select(F.col("_gh").alias("gh"))
+        .distinct()
+        .write.mode(mode)
+        .parquet(str(index_path))
+    )
+
+
+def duplicate_spans_against_index(
+    spark,
+    new_docs: "DataFrame",
+    index_path,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> "DataFrame":
+    """Incremental duplicate-span detection: span-mark a DELTA without
+    touching the historical corpus. A delta position is duplicated if
+    its k-gram exists in the persisted gram index (seen in history) OR
+    repeats >= ``min_count`` times within the delta itself; runs merge
+    into maximal spans exactly as in ``duplicate_spans``.
+
+    Shape at 100 TB: the delta's (id, pos, gh) relation semi-joins the
+    index on the 16-hex hash — a plain hash join against a relation of
+    DISTINCT history grams (no row explosion possible) — and the
+    delta-internal pass is the same single count-window shuffle as the
+    batch operator. History cost is O(distinct grams), read-only,
+    shared by every delta.
+    """
+    pos_grams = _pos_gram_hashes(new_docs, text_col, id_col, k)
+    idx = spark.read.parquet(str(index_path)).select(F.col("gh").alias("_gh"))
+    hist_hits = pos_grams.join(idx, "_gh", "leftsemi").select(id_col, "pos")
+    freq_w = Window.partitionBy("_gh")
+    delta_hits = (
+        pos_grams.withColumn("_freq", F.count(F.lit(1)).over(freq_w))
+        .where(F.col("_freq") >= min_count)
+        .select(id_col, "pos")
+    )
+    hits = hist_hits.union(delta_hits).distinct()
+    return _merge_spans(hits, id_col, k)
 
 
 def remove_duplicate_spans(

@@ -59,3 +59,64 @@ def test_delta_dedup_catches_indexed_duplicates(spark, tmp_path):
     again = dedup_against_index(spark, resent_shifted, idx).collect()
     got_new = {r.new_id for r in again}
     assert {r.doc_id for r in resent_shifted.collect()} <= got_new
+
+
+def test_incremental_span_dedup_against_gram_index(spark, tmp_path):
+    """Delta-vs-index span detection: phrases seen in the indexed history
+    are flagged in arriving docs WITHOUT re-reading history; delta-
+    internal repetition is flagged too; novel text passes clean. The
+    ingest loop (append survivors' grams) catches cross-delta reuse."""
+    from github_etl_pipeline_spark.operators.curation import (
+        build_gram_index,
+        duplicate_spans,
+        duplicate_spans_against_index,
+    )
+
+    idx = tmp_path / "gram_index"
+    history = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    build_gram_index(history, idx, k=3)
+
+    delta = spark.createDataFrame(
+        [
+            # repeats history doc 1's opening phrase -> span via index
+            (10, "alpha beta gamma delta tailA tailB"),
+            # repeats ITSELF twice -> span via delta-internal count
+            (11, "rep one rep two sep rep one rep two"),
+            # completely novel -> clean
+            (12, "unrelated fresh wording entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in duplicate_spans_against_index(spark, delta, idx, k=3).collect()}
+    assert 10 in got and got[10].span_start == 0 and got[10].span_end == 3
+    assert 11 in got
+    assert 12 not in got
+
+    # batch-vs-incremental consistency: running the BATCH operator over
+    # history+delta unioned must flag every position the incremental
+    # path flags for the delta (incremental is sound, and index hits
+    # are exactly the history-overlap positions)
+    union = history.union(delta)
+    batch = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(union, k=3).collect()
+        if r.doc_id >= 10
+    }
+    inc = {(r.doc_id, r.span_start, r.span_end) for r in got.values()}
+    assert inc <= batch
+
+    # ingest loop: append delta's grams, then a second delta reusing
+    # delta-1 text is flagged against the grown index
+    build_gram_index(delta, idx, k=3, mode="append")
+    delta2 = spark.createDataFrame(
+        [(20, "unrelated fresh wording entirely here plus more")],
+        "doc_id long, text string",
+    )
+    got2 = {r.doc_id: r for r in duplicate_spans_against_index(spark, delta2, idx, k=3).collect()}
+    assert 20 in got2 and got2[20].span_start == 0
