@@ -587,6 +587,49 @@ def multimodal_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "audio_features_documents",
+    oracle="""
+WITH bytes AS (
+  SELECT doc_id,
+         list_transform(range(1, 9),
+           i -> CAST(('0x' || substr(md5(text), 2*i - 1, 2)) AS INT) - 128) AS s
+  FROM documents WHERE text IS NOT NULL
+),
+w AS (
+  SELECT doc_id, s, unnest([0, 4]) AS w0 FROM bytes
+),
+win AS (
+  SELECT doc_id, w0, s[w0 + 1 : w0 + 4] AS ws FROM w
+)
+SELECT doc_id AS media_id,
+       CAST(w0 AS BIGINT) AS window_start_ms,
+       CAST(w0 + 4 AS BIGINT) AS window_end_ms,
+       CAST(4 AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(ws, x -> abs(x))) AS BIGINT) AS sum_abs,
+       CAST(list_max(list_transform(ws, x -> abs(x))) AS BIGINT) AS peak,
+       CAST(list_sum(list_transform(ws, x -> x * x)) AS BIGINT) AS energy
+FROM win
+""",
+    doc="audio analysis windows via mapInPandas (Arrow-batched): per-window exact integer features (sum_abs/peak/energy) over the deterministic fake decode; the REAL WAV decoder runs through the same seam in tests/test_wav_decode.py",
+)
+def audio_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.multimodal import audio_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("bin").alias("format"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    # fake decode: 8 samples @ 1 kHz -> 8 ms; 4/4 windows = [0,4) and [4,8)
+    return audio_features(media, window_ms=4, hop_ms=4)
+
+
+@register(
     "frame_sample_media",
     oracle="""
 SELECT doc_id AS media_id, 'synthetic' AS format,
