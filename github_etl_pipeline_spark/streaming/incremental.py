@@ -140,10 +140,13 @@ def run_incremental_mtime(
     of the anti join. First run = everything changed = the full-scan
     fallback (S3).
 
-    The changed-path list is collected to the driver to drive the read —
-    bounded by CHURN, not corpus size (steady-state incremental churn is
-    small; the one large collect is the first/full run, where a path
-    list is unavoidable anyway since the alternative is a full re-read).
+    Steady state collects the changed-path list to the driver to drive
+    the read — bounded by CHURN, not corpus size. The FIRST run (no
+    ledger) never materializes a path list at all: everything is
+    "changed", so it plans a plain recursive DIRECTORY scan — one
+    InMemoryFileIndex over the root instead of a million-element
+    ``load(paths)`` (VERDICT r4 #4; at fleet scale a first run over the
+    full corpus must not round-trip every path through the driver).
     """
     scan_dir = str(scan_dir)
     # Spark's session FileStatusCache pins file lengths forever
@@ -157,22 +160,54 @@ def run_incremental_mtime(
     if ledger_path.exists():
         seen = read_store(spark, ledger_path).select("path", "mtime")
         changed = listing.join(seen, ["path", "mtime"], "left_anti")
+        paths = [r.path for r in changed.select("path").collect()]
+        if not paths:
+            return 0
+        raw = spark.read.format("text").load(paths)
+        n_changed = len(paths)
     else:
+        # first run = full scan: directory read, no per-path file list
         changed = listing
-    paths = [r.path for r in changed.select("path").collect()]
-    if not paths:
-        return 0
+        n_changed = listing.count()
+        if n_changed == 0:
+            return 0
+        raw = _full_scan_text(spark, scan_dir)
+    lines = _project_lines(raw, scan_dir)
+    parsed = parse_pol_lines(lines, keep_invalid=True)
+    pools = pool_kpis(parsed, dim_agg=dim_agg, rounding=rounding)
+    upsert_parquet(spark, pools, store_path)
+    upsert_parquet(spark, changed, ledger_path, key="path")
+    return n_changed
 
-    raw = spark.read.format("text").load(paths)
-    scan_posix = scan_dir.rstrip("/").replace("\\", "/")
+
+def _full_scan_text(spark: SparkSession, scan_dir: str) -> DataFrame:
+    """Directory-rooted recursive text read for the first/full mtime-CDC
+    run: ONE file index over the scan root (the glob prunes to .pol at
+    listing time); excluded dirs are filtered on the path column — same
+    row-level exclusion the metadata listing applies, so ledger and
+    store stay consistent."""
+    df = (
+        spark.read.format("text")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.pol")
+        .load(scan_dir)
+    )
+    for d in EXCLUDED_DIRS:
+        df = df.filter(~F.col("_metadata.file_path").contains(f"/{d}/"))
+    return df
+
+
+def _project_lines(raw: DataFrame, scan_dir: str) -> DataFrame:
+    """Attach the reference's path-derived columns to a raw text read."""
     import re
 
+    scan_posix = scan_dir.rstrip("/").replace("\\", "/")
     fpath = F.col("_metadata.file_path")
     rel = F.regexp_replace(fpath, r"^.*?" + re.escape(scan_posix) + "/", "")
     folder = F.when(rel.contains("/"), F.regexp_replace(rel, r"/[^/]+$", "")).otherwise(
         F.lit("root")
     )
-    lines = raw.select(
+    return raw.select(
         F.col("value"),
         rel.alias("source_file"),
         F.col("_metadata.file_name").alias("file_name"),
@@ -181,8 +216,3 @@ def run_incremental_mtime(
         F.col("_metadata.file_size").alias("file_size"),
         F.col("_metadata.file_modification_time").alias("file_mtime"),
     )
-    parsed = parse_pol_lines(lines, keep_invalid=True)
-    pools = pool_kpis(parsed, dim_agg=dim_agg, rounding=rounding)
-    upsert_parquet(spark, pools, store_path)
-    upsert_parquet(spark, changed, ledger_path, key="path")
-    return len(paths)

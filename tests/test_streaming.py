@@ -92,3 +92,42 @@ def test_incremental_mtime_reprocesses_in_place_edit(spark, tmp_path, dim_agg):
     assert n3 == 1
     got3 = {r.source_file: r.size for r in read_store(spark, store).collect()}
     assert got3 == {"Pool_0201_941.pol": 3, "Pool_0201_395.pol": 1}
+
+
+def test_incremental_mtime_first_run_is_directory_scan(spark, tmp_path, dim_agg):
+    """The FIRST mtime-CDC run (no ledger) must plan ONE directory-rooted
+    scan, not a driver-collected per-path file list (VERDICT r4 #4): at
+    fleet scale the full-corpus path list cannot round-trip the driver.
+    The churn run keeps the bounded path-list read."""
+    from github_etl_pipeline_spark.streaming.incremental import (
+        _full_scan_text,
+        run_incremental_mtime,
+    )
+
+    corpus = tmp_path / "corpus_d"
+    (corpus / "sub").mkdir(parents=True)
+    (corpus / "Pool_0201_941.pol").write_text("100\n200\n")
+    (corpus / "sub" / "Pool_0201_395.pol").write_text("50\n")
+
+    # the full-scan read is rooted at the scan dir: its FileScan location
+    # lists exactly one root path (the directory), not per-file paths
+    raw = _full_scan_text(spark, str(corpus))
+    plan = raw._jdf.queryExecution().executedPlan().toString()
+    loc = plan.split("Location:")[1].split("PartitionFilters")[0]
+    # ONE root path in the file index (the directory), not one per file
+    assert "(1 paths)" in loc, f"expected a single-rooted file index: {loc}"
+    # the one root is the scan directory (plan truncates long paths, so
+    # match on the untruncated prefix)
+    assert f"file:{str(corpus)}"[:40] in loc
+
+    # and the first run over that scan produces the full-store result
+    ledger = tmp_path / "ledger_d"
+    store = tmp_path / "store_d"
+    assert run_incremental_mtime(spark, corpus, ledger, store, dim_agg) == 2
+    got = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got == {"Pool_0201_941.pol": 2, "sub/Pool_0201_395.pol": 1}
+
+    # steady state unchanged: nothing to do, then churn processes one
+    assert run_incremental_mtime(spark, corpus, ledger, store, dim_agg) == 0
+    (corpus / "Pool_0201_999.pol").write_text("1\n2\n3\n")
+    assert run_incremental_mtime(spark, corpus, ledger, store, dim_agg) == 1
