@@ -34,6 +34,7 @@ from github_etl_pipeline_spark.operators.text import (
 from github_etl_pipeline_spark.operators.curation import (
     boilerplate_ngrams,
     build_gram_index,
+    compact_gram_index,
     chunk_documents,
     decontaminate,
     duplicate_spans,
@@ -83,6 +84,7 @@ __all__ = [
     "boilerplate_ngrams",
     "chunk_documents",
     "build_gram_index",
+    "compact_gram_index",
     "duplicate_spans",
     "duplicate_spans_against_index",
     "remove_duplicate_spans",

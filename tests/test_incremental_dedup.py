@@ -120,3 +120,99 @@ def test_incremental_span_dedup_against_gram_index(spark, tmp_path):
     )
     got2 = {r.doc_id: r for r in duplicate_spans_against_index(spark, delta2, idx, k=3).collect()}
     assert 20 in got2 and got2[20].span_start == 0
+
+
+def test_incremental_span_min_count_matches_batch(spark, tmp_path):
+    """min_count > 2 incrementally == the batch operator on history UNION
+    delta, restricted to delta positions (r4 advice: the membership-only
+    index over-marked here; the (gh, cnt) index is exact)."""
+    from github_etl_pipeline_spark.operators.curation import (
+        build_gram_index,
+        duplicate_spans,
+        duplicate_spans_against_index,
+    )
+
+    idx = tmp_path / "gram_index_mc"
+    history = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),      # phrase seen ONCE
+            (2, "red green blue red green blue tail"),  # internal repeat
+        ],
+        "doc_id long, text string",
+    )
+    build_gram_index(history, idx, k=3)
+
+    delta = spark.createDataFrame(
+        [
+            # history count for 'alpha beta gamma' is 1; with this single
+            # delta occurrence the total is 2 < 3 -> NOT marked at
+            # min_count=3 (the old membership index wrongly marked it)
+            (10, "alpha beta gamma tailA tailB tailC"),
+            # 'red green blue' appears twice in history + once here = 3
+            (11, "red green blue other words here"),
+            # delta-internal: 3 repeats of 'x y z' reach min_count=3 alone
+            (12, "x y z x y z x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    for mc in (2, 3):
+        union = history.union(delta)
+        batch = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicate_spans(union, k=3, min_count=mc).collect()
+            if r.doc_id >= 10
+        }
+        inc = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicate_spans_against_index(
+                spark, delta, idx, k=3, min_count=mc
+            ).collect()
+        }
+        assert inc == batch, f"min_count={mc}: {inc} != {batch}"
+
+
+def test_compact_gram_index_folds_append_partials(spark, tmp_path):
+    """N appends grow the index by partial-count rows; compaction folds
+    it to one row per distinct gram with identical probe results
+    (VERDICT r4 #7)."""
+    from github_etl_pipeline_spark.operators.curation import (
+        build_gram_index,
+        compact_gram_index,
+        duplicate_spans_against_index,
+    )
+
+    idx = tmp_path / "gram_index_c"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    build_gram_index(docs, idx, k=3)
+    for _ in range(3):
+        build_gram_index(docs, idx, k=3, mode="append")
+
+    pre = spark.read.parquet(str(idx))
+    n_distinct = pre.select("gh").distinct().count()
+    assert pre.count() == 4 * n_distinct  # 1 build + 3 appends
+
+    delta = spark.createDataFrame(
+        [(10, "alpha beta gamma tail tail2 tail3")], "doc_id long, text string"
+    )
+    probe_pre = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in duplicate_spans_against_index(spark, delta, idx, k=3).collect()
+    }
+
+    # below-threshold ratio -> no rewrite
+    assert compact_gram_index(spark, idx, min_ratio=100.0) is False
+    assert compact_gram_index(spark, idx) is True
+    post = spark.read.parquet(str(idx))
+    assert post.count() == n_distinct
+    # counts folded: the repeated build quadrupled every gram's count
+    assert {r.cnt for r in post.collect()} == {4}
+    probe_post = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in duplicate_spans_against_index(spark, delta, idx, k=3).collect()
+    }
+    assert probe_post == probe_pre
+    # idempotent: already compact -> no-op
+    assert compact_gram_index(spark, idx) is False
