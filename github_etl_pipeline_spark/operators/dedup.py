@@ -616,6 +616,14 @@ def fuzzy_pairs(
     PassJoin segment filter (Li, Deng, Feng: "PassJoin: A Partition-based
     Method for Similarity Joins", PVLDB 2011; public technique):
 
+    .. note:: BEHAVIORAL CHANGE (round 4): the default ``key_len``
+       widened 24 -> 48 after the sf1 probe showed 8-char segments
+       leaving quadratic hot buckets on low-prefix-entropy corpora. A
+       longer key is a STRICTER pair relation — pairs whose keys
+       diverge only after char 24 are no longer reported (28 of 29
+       sf0.001 pairs survive). Callers depending on the old relation
+       should pass ``key_len=24`` explicitly.
+
     partition each key into ``max_ed + 1`` contiguous segments. Any
     alignment path of <= max_ed edits leaves at least one segment of key A
     UNTOUCHED (pigeonhole), and the untouched segment appears in key B as

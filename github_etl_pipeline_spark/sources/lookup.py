@@ -129,13 +129,25 @@ def prepare_dim(dim: DataFrame, max_rows: int = 100_000) -> DataFrame:
     (single partition by construction) — correct and cheap for the
     hundreds-row Excel lookup this models, quadratically wrong for a
     fact table. ``max_rows`` makes misuse loud instead of slow; raise it
-    deliberately if a legitimately larger dimension appears. The guard
-    is IN-PLAN (raise_error on the row index the window computes anyway)
-    rather than an eager ``count()``: an extra action per pipeline run
-    costs a Spark job and blocks lazy composition, while the in-plan
-    check is one comparison per dimension row and fires on the first
-    oversized partition at execution time.
+    deliberately if a legitimately larger dimension appears.
+
+    Two guards, cheap-first (r4 advice): a call-time ``limit(max_rows
+    + 1).count()`` probe — bounded by max_rows+1 rows scanned, raising
+    the old ``ValueError`` BEFORE the single-partition window sort ever
+    runs on an oversized input — plus the IN-PLAN ``raise_error`` on
+    the grouping key, which survives callers that re-derive the plan
+    from this function's output without executing the probe path (the
+    probe is one extra small Spark job per call; for a lookup dimension
+    that is noise).
     """
+    probed = dim.limit(int(max_rows) + 1).count()
+    if probed > max_rows:
+        raise ValueError(
+            f"prepare_dim: dimension has >{max_rows} rows; this operator "
+            "single-partitions the input to pin source order and is meant "
+            "for small lookup dimensions only. Pass max_rows=... to "
+            "override deliberately, or pre-aggregate the input."
+        )
     w = Window.orderBy(F.monotonically_increasing_id())
     # guard rides on the GROUPING KEY so no amount of column pruning can
     # eliminate it (an _idx-only guard column gets pruned under count())

@@ -110,9 +110,10 @@ def test_prepare_dim_rejects_oversized_input(spark):
         "'G' AS Game", "CAST(id AS STRING) AS Game_id",
         "CAST(id AS STRING) AS Pool_id", "CAST(id AS DOUBLE) AS Bet",
     )
-    # the guard is in-plan (no eager count() job), so it fires at action
-    # time via raise_error on the oversized row index
-    with pytest.raises(Exception, match="small lookup dimensions"):
-        prepare_dim(big, max_rows=10).count()
+    # the cheap limit(max_rows+1) probe fires at CALL time (the old
+    # ValueError contract), before the single-partition window sort
+    # ever executes on the oversized input
+    with pytest.raises(ValueError, match="small lookup dimensions"):
+        prepare_dim(big, max_rows=10)
     # explicit override still works
     assert prepare_dim(big, max_rows=1000).count() == 50

@@ -128,3 +128,17 @@ def test_no_hardcoded_epoch_div_outside_epoch_module():
                     if re.search(r"\bts\s+div\s+1000\b", line, re.I) and not line.lstrip().startswith("#"):
                         offenders.append(f"{os.path.relpath(path, root)}:{lineno}: {line.strip()}")
     assert not offenders, "hard-coded nanos epoch math:\n" + "\n".join(offenders)
+
+
+def test_driver_sample_priority_is_a_valid_prefix():
+    """Every DRIVER_SAMPLE_PRIORITY name must exist in the registry (a
+    typo would silently drop a query from the driver's sampled prefix)
+    and the registry must actually lead with the priority list in order;
+    the IVF build must precede the served search (bench runs in registry
+    order and the served query reuses the just-built index)."""
+    from github_etl_pipeline_spark.plans import DRIVER_SAMPLE_PRIORITY, REGISTRY
+
+    assert [n for n in DRIVER_SAMPLE_PRIORITY if n not in REGISTRY] == []
+    names = list(REGISTRY)
+    assert names[: len(DRIVER_SAMPLE_PRIORITY)] == DRIVER_SAMPLE_PRIORITY
+    assert names.index("ivf_index_build") < names.index("ann_topk_ivf_served")

@@ -14,12 +14,14 @@ join selectivities and per-key group sizes are preserved while every
 table's cardinality grows 10x. Two tables need value perturbation to
 preserve *distributional* properties rather than literal bytes:
 
-- documents: every token in copy i>0 gets a ``~i`` suffix, so copies of
-  the same doc share NO word-2gram shingles (operators/dedup.py:58).
-  Without this each doc would acquire 9 near-identical clones and the
-  near-dup pair count would inflate ~45x — a data-property change, not a
-  scale measurement. Within each copy the original similarity structure
-  is intact, so dup-rate per row is constant across SFs, which is what a
+- documents: every token in copy i>0 gets a ``"~" * i`` suffix (a
+  non-alnum run, so WORD_RE word statistics stay EXACTLY the
+  original's), which makes copies of the same doc share NO TOKEN_RE
+  word-2gram shingles (operators/dedup.py:58). Without this each doc
+  would acquire near-identical clones and the near-dup pair count would
+  inflate ~copies^2/2 x — a data-property change, not a scale
+  measurement. Within each copy the original similarity structure is
+  intact, so dup-rate per row is constant across SFs, which is what a
   scaling exponent should hold fixed.
 - embeddings: copy i>0 applies a per-copy ORTHOGONAL transform
   (dimension permutation x random sign flips, seeded per copy). An
@@ -33,7 +35,8 @@ events keeps its time range (more events per window, more users — the
 realistic way an event stream scales) with user_id offset per copy so
 per-user session/window sizes stay constant.
 
-Usage: python tools/make_sf1.py  [--out DIR]  (default .sf1/)
+Usage: python tools/make_sf1.py [--out DIR] [--copies N] [--tables a,b]
+       (defaults: 10 copies -> .sf1/; --copies 30 -> .sf3/)
 """
 
 from __future__ import annotations
@@ -86,8 +89,16 @@ def _offset_keys(tbl: pa.Table, i: int) -> pa.Table:
 
 
 def _mangle_documents(tbl: pa.Table, i: int) -> pa.Table:
+    # per-copy suffix = a run of i tildes: NO [A-Za-z0-9] chars, so
+    # WORD_RE word stats (n_words, top_word_frac, bigrams) are IDENTICAL
+    # to the original — the r4 '~{i}' suffix split every token into two
+    # WORD_RE words and doubled n_words (judge advice). TOKEN_RE (\S+)
+    # still sees per-copy-distinct tokens, so copies share no shingles /
+    # positional grams, which is the property the mangle exists for.
+    # Cost: ~i chars per token of extra length (documented in the
+    # SCALING.md caveat as char-stat inflation; word stats are exact).
     texts = tbl.column("text").to_pylist()
-    suf = f"~{i}"
+    suf = "~" * i
     new = [None if t is None else t.replace(" ", f"{suf} ") + suf for t in texts]
     tbl = tbl.set_column(
         tbl.column_names.index("text"), tbl.field("text"),
@@ -113,12 +124,19 @@ def _perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1"))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--copies", type=int, default=COPIES,
+                    help="replication factor (10 -> sf1, 30 -> sf3)")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated table subset (default: all)")
     args = ap.parse_args()
-    os.makedirs(args.out, exist_ok=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = args.out or os.path.join(
+        repo, f".sf{args.copies // 10}" if args.copies != 10 else ".sf1")
+    os.makedirs(out_dir, exist_ok=True)
+    tables = args.tables.split(",") if args.tables else TABLES
 
-    for name in TABLES:
+    for name in tables:
         src = pq.read_table(f"{SRC}/{name}.parquet")
         # strip pandas metadata; keep the arrow schema byte-compatible
         src = src.replace_schema_metadata(None)
@@ -126,7 +144,7 @@ def main() -> int:
             out = src
         else:
             parts = []
-            for i in range(COPIES):
+            for i in range(args.copies):
                 t = _offset_keys(src, i)
                 if name == "documents" and i > 0:
                     t = _mangle_documents(t, i)
@@ -134,10 +152,10 @@ def main() -> int:
                     t = _perturb_embeddings(t, i)
                 parts.append(t)
             out = pa.concat_tables(parts)
-        pq.write_table(out, f"{args.out}/{name}.parquet",
+        pq.write_table(out, f"{out_dir}/{name}.parquet",
                        compression="snappy", row_group_size=256 * 1024)
         print(f"{name}: {src.num_rows} -> {out.num_rows} rows", flush=True)
-    print(f"wrote sf1 to {args.out}")
+    print(f"wrote x{args.copies} replication to {out_dir}")
     return 0
 
 
