@@ -46,6 +46,14 @@ FLAGSHIPS = {
         "broadcast query bands, dedup, exact rerank on candidates only, "
         "per-query top-k window."
     ),
+    "ann_topk_ivf_served": (
+        "IVF serving from the persisted index (build/search split): the "
+        "cells scan carries PartitionFilters on `cell IN (probed...)` — "
+        "only the query's n_probe cell directories are read — followed by a "
+        "BroadcastHashJoin against the literal query-cell relation and the "
+        "exact rerank window. No Lloyd pass, no corpus-wide assignment, no "
+        "Python workers in the serving path."
+    ),
     "tpch_q5_local_supplier": (
         "The spark.sql entry path plans like the DataFrame one: 6-way join "
         "resolved to a BroadcastHashJoin chain over the dim tables, region "
