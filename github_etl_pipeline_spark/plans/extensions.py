@@ -710,7 +710,15 @@ def ann_topk_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     path = _ivf_index_path(sf_dir)
-    if not os.path.isdir(f"{path}/cells"):  # standalone-run safety
+    # standalone-run safety: (re)build when the index is absent OR older
+    # than the corpus parquet (the sf dir can be regenerated in place
+    # between rounds; serving a stale index would answer from dead rows)
+    cells = f"{path}/cells"
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    stale = not os.path.isdir(cells) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(cells)
+    )
+    if stale:
         S.build_ivf_index(emb, path, n_centroids=16, lloyd_iterations=2)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
