@@ -42,6 +42,33 @@ def _run(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+_NON_QUERY_KEYS = {
+    "value", "sf", "reps", "n", "rc", "cpus",
+    "pool_etl_rows_per_sec", "pool_etl_rows_per_sec_warm",
+}
+
+
+def _extract_query_times(data) -> dict[str, float]:
+    """Pull per-query seconds out of either this script's own JSON line
+    ({"queries": {...}}) or the driver's BENCH_r{N}.json wrapper, whose
+    "parsed" holds the line when it parsed and whose "tail" holds a
+    (possibly truncated) stdout fragment otherwise — a partial prior
+    still re-adjudicates every query it covers."""
+    if isinstance(data, dict):
+        if isinstance(data.get("queries"), dict):
+            return {k: float(v) for k, v in data["queries"].items()}
+        if isinstance(data.get("parsed"), dict):
+            return _extract_query_times(data["parsed"])
+        if isinstance(data.get("tail"), str):
+            pairs = re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', data["tail"])
+            return {
+                k: float(v)
+                for k, v in pairs
+                if k not in _NON_QUERY_KEYS and float(v) < 10_000
+            }
+    return {}
+
+
 def _prior_timings() -> dict[str, float]:
     """Per-query times from the latest committed BENCH_r{N}.json — the
     contention re-run baseline. Missing/unparsable files just disable
@@ -54,12 +81,9 @@ def _prior_timings() -> dict[str, float]:
             continue
         try:
             with open(path) as fh:
-                data = json.load(fh)
-            qs = data.get("queries", {})
-            if isinstance(qs, dict):
-                best_n, best = int(m.group(1)), {
-                    k: float(v) for k, v in qs.items()
-                }
+                qs = _extract_query_times(json.load(fh))
+            if qs:
+                best_n, best = int(m.group(1)), qs
         except (OSError, ValueError):
             continue
     return best

@@ -113,3 +113,31 @@ def test_stale_index_not_shared_across_datasets():
         "/root/testdata/sf0.01"
     )
     assert _ivf_index_path("/a/b") == _ivf_index_path("/a/b/")
+
+
+def test_served_full_probe_equals_brute_force(spark, index):
+    """Probing every cell makes IVF exact: the served search with
+    n_probe == n_centroids must reproduce cosine_topk exactly (the same
+    invariant test_ann_ivf_recall pins for the inline operator)."""
+    emb = read_table(spark, SF, "embeddings")
+    queries = _queries(spark)
+    exact = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    served = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ann_ivf_search(spark, index, queries, k=5, n_probe=16).collect()
+    }
+    assert served == exact
+
+
+def test_serving_path_has_no_python_workers(spark, index):
+    """The serving plan must be pure JVM: probe-cell assignment happens
+    driver-side over the collected query set, so no Python/Arrow eval
+    node may appear (the inline operator's per-query build is exactly
+    what the split removed)."""
+    q = ann_ivf_search(spark, index, _queries(spark), k=5, n_probe=4)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    for marker in ("PythonUDF", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python worker node in serving plan: {marker}"
