@@ -394,3 +394,68 @@ def bm25_topk(
         .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(topk)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated BIGRAM
+    language model trained on the corpus itself — the next step up from
+    the unigram CCNet-style proxy: a doc full of individually-common
+    words in incoherent ORDER scores low here but normal there.
+
+    Model: p(w2|w1) = (c(w1 w2) + alpha * p_uni(w2)) / (c(w1 ·) + alpha)
+    — add-``alpha`` smoothing with a unigram prior, so unseen
+    continuations back off to corpus unigram mass and the estimate is
+    proper (sums to 1 over the vocabulary). Output: one row per doc with
+    >= 1 bigram: (id, n_bigrams, lp).
+
+    Shape at 100 TB: bigram construction is the O(n) chained-zip_with
+    k-gram expression inside the scan; the model is two vocab-sized
+    groupBys (bigram counts, context counts) plus the unigram relation —
+    all hash-shuffled ONCE each and joined back to the doc-bigram
+    relation by hash equi-joins (tokens never shuffle as text more than
+    the skinny (doc, bigram) rows). ``lp`` is rounded to 6 decimals (the
+    bm25 rule): float means are libm/summation-order sensitive in final
+    ulps, and rounding makes the (lp, id) ordering — hence rank output —
+    reproducible across engines; callers should still emit ranks, not lp.
+    """
+    from github_etl_pipeline_spark.operators.curation import kgrams_of
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    n = F.size(toks)
+    grams = F.when(n >= 2, kgrams_of(toks, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    bg = df.select(F.col(id_col), F.explode(grams).alias("bg"))
+    # tokens contain no whitespace (TOKEN_RE = \S+), so the first space
+    # splits the bigram key unambiguously
+    w1 = F.substring_index("bg", " ", 1)
+    w2 = F.substring_index("bg", " ", -1)
+
+    toks_flat = df.select(F.explode(toks).alias("tok"))
+    uni = toks_flat.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    tot = uni.agg(F.sum("cu").cast("double").alias("s"))
+    model2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    model1 = (
+        bg.select(w1.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    scored = (
+        bg.join(model2, "bg")
+        .select(F.col(id_col), F.col("bg"), w1.alias("w1"), w2.alias("w2"), "c2")
+        .join(model1, "w1")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.col("c2") + F.lit(alpha) * F.col("cu").cast("double") / F.col("s")) / (
+        F.col("c1") + F.lit(alpha)
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(F.log(p)), 6).alias("lp"),
+    )

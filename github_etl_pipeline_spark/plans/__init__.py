@@ -58,6 +58,7 @@ DRIVER_SAMPLE_PRIORITY = [
     "pii_profile_documents",
     "vocabulary_documents",
     "unigram_logprob_outliers",
+    "bigram_lm_outliers",
     "top_terms_by_source",
     # curation
     "decontaminate_documents",

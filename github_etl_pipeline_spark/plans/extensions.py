@@ -1118,6 +1118,46 @@ def unigram_logprob_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bigram_lm_outliers",
+    oracle=f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS ws FROM documents),
+bgl AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+        THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        ELSE [] END) AS bg
+  FROM w),
+t AS (SELECT unnest(ws) AS tok FROM w),
+uni AS (SELECT tok, COUNT(*) AS cu FROM t GROUP BY 1),
+tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS s FROM uni),
+m2 AS (SELECT bg, COUNT(*) AS c2 FROM bgl GROUP BY 1),
+m1 AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM bgl GROUP BY 1),
+d AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         round(AVG(ln((c2 + 1.0 * cu / s) / (c1 + 1.0))), 6) AS lp
+  FROM bgl b
+  JOIN m2 USING (bg)
+  JOIN m1 ON m1.w1 = split_part(b.bg, ' ', 1)
+  JOIN uni u ON u.tok = split_part(b.bg, ' ', 2)
+  CROSS JOIN tot
+  GROUP BY b.doc_id)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT doc_id, n_bigrams, ROW_NUMBER() OVER (ORDER BY lp ASC, doc_id ASC) AS rank FROM d
+) WHERE rank <= 20
+""",
+    doc="interpolated bigram-LM quality proxy: corpus bigram model with add-alpha unigram backoff -> per-doc mean log-prob (6dp-rounded) -> bottom-20 most-incoherent docs; ranks only (libm/sum-order safe)",
+)
+def bigram_lm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.text import bigram_logprob
+
+    d = bigram_logprob(_docs(spark, sf_dir), alpha=1.0)
+    top = d.orderBy(F.col("lp").asc(), F.col("doc_id").asc()).limit(20)
+    w = Window.orderBy(F.col("lp").asc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "n_bigrams", "rank"
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding int8 quantization (operators/quantize.py): the 4x scan-volume
 # lever for vector corpora. Pure projection — fuses into the scan, no

@@ -444,3 +444,40 @@ def test_quantize_constant_vector_is_all_zero_codes(spark):
     for r in rows.values():
         assert r["codes"] == [0] * 8
         assert r["max_abs_err_q"] == 0
+
+
+def test_bigram_lm_outliers_independent_math(spark):
+    """bigram_logprob vs an independent pure-Python implementation of the
+    interpolated model on a tiny corpus; the scrambled doc must score
+    lower than the doc that shares the corpus's dominant word order."""
+    import math
+    from collections import Counter
+
+    from github_etl_pipeline_spark.operators.text import bigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "mat the on sat cat the"),  # same unigrams, scrambled order
+        (4, "x"),                        # <2 tokens -> no output row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob(docs, alpha=1.0).collect()}
+    assert 4 not in got
+
+    # independent model
+    toks = {i: t.split() for i, t in rows}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    s = sum(uni.values())
+    bgs = {i: [f"{a} {b}" for a, b in zip(ws, ws[1:])] for i, ws in toks.items()}
+    c2 = Counter(b for bs in bgs.values() for b in bs)
+    c1 = Counter(b.split()[0] for bs in bgs.values() for b in bs)
+    for i in (1, 2, 3):
+        lps = [
+            math.log((c2[b] + 1.0 * uni[b.split()[1]] / s) / (c1[b.split()[0]] + 1.0))
+            for b in bgs[i]
+        ]
+        expect = round(sum(lps) / len(lps), 6)
+        assert got[i].n_bigrams == len(bgs[i])
+        assert got[i].lp == pytest.approx(expect, abs=1e-6), i
+    assert got[3].lp < got[1].lp and got[3].lp < got[2].lp
