@@ -140,12 +140,19 @@ def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_image(content: bytes, fmt: str | None) -> tuple[int, int, int, bytes]:
-    """Real decoder entry point: PNG is decoded with the stdlib decoder
-    above; every other format needs an imaging library injected through
-    the ``decoder=`` seam of ``extract_features``/``resize_images``.
+    """Real decoder entry point: PNG decodes with the stdlib decoder
+    above, baseline JPEG with the in-repo T.81 decoder
+    (``operators/jpeg.py`` — pure Python + numpy, grayscale/YCbCr, any
+    SOF0 subsampling, restart markers); remaining formats (progressive
+    JPEG, webp, tiff, ...) need an imaging library injected through the
+    ``decoder=`` seam of ``extract_features``/``resize_images``.
     Returns ``(width, height, channels, pixel_bytes)``."""
     if (fmt or "").lower() == "png" or content[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(content)
+    if (fmt or "").lower() in ("jpeg", "jpg") or content[:2] == b"\xff\xd8":
+        from github_etl_pipeline_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
         f"decoding {fmt!r} requires an imaging library; inject a decoder "
         "with the same (content, fmt) -> (w, h, channels, pixels) contract"

@@ -109,9 +109,13 @@ def test_decode_image_dispatch():
     # PNG routes to the real stdlib decoder, which rejects garbage bytes
     with pytest.raises(ValueError):
         decode_image(b"x", "png")
-    # every other codec still needs an injected decoder
+    # JPEG routes to the in-repo baseline decoder (r5), which rejects a
+    # stream with no SOS
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xd9", "jpeg")
+    # codecs with no in-repo decoder still need an injected one
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0jpegish", "jpeg")
+        decode_image(b"RIFFxxxxWEBPish", "webp")
 
 
 def test_ann_ivf_recall(spark):

@@ -1,0 +1,154 @@
+"""Baseline JPEG decode through the multimodal decoder seam: REAL
+entropy-coded T.81 bytes (from the in-repo test-vector encoder with
+Annex-K tables) decode end-to-end, including the mapInPandas media path.
+
+The shared structural pieces (zigzag layout, DCT basis, Huffman table
+construction) are asserted independently against the spec so an error
+there cannot silently cancel between encoder and decoder."""
+
+import numpy as np
+import pytest
+
+from github_etl_pipeline_spark.operators.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    ZIGZAG,
+    _huff_decode_table,
+    decode_jpeg,
+    encode_baseline_jpeg,
+    fdct2,
+    idct2,
+)
+from github_etl_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image,
+    extract_features,
+    resize_images,
+)
+
+
+def _gradient(w, h):
+    x = np.linspace(0, 255, w).astype(np.uint8)
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = x[None, :]
+    img[..., 1] = 128
+    img[..., 2] = x[::-1][None, :]
+    return img
+
+
+def test_zigzag_matches_spec_layout():
+    # the first and last entries of T.81 Figure A.6, plus bijectivity
+    assert ZIGZAG[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+        (0, 2), (0, 3), (1, 2), (2, 1), (3, 0),
+    ]
+    # spec flat order ends ..., 55, 62, 63 -> (6,7), (7,6), (7,7)
+    assert ZIGZAG[-3:] == [(6, 7), (7, 6), (7, 7)]
+    assert len(set(ZIGZAG)) == 64
+
+
+def test_dct_pair_is_orthonormal_inverse():
+    rng = np.random.RandomState(7)
+    b = rng.randint(-128, 128, (8, 8)).astype(float)
+    assert np.allclose(idct2(fdct2(b)), b, atol=1e-9)
+    # Parseval: orthonormal transform preserves energy
+    assert np.isclose((fdct2(b) ** 2).sum(), (b**2).sum())
+
+
+def test_huffman_canonical_codes():
+    # T.81 C.2: codes are assigned in increasing length, left-justified;
+    # the DC luma table's first few canonical codes are known
+    t = _huff_decode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    assert t[(2, 0b00)] == 0
+    assert t[(3, 0b010)] == 1
+    assert t[(3, 0b110)] == 5
+    # AC luma: EOB (0x00) is the 4-bit code 1010 per Annex K.5
+    ac = _huff_decode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    assert ac[(4, 0b1010)] == 0x00
+    # prefix-free WITHIN each table (DC and AC are separate code spaces)
+    for table in (t, ac):
+        codes = list(table)
+        for ln, c in codes:
+            for ln2, c2 in codes:
+                if ln2 > ln:
+                    assert (c2 >> (ln2 - ln)) != c, (ln, c, ln2, c2)
+
+
+def test_solid_gray_roundtrip_exact():
+    w, h = 24, 16
+    solid = np.full((h, w, 1), 130, dtype=np.uint8)
+    enc = encode_baseline_jpeg(solid.tobytes(), w, h, 1, quality=90)
+    W, H, C, px = decode_jpeg(enc)
+    assert (W, H, C) == (w, h, 1)
+    out = np.frombuffer(px, dtype=np.uint8)
+    assert int(np.abs(out.astype(int) - 130).max()) == 0
+
+
+def test_rgb_gradient_roundtrip_tight():
+    w, h = 40, 24
+    img = _gradient(w, h)
+    enc = encode_baseline_jpeg(img.tobytes(), w, h, 3, quality=95)
+    W, H, C, px = decode_jpeg(enc)
+    assert (W, H, C) == (w, h, 3)
+    out = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_restart_markers_do_not_change_pixels():
+    w, h = 32, 16
+    img = _gradient(w, h)
+    plain = decode_jpeg(encode_baseline_jpeg(img.tobytes(), w, h, 3, quality=95))
+    rst = decode_jpeg(
+        encode_baseline_jpeg(img.tobytes(), w, h, 3, quality=95, restart_interval=2)
+    )
+    assert plain == rst
+
+
+def test_odd_dimensions_crop():
+    w, h = 13, 9
+    img = (np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3) % 200)
+    W, H, C, px = decode_jpeg(encode_baseline_jpeg(img.tobytes(), w, h, 3))
+    assert (W, H, C) == (w, h, 3)
+    assert len(px) == w * h * 3
+
+
+def test_progressive_raises_not_implemented():
+    # splice an SOF2 marker into an otherwise valid prefix
+    w, h = 8, 8
+    enc = bytearray(encode_baseline_jpeg(b"\x80" * 64, w, h, 1))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_through_mapinpandas_seam(spark):
+    """Real JPEG bytes flow through extract_features and resize_images
+    with decoder=decode_image: feat_mean/feat_dim are the decoded-pixel
+    values, resize output is the exact nearest-neighbor resample of the
+    decoded pixels."""
+    w, h = 16, 8
+    img = _gradient(w, h)
+    enc = encode_baseline_jpeg(img.tobytes(), w, h, 3, quality=95)
+    media = spark.createDataFrame(
+        [(1, "image", "jpeg", bytearray(enc), None, None, None)], MEDIA_SCHEMA
+    )
+    feats = extract_features(media, decoder=decode_image).collect()
+    assert len(feats) == 1
+    _, _, _, px = decode_image(enc, "jpeg")
+    assert feats[0].feat_dim == len(px) == w * h * 3
+    assert feats[0].feat_mean == sum(px) // len(px)
+
+    resized = resize_images(media, 4, 4, decoder=decode_image).collect()
+    assert len(resized) == 1 and resized[0].width == 4 and resized[0].height == 4
+    # independent nearest-neighbor reference over the decoded pixels
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    ref = bytearray()
+    for y in range(4):
+        sy = min(h - 1, (y * h) // 4)
+        for x in range(4):
+            sx = min(w - 1, (x * w) // 4)
+            ref += dec[sy, sx].tobytes()
+    assert bytes(resized[0].content) == bytes(ref)

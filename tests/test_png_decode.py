@@ -94,8 +94,13 @@ def test_decode_image_dispatch():
     png = encode_png(GRAY_8x8, 8, 8, 1)
     assert decode_image(png, "png")[0] == 8
     assert decode_image(png, None)[0] == 8  # signature sniff
+    # jpeg now routes to the in-repo baseline decoder (r5), which rejects
+    # a truncated stream; formats with no in-repo decoder still raise
+    # NotImplementedError
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 not a real jpeg", "jpeg")
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 not a png", "jpeg")
+        decode_image(b"RIFFxxxxWEBPish", "webp")
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
 
