@@ -1,14 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched Pandas UDFs.
 
-Decode: PNG has a REAL pure-stdlib decoder (``decode_png``: zlib +
-scanline unfiltering) that runs end-to-end through the mapInPandas
-plumbing via the ``decoder=`` seam of ``extract_features`` /
-``resize_images`` — tested on actual PNG bytes with exact expected
-pixels. Every other codec (JPEG, audio, video) still needs an external
-library injected through the same seam; absent one, a deterministic
-fake decoder keeps the Spark-side contract — schema, Arrow batch shape,
-partition preservation — fully testable.
+Decode — three REAL in-repo codecs now run end-to-end through the
+mapInPandas plumbing via the ``decoder=`` seam of ``extract_features``
+/ ``resize_images`` / ``audio_features``, each tested on actual encoded
+bytes with exactly-predicted outputs:
+
+  * PNG  — pure stdlib (``decode_png``: zlib + scanline unfiltering), r4
+  * WAV  — pure stdlib (``decode_wav``: RIFF PCM 8/16/32-bit), r5
+  * JPEG — baseline T.81 (``operators/jpeg.py``: Huffman + IDCT,
+    grayscale/YCbCr, subsampling, restart markers), r5
+
+Remaining codecs (progressive JPEG, webp, mp3/aac, video containers)
+still need an external library injected through the same seam; absent
+one, a deterministic fake decoder keeps the Spark-side contract —
+schema, Arrow batch shape, partition preservation — fully testable.
 
 Scale notes: binary payloads ride in the DataFrame as parquet binary
 columns; per-batch processing (Arrow RecordBatch in, RecordBatch out)
