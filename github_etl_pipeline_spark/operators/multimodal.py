@@ -501,6 +501,86 @@ def resize_images(
     return media.where(F.col("kind") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+def perceptual_ahash(
+    media: DataFrame, decoder, hash_size: int = 8
+) -> DataFrame:
+    """aHash over REAL decoded pixels: decode each image through the
+    injected ``decoder`` (:func:`decode_image` covers PNG + baseline
+    JPEG in-repo), grayscale it, box-downscale to ``hash_size`` x
+    ``hash_size``, threshold each cell against the mean — one
+    ``hash_size**2``-bit integer per image. The same PICTURE stored
+    under different codecs (a PNG master and its JPEG export) hashes to
+    the same/nearby value, which is exactly the cross-codec near-dup
+    case a training-data pipeline must catch and byte-level dedup
+    cannot (tests pin PNG-vs-JPEG Hamming distance).
+
+    Output (media_id, ahash). Pair mining downstream reuses the
+    ``media_dup_pairs`` banding (pigeonhole Hamming bands + exact
+    ``bit_count(xor)`` verify); rows whose payload fails to decode are
+    dropped (they cannot be perceptually compared).
+
+    Scale shape: one Arrow-batched mapInPandas pass, one long per image
+    out — decode cost is the operator; everything after is integer ops.
+    """
+    hs = int(hash_size)
+    dec = decoder
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content, fmt in zip(
+                pdf["media_id"], pdf["content"], pdf["format"]
+            ):
+                if content is None:
+                    continue
+                try:
+                    w, h, ch, px = dec(bytes(content), fmt)
+                except Exception:
+                    continue  # undecodable payloads cannot be compared
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                if ch >= 3:
+                    gray = (
+                        0.299 * img[..., 0]
+                        + 0.587 * img[..., 1]
+                        + 0.114 * img[..., 2]
+                    )
+                else:
+                    gray = img[..., 0].astype(np.float64)
+                # box-downscale by cell averaging (area interpolation)
+                ys = (np.arange(hs + 1) * h) // hs
+                xs = (np.arange(hs + 1) * w) // hs
+                cells = np.empty((hs, hs))
+                for i in range(hs):
+                    for j in range(hs):
+                        cells[i, j] = gray[
+                            ys[i] : max(ys[i + 1], ys[i] + 1),
+                            xs[j] : max(xs[j + 1], xs[j] + 1),
+                        ].mean()
+                bits = (cells >= cells.mean()).flatten()
+                val = 0
+                for k, b in enumerate(bits):
+                    if b:
+                        val |= 1 << k
+                if val >= 1 << 63:  # reinterpret as signed 64-bit long
+                    val -= 1 << 64
+                ids.append(mid)
+                hashes.append(val)
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("ahash", LongType(), False),
+        ]
+    )
+    return media.where(F.col("kind") == "image").mapInPandas(run, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual average-hash (aHash) for media dedup — real algorithm over the
 # deterministic fake decode (the documented codec stub)

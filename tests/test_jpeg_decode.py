@@ -152,3 +152,35 @@ def test_jpeg_through_mapinpandas_seam(spark):
             sx = min(w - 1, (x * w) // 4)
             ref += dec[sy, sx].tobytes()
     assert bytes(resized[0].content) == bytes(ref)
+
+
+def test_cross_codec_perceptual_dedup(spark):
+    """The flagship cross-codec case: the SAME picture stored as a PNG
+    master and a JPEG export must collide perceptually (tiny Hamming
+    distance over real decoded pixels) while a different picture stays
+    far — the near-dup byte-level dedup can never catch."""
+    from github_etl_pipeline_spark.operators.multimodal import perceptual_ahash
+    from tests.test_png_decode import encode_png
+
+    w, h = 32, 32
+    rng = np.random.RandomState(3)
+    # smooth image (random low-res upsampled) so JPEG stays faithful
+    base = rng.randint(0, 255, (4, 4, 3)).astype(np.uint8)
+    imgA = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)
+    imgB = 255 - imgA.transpose(1, 0, 2)  # a genuinely different picture
+
+    rows = [
+        (1, "image", "png", bytearray(encode_png(imgA.tobytes(), w, h, 3)), None, None, None),
+        (2, "image", "jpeg", bytearray(encode_baseline_jpeg(imgA.tobytes(), w, h, 3, quality=92)), None, None, None),
+        (3, "image", "png", bytearray(encode_png(imgB.tobytes(), w, h, 3)), None, None, None),
+        (4, "audio", "wav", bytearray(b"notimg"), None, None, None),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.ahash for r in perceptual_ahash(media, decode_image).collect()}
+    assert set(got) == {1, 2, 3}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(got[1], got[2]) <= 4, "same picture across codecs must collide"
+    assert hamming(got[1], got[3]) >= 16, "different pictures must stay far"
