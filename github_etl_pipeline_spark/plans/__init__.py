@@ -11,84 +11,75 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver-sample ordering. The driver's per-round correctness gate checks a
-# PREFIX of the registry (rounds 1-4 sampled the first ~50 names, which were
-# always the relational/TPC-H block — the entire extension surface has four
-# rounds of local-oracle evidence but zero driver-checked rows, VERDICT r4
-# "What's missing" #3). Moving the never-driver-sampled queries to the front
-# lets the driver finally produce independent green rows for them; the
-# relational block follows and keeps its full local-oracle + pytest
-# coverage (CHECK_LOCAL.json re-verifies EVERY registered query each round
-# regardless of order).
+# PREFIX of the registry (~50 names). The prefix ROTATES each round toward
+# the queries whose last driver-green row is oldest, so every family keeps
+# fresh independent evidence (VERDICT r5 "Next round" #2):
+#   r1-r4: the relational/TPC-H block (original registration order)
+#   r5:    the extension surface (dedup/ANN/text/curation/...)
+#   r6:    (this list) the 21 never-driver-sampled queries, the two queries
+#          last sampled in r1, then pricing_summary + the streaming family
+#          + 16 TPC-H queries from the r4-stale block.
+# CHECK_LOCAL.json re-verifies EVERY registered query each round regardless
+# of this order. Recompute for r7 from the committed CORRECTNESS_r*.json:
+# lead with the ~50 names whose newest green row is oldest.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY = [
-    # round-4/5 additions first (the judge asked for driver-green rows)
-    "dup_span_documents",
-    "dup_span_keep_first_documents",
-    "remove_dup_spans_documents",
-    "bm25_search_documents",
-    "quality_percentile_gate_documents",
-    "dedup_canonical_documents",
-    "audio_features_documents",
-    "ivf_index_build",          # must precede ann_topk_ivf_served (bench
-    "ann_topk_ivf_served",      # reuses the index the build just wrote)
-    # dedup family
-    "exact_dedup_documents",
-    "minhash_signatures_documents",
-    "minhash_dup_pairs_documents",
-    "ngram_jaccard_pairs_documents",
-    "dup_clusters_documents",
-    "simhash_documents",
-    "simhash_dup_pairs",
-    "fuzzy_pairs_documents",
-    "winnowing_fingerprints_documents",
-    # similarity / embeddings
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "ann_topk_gemm",
-    "ann_topk_ivf",
-    "embedding_high_sim_pairs",
-    "embedding_dup_clusters",
-    "embedding_centroid_outliers",
-    "quantize_embeddings_int8",
-    # text analysis
-    "token_stats_documents",
-    "text_profile_documents",
-    "source_profile_documents",
-    "repetition_profile_documents",
-    "pii_profile_documents",
-    "vocabulary_documents",
-    "unigram_logprob_outliers",
-    "bigram_lm_outliers",
-    "top_terms_by_source",
-    # curation
-    "decontaminate_documents",
-    "boilerplate_ngrams_documents",
-    "chunk_documents",
-    "pack_sequences_documents",
-    "quality_filter_documents",
-    "temperature_sample_documents",
-    "curation_pipeline_documents",
-    # sampling + sketches
-    "stratified_sample_documents",
-    "weighted_sample_documents",
-    "exact_k_sample_documents",
-    "cms_user_purchase_counts",
-    "hll_registers_events",
-    "quantile_sketch_lineitem",
-    # domain flagship
-    "pool_kpis_synth",
-    "pool_distribution_synth",
-    # multimodal
-    "multimodal_features_documents",
+    # --- never driver-sampled (r1-r5 prefixes missed these 21) ---
     "frame_sample_media",
     "media_ahash_documents",
     "media_dup_pairs_documents",
-    # training-data layout + diff/profile
     "split_documents_hash",
     "shuffle_documents_shards",
     "zorder_key_events",
     "snapshot_diff_orders",
     "profile_columns_orders",
+    "cohort_retention_events",
+    "overlap_click_purchase_windows",
+    "grouping_sets_orders",
+    "props_variant_events",
+    "sliding_event_counts",
+    "session_window_events",
+    "rolling_7d_revenue",
+    "anomaly_zscore_daily",
+    "user_value_trend_events",
+    "latency_percentiles_events",
+    "top3_orders_per_priority",
+    "unpivot_order_status_counts",
+    "window_rank_extras_events",
+    # --- last driver-sampled in round 1 ---
+    "multimodal_features_documents",
+    "props_parse_events",
+    # --- r4-stale: flagship + streaming + joins + TPC-H ---
+    "pricing_summary",
+    "windowed_event_counts",
+    "stream_join_click_purchase",
+    "sessionize_events",
+    "hypertable_rollup_events",
+    "dedup_latest_events",
+    "asof_click_before_error",
+    "range_join_clicks_after_error",
+    "cube_lineitem",
+    "set_ops_users",
+    "pivot_user_cohort_events",
+    "tpch_q2_min_price_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier",
+    # NOTE: ivf_index_build still precedes ann_topk_ivf_served in the
+    # remainder (r5 order is preserved for non-prefix queries), so the
+    # served query keeps finding the index the build writes.
 ]
 
 

@@ -35,8 +35,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #     attached to the <= |query terms| posting aggregate
 #   quality_percentile_gate_documents — 1-row exact-percentile threshold
 #     broadcast onto the scored corpus
+#   bigram_lm_outliers — same scalar attach as its unigram sibling: the
+#     1-row corpus bigram-total broadcast onto the bigram vocab relation
 ALLOWED_NESTED_LOOP = {
     "quality_percentile_gate_documents",
+    "bigram_lm_outliers",
     "ann_topk_bruteforce",
     "bm25_search_documents",
     "top_terms_by_source",
