@@ -1408,7 +1408,9 @@ _sql_query(
     """
 WITH part_ship AS (
   SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
-  FROM lineitem GROUP BY l_partkey, l_suppkey
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY l_partkey, l_suppkey
 ), tot AS (
   SELECT l_partkey, SUM(supp_qty) AS part_qty FROM part_ship GROUP BY l_partkey
 )
@@ -1416,12 +1418,10 @@ SELECT s_name, COUNT(*) AS dominant_parts
 FROM part_ship
 JOIN tot ON tot.l_partkey = part_ship.l_partkey
 JOIN supplier ON s_suppkey = part_ship.l_suppkey
-JOIN part ON p_partkey = part_ship.l_partkey
-WHERE p_type = 'PROMO'
-  AND 6 * supp_qty > part_qty
+WHERE 6 * supp_qty > part_qty
 GROUP BY s_name
 """,
-    "TPC-H Q20 shape (emulated without partsupp): nested aggregates find suppliers shipping an outsized (>1/6, vs ~1/26 uniform) share of a part's volume — all-decimal quantity math so the dominance predicate is exact",
+    "TPC-H Q20 shape (emulated without partsupp): nested aggregates find suppliers shipping an outsized (>1/6, vs ~1/26 uniform) share of a part's volume — all-decimal quantity math so the dominance predicate is exact. The PROMO restriction is a broadcast semi-join BELOW the first aggregate (p_partkey is unique, so IN == the original post-agg inner join + p_type filter): the (l_partkey, l_suppkey) shuffle carries only PROMO parts' rows, ~the PROMO selectivity share of lineitem, instead of every part's",
 )
 
 _sql_query(
