@@ -651,15 +651,98 @@ def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=100)
 
 
+def _ivf_ctes(n_centroids: int = 16, lloyd: int = 2, dim: int = 64) -> str:
+    """CTE chain replicating the ENTIRE deterministic IVF build in DuckDB
+    (VERDICT r5 #3 option a): md5-ordered centroid sample, ``lloyd``
+    unrolled spherical-k-means iterations, final cell assignment. The
+    cross-engine contract lives in operators/similarity.py: assignment
+    cosines rounded to 9dp (ties -> lower centroid id), refined means
+    rounded to 6dp, sampled centroids = the raw float32->double vectors.
+    Ends with ``cfin(cid, cv)`` (final centroids) and ``afin(vec_id,
+    cell)`` (final assignment)."""
+    ctes = [
+        "en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nv "
+        "FROM embeddings)",
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v AS cv
+  FROM en ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+)""",
+    ]
+
+    def assign(i: int) -> str:
+        return f"""a{i} AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT en.vec_id, c{i - 1}.cid,
+           ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+             round(list_dot_product(en.v, c{i - 1}.cv)
+               / (en.nv * sqrt(list_dot_product(c{i - 1}.cv, c{i - 1}.cv))), 9) DESC,
+             c{i - 1}.cid ASC) AS rn
+    FROM en CROSS JOIN c{i - 1}
+  ) WHERE rn = 1
+)"""
+
+    for i in range(1, lloyd + 1):
+        ctes.append(assign(i))
+        ctes.append(f"""m{i} AS (
+  SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
+    SELECT a{i}.cell AS cell, d.i AS i, round(avg(en.v[d.i]), 6) AS m
+    FROM a{i} JOIN en USING (vec_id)
+    CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(1, {dim + 1})) d
+    GROUP BY a{i}.cell, d.i
+  ) GROUP BY cell
+)""")
+        ctes.append(
+            f"c{i} AS (SELECT c{i - 1}.cid, COALESCE(m{i}.cv, c{i - 1}.cv) AS cv "
+            f"FROM c{i - 1} LEFT JOIN m{i} ON m{i}.cid = c{i - 1}.cid)"
+        )
+    ctes.append(assign(lloyd + 1))
+    ctes.append(f"cfin AS (SELECT cid, cv FROM c{lloyd})")
+    ctes.append(f"afin AS (SELECT vec_id, cell FROM a{lloyd + 1})")
+    return ",\n".join(ctes)
+
+
+def _ivf_topk_oracle(
+    n_centroids: int = 16, lloyd: int = 2, n_probe: int = 4, k: int = 5
+) -> str:
+    """Full served-IVF mirror: probe the query's n_probe nearest final
+    centroids (same 9dp-rounded ranking), exact rerank inside those
+    cells, ranks only (float-sum-order safe like every ANN oracle)."""
+    return f"""
+WITH {_ivf_ctes(n_centroids, lloyd)},
+qp AS (
+  SELECT query_id, qv, nq, cell FROM (
+    SELECT en.vec_id AS query_id, en.v AS qv, en.nv AS nq, cfin.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+             round(list_dot_product(en.v, cfin.cv)
+               / (en.nv * sqrt(list_dot_product(cfin.cv, cfin.cv))), 9) DESC,
+             cfin.cid ASC) AS rn
+    FROM en CROSS JOIN cfin WHERE en.vec_id < 5
+  ) WHERE rn <= {n_probe}
+),
+s AS (
+  SELECT qp.query_id, en.vec_id AS neighbor_id,
+         list_dot_product(en.v, qp.qv) / (en.nv * qp.nq) AS cos
+  FROM qp JOIN afin ON afin.cell = qp.cell
+  JOIN en ON en.vec_id = afin.vec_id
+  WHERE en.vec_id != qp.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= {k}
+"""
+
+
 @register(
     "ann_topk_ivf",
-    # rows-only BY NECESSITY (not laziness): the Lloyd centroid means are
-    # double sums whose partition-merge order Spark does not fix, so the
-    # refined centroids (and hence cell assignments near ties) are not
-    # bit-reproducible across engines the way every banding/rerank-only
-    # query is; recall vs brute force is measured in tests instead
-    oracle=None,
-    doc="IVF approximate top-k: deterministic centroids, n_probe nearest cells per query, exact rerank (rows-only driver check)",
+    # hash-exact since r6: the build is deterministic cross-engine
+    # (md5-ordered sample; 9dp-rounded assignment cosines; 6dp-rounded
+    # Lloyd means — operators/similarity.py), so the oracle unrolls the
+    # full sample + 2 Lloyd iterations + probe + rerank in SQL
+    oracle=_ivf_topk_oracle(),
+    doc="IVF approximate top-k: deterministic centroids, n_probe nearest cells per query, exact rerank",
 )
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
@@ -672,20 +755,27 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_index_path(sf_dir: str) -> str:
     """Deterministic per-dataset index location (gitignored tmp): the
     build and served-search queries share it, and a different sf_dir
-    gets a different index so stale cells can never serve."""
+    gets a different index so stale cells can never serve. The v2 tag
+    versions the BUILD ALGORITHM (r6: md5-ordered sample + rounded
+    assignment) — bump it whenever the build changes so an index written
+    by older code can never answer for the new oracle."""
     import hashlib
     import tempfile
 
     tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
-    return f"{tempfile.gettempdir()}/spark_graft_ivf_{tag}"
+    return f"{tempfile.gettempdir()}/spark_graft_ivf_v2_{tag}"
 
 
 @register(
     "ivf_index_build",
-    # rows-only like ann_topk_ivf: the Lloyd centroid means are double
-    # sums with engine-unfixed merge order, so cell populations near
-    # assignment ties are not bit-reproducible cross-engine
-    oracle=None,
+    # hash-exact since r6: cell populations are deterministic
+    # cross-engine (see ann_topk_ivf); the oracle recomputes the final
+    # assignment and aggregates the same histogram
+    oracle=f"""
+WITH {_ivf_ctes()}
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM afin GROUP BY cell ORDER BY cell
+""",
     doc="IVF index BUILD (the build half of the build/search split): sample+Lloyd centroids persisted with cell-partitioned corpus vectors; returns the cell histogram",
 )
 def ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,7 +792,10 @@ def ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_ivf_served",
-    oracle=None,  # rows-only: inherits the index's Lloyd-refined cells
+    # hash-exact since r6: serving reads the deterministic index, so the
+    # compose-path oracle applies verbatim (build+search ≡ compose is
+    # additionally pinned by tests/test_ivf_index.py)
+    oracle=_ivf_topk_oracle(),
     doc="IVF approximate top-k SERVED from the persisted index: probe-cell partition-pruned scan + exact rerank; no per-query build (VERDICT r4 #1)",
 )
 def ann_topk_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
