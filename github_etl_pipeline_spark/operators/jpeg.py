@@ -262,7 +262,22 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG to ``(width, height, channels,
     pixel_bytes)`` — the multimodal decoder contract (pixels row-major,
-    channel-interleaved; channels = 1 for grayscale, 3 for RGB)."""
+    channel-interleaved; channels = 1 for grayscale, 3 for RGB).
+
+    Contract: raises ``ValueError`` for corrupt/truncated streams and
+    ``NotImplementedError`` at documented capability boundaries — never
+    module-private or built-in lookup/index errors (ADVICE r5): bad
+    table ids, reads past the buffer, and unexpected restart markers
+    are all converted here."""
+    try:
+        return _decode_jpeg(content)
+    except (_RestartMarker, KeyError, IndexError, StopIteration, struct.error) as exc:
+        raise ValueError(
+            f"corrupt JPEG stream ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
@@ -326,11 +341,27 @@ def decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = seg[0]
+            if ns < len(frame["comps"]):
+                # T.81 A.2: a scan covering fewer components than the
+                # frame means a non-interleaved multi-scan encoding;
+                # decoding only the first scan would silently return a
+                # luma-only image posing as the picture (ADVICE r5)
+                raise NotImplementedError(
+                    f"non-interleaved multi-scan JPEG (scan has {ns} of "
+                    f"{len(frame['comps'])} frame components; only "
+                    "single-scan baseline)"
+                )
             scan = []
             for i in range(ns):
                 cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "dc": tds >> 4, "ac": tds & 0xF})
+            if ns == 1:
+                # T.81 A.2.2: an Ns==1 scan is non-interleaved — the MCU
+                # is ONE 8x8 block regardless of the SOF sampling
+                # factors (a grayscale frame declaring 2x2 sampling must
+                # not be laid out in 2x2-block MCUs)
+                scan[0]["h"] = scan[0]["v"] = 1
             pixels = _decode_scan(
                 content, pos + seglen, frame, scan, qtables, huff_dc, huff_ac,
                 restart_interval,

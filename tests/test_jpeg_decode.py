@@ -114,6 +114,62 @@ def test_odd_dimensions_crop():
     assert len(px) == w * h * 3
 
 
+def test_single_component_scan_ignores_sof_sampling():
+    """T.81 A.2.2: an Ns==1 scan is non-interleaved — one 8x8 block per
+    MCU regardless of declared sampling factors. A grayscale JPEG whose
+    SOF claims 2x2 sampling must decode to the SAME pixels as its 1x1
+    twin (previously it silently mis-decoded with a 2x2-block MCU
+    layout)."""
+    w, h = 24, 16
+    img = (np.arange(w * h, dtype=np.uint8).reshape(h, w, 1) % 181)
+    enc = bytearray(encode_baseline_jpeg(img.tobytes(), w, h, 1, quality=90))
+    baseline = decode_jpeg(bytes(enc))
+    i = enc.find(b"\xff\xc0")
+    # SOF0 payload: len(2) precision(1) h(2) w(2) ncomp(1) [id samp tq]
+    samp_off = i + 4 + 5 + 1 + 1
+    assert enc[samp_off] == 0x11
+    enc[samp_off] = 0x22
+    assert decode_jpeg(bytes(enc)) == baseline
+
+
+def test_non_interleaved_multi_scan_raises():
+    """A 3-component frame whose first scan covers only 1 component must
+    fail loud (NotImplementedError), not return a luma-only image."""
+    w, h = 8, 8
+    enc = bytearray(encode_baseline_jpeg(_gradient(w, h).tobytes(), w, h, 3))
+    i = enc.find(b"\xff\xda")
+    seglen = (enc[i + 2] << 8) | enc[i + 3]
+    # rewrite the SOS to a single-component scan (Ns=1, comp 1, tables 0)
+    new_sos = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3F, 0x00])
+    enc2 = bytes(enc[:i]) + new_sos + bytes(enc[i + 2 + seglen:])
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(enc2)
+
+
+def test_corrupt_streams_raise_value_error():
+    """The decoder contract is (ValueError | NotImplementedError) — no
+    module-private exceptions, KeyError or IndexError may escape
+    (ADVICE r5)."""
+    w, h = 16, 16
+    enc = encode_baseline_jpeg(_gradient(w, h).tobytes(), w, h, 3, quality=90)
+    sos = enc.find(b"\xff\xda")
+    # truncated mid-scan: the bit reader runs off the buffer
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: sos + 20])
+    # missing Huffman tables: the scan references absent table ids
+    dht = enc.find(b"\xff\xc4")
+    dht_len = (enc[dht + 2] << 8) | enc[dht + 3]
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:dht] + enc[dht + 2 + dht_len:])
+    # restart marker appearing with no DRI accounting
+    rst = encode_baseline_jpeg(
+        _gradient(w, h).tobytes(), w, h, 3, quality=90, restart_interval=1
+    )
+    dri = rst.find(b"\xff\xdd")
+    with pytest.raises(ValueError):
+        decode_jpeg(rst[:dri] + rst[dri + 6:])  # drop the 6-byte DRI segment
+
+
 def test_progressive_raises_not_implemented():
     # splice an SOF2 marker into an otherwise valid prefix
     w, h = 8, 8
