@@ -219,26 +219,41 @@ def compact_gram_index(
 
     The ratio check is one aggregate over the skinny index; the rewrite
     is one shuffle of the index (never the corpus). Written to a
-    sibling temp dir then swapped, so a concurrent reader sees either
-    the old or the new index, both semantically identical."""
+    sibling temp dir then rename-swapped. The swap is crash-RECOVERABLE,
+    not atomic (ADVICE r5): a crash between the two renames leaves the
+    complete old index at ``._old`` and the complete new one at
+    ``._compact`` — the stale-dir sweep below finishes or restarts the
+    job on the next call, and no state loses data. It is also not
+    isolated for an in-flight Spark read (directory renames never are);
+    run compaction in the same maintenance window as the other
+    single-writer index operations (``mode="append"`` has the same
+    constraint)."""
     import shutil
     from pathlib import Path
 
     index_path = Path(str(index_path))
+    tmp = index_path.with_name(index_path.name + "._compact")
+    old = index_path.with_name(index_path.name + "._old")
+    # sweep leftovers from a prior crashed run (they would make the
+    # renames below fail): a stranded ._old with NO live index is the
+    # crashed-between-renames state — restore it instead of deleting
+    if old.exists() and not index_path.exists():
+        old.rename(index_path)
+    for stale in (tmp, old):
+        if stale.exists():
+            shutil.rmtree(stale)
     idx = spark.read.parquet(str(index_path))
     total, distinct = idx.agg(
         F.count(F.lit(1)), F.count_distinct("gh")
     ).first()
     if distinct == 0 or total / distinct < min_ratio:
         return False
-    tmp = index_path.with_name(index_path.name + "._compact")
     (
         idx.groupBy("gh")
         .agg(F.sum("cnt").alias("cnt"))
         .write.mode("overwrite")
         .parquet(str(tmp))
     )
-    old = index_path.with_name(index_path.name + "._old")
     index_path.rename(old)
     tmp.rename(index_path)
     shutil.rmtree(old)

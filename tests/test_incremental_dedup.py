@@ -216,3 +216,38 @@ def test_compact_gram_index_folds_append_partials(spark, tmp_path):
     assert probe_post == probe_pre
     # idempotent: already compact -> no-op
     assert compact_gram_index(spark, idx) is False
+
+
+def test_compact_gram_index_recovers_crashed_swap(spark, tmp_path):
+    """Every crash state of the rename-swap must self-heal on the next
+    call (ADVICE r5): stale ._compact / ._old leftovers are swept, and
+    the stranded-._old-with-no-live-index state (crash between the two
+    renames) is restored instead of deleted."""
+    import shutil
+
+    from github_etl_pipeline_spark.operators.curation import (
+        build_gram_index,
+        compact_gram_index,
+    )
+
+    idx = tmp_path / "gram_index_r"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    build_gram_index(docs, idx, k=3)
+    build_gram_index(docs, idx, k=3, mode="append")
+    n_distinct = spark.read.parquet(str(idx)).select("gh").distinct().count()
+
+    # crash state A: a prior run died after writing ._compact
+    shutil.copytree(idx, idx.with_name(idx.name + "._compact"))
+    # crash state B leftovers: a stale ._old next to a live index
+    shutil.copytree(idx, idx.with_name(idx.name + "._old"))
+    assert compact_gram_index(spark, idx) is True
+    assert not idx.with_name(idx.name + "._compact").exists()
+    assert not idx.with_name(idx.name + "._old").exists()
+    assert spark.read.parquet(str(idx)).count() == n_distinct
+
+    # crash state C: died between the renames — ._old holds the ONLY copy
+    idx.rename(idx.with_name(idx.name + "._old"))
+    assert compact_gram_index(spark, idx) is False  # restored, already compact
+    assert spark.read.parquet(str(idx)).count() == n_distinct
