@@ -10,11 +10,14 @@ bytes with exactly-predicted outputs:
   * WAV  — pure stdlib (``decode_wav``: RIFF PCM 8/16/32-bit), r5
   * JPEG — baseline T.81 (``operators/jpeg.py``: Huffman + IDCT,
     grayscale/YCbCr, subsampling, restart markers), r5
+  * MJPEG-AVI — pure stdlib RIFF walk (``operators/avi.py``) feeding
+    the JPEG decoder per sampled frame (``frame_sample``), r6
 
-Remaining codecs (progressive JPEG, webp, mp3/aac, video containers)
-still need an external library injected through the same seam; absent
-one, a deterministic fake decoder keeps the Spark-side contract —
-schema, Arrow batch shape, partition preservation — fully testable.
+Remaining codecs (progressive JPEG, webp, mp3/aac, mp4/mkv containers,
+inter-frame video) still need an external library injected through the
+same seam; absent one, a deterministic fake decoder keeps the
+Spark-side contract — schema, Arrow batch shape, partition
+preservation — fully testable.
 
 Scale notes: binary payloads ride in the DataFrame as parquet binary
 columns; per-batch processing (Arrow RecordBatch in, RecordBatch out)
@@ -212,6 +215,128 @@ def decode_audio(content: bytes, fmt: str | None) -> tuple[int, int, list[int]]:
     )
 
 
+def decode_video(content: bytes, fmt: str | None) -> tuple[int, list[tuple[int, bytes]]]:
+    """Video CONTAINER decoder entry point: MJPEG-AVI parses with the
+    pure-stdlib RIFF walker (``operators/avi.py``) into
+    ``(duration_ms, [(ts_ms, frame_jpeg_bytes)])`` — container-only, so
+    frame sampling can choose frames BEFORE paying any pixel decode;
+    the chosen frames' JPEG payloads then decode with the in-repo T.81
+    decoder. Other containers/codecs (mp4, mkv, webm, inter-frame
+    codecs) need a video library injected through the ``decoder=`` seam
+    of :func:`frame_sample` with this same contract."""
+    if (fmt or "").lower() == "avi" or (
+        content[:4] == b"RIFF" and content[8:12] == b"AVI "
+    ):
+        from github_etl_pipeline_spark.operators.avi import parse_avi_mjpeg
+
+        return parse_avi_mjpeg(content)
+    raise NotImplementedError(
+        f"decoding {fmt!r} requires a video library; inject a decoder "
+        "with the same (content, fmt) -> (duration_ms, [(ts_ms, "
+        "frame_bytes)]) contract"
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("content", BinaryType(), True),  # raw decoded pixels
+        StructField("content_hash", StringType(), True),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame,
+    every_ms: int = 1000,
+    decoder=None,
+    frame_decoder=None,
+) -> DataFrame:
+    """REAL video frame sampling through the decoder seam: parse each
+    video payload's container (``decoder``, default :func:`decode_video`
+    — MJPEG-AVI runs fully in-repo), pick the latest frame at or before
+    each ``every_ms`` grid point, and pixel-decode ONLY those frames
+    (``frame_decoder``, default :func:`decode_image` — the in-repo
+    baseline-JPEG/PNG path). One output row per sampled frame:
+    (media_id, frame_ts_ms, width, height, channels, content=raw
+    pixel bytes, content_hash).
+
+    This is the executed twin of :func:`frame_sample_plan` (which only
+    fans out the timestamps): sampling at 1 fps from a 30 fps clip
+    container-parses everything but JPEG-decodes ~1/30th of the frames.
+    Payloads whose container fails to parse are dropped (same policy as
+    ``perceptual_ahash``: undecodable media cannot contribute frames).
+
+    Scale shape: one Arrow-batched mapInPandas pass; output size is
+    sampled-frames x pixel bytes, so repartition by expected payload
+    size before calling when clips are large."""
+    ev = int(every_ms)
+    dec = decoder
+    fdec = frame_decoder
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def _decode_video(content, fmt):
+            from github_etl_pipeline_spark.operators.avi import parse_avi_mjpeg
+
+            if (fmt or "").lower() == "avi" or (
+                content[:4] == b"RIFF" and content[8:12] == b"AVI "
+            ):
+                return parse_avi_mjpeg(content)
+            raise NotImplementedError(f"no in-repo container parser for {fmt!r}")
+
+        def _decode_frame(content, fmt):
+            from github_etl_pipeline_spark.operators.multimodal import decode_image
+
+            return decode_image(content, fmt)
+
+        d = dec if dec is not None else _decode_video
+        fd = fdec if fdec is not None else _decode_frame
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_ts_ms", "width", "height", "channels",
+                "content", "content_hash",
+            )}
+            for mid, content, fmt in zip(
+                pdf["media_id"], pdf["content"], pdf["format"]
+            ):
+                if content is None:
+                    continue
+                try:
+                    duration_ms, frames = d(bytes(content), fmt)
+                except (ValueError, NotImplementedError):
+                    continue
+                if not frames:
+                    continue
+                picked: dict[int, int] = {}  # frame index -> grid ts (dedup)
+                for ts in range(0, max(duration_ms, 1), ev):
+                    i = max(
+                        (j for j, (fts, _) in enumerate(frames) if fts <= ts),
+                        default=0,
+                    )
+                    picked.setdefault(i, ts)
+                for i, grid_ts in sorted(picked.items()):
+                    fts, fbytes = frames[i]
+                    w, h, ch, px = fd(fbytes, None)
+                    out["media_id"].append(mid)
+                    out["frame_ts_ms"].append(grid_ts)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(ch)
+                    out["content"].append(px)
+                    out["content_hash"].append(hashlib.md5(px).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def fake_decode(content: bytes) -> tuple[int, int]:
     """Deterministic stand-in for decode+feature-extract: (feature mean,
     feature dim) derived from the payload bytes. Lets every downstream
@@ -300,7 +425,8 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: expands each video row into the frame
     timestamps that a real decoder would extract (sequence expression —
     JVM-side), with the per-frame decode left to ``extract_features``.
-    Demonstrates the fan-out shape without the codec."""
+    Pure-expression fan-out twin of :func:`frame_sample`, which runs
+    the real container parse + per-frame pixel decode."""
     return (
         media.where(F.col("kind") == "video")
         .where(F.col("duration_ms").isNotNull())
