@@ -40,6 +40,13 @@ def portable_hash48(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
+def portable_hash52(col: Column) -> Column:
+    """52-bit variant (13 md5 hex chars) — the widest md5 prefix whose
+    values stay EXACT in an IEEE double (52 <= 53 mantissa bits), so the
+    KMV estimate's float division is bit-identical across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
 def portable_hash48_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
 

@@ -568,3 +568,60 @@ def temperature_sample(
         .where(b * b * F.col("_n") < F.col("_n_min") * F.lit(BUCKETS * BUCKETS))
         .select(id_col, strata_col)
     )
+
+
+def source_overlap_matrix(
+    docs: "DataFrame",
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 2,
+) -> "DataFrame":
+    """Cross-source contamination matrix: exact word ``k``-gram Jaccard
+    between every pair of sources sharing at least one shingle — the
+    corpus-level view of ``decontaminate`` (which is doc-vs-benchmark):
+    which ingestion sources feed each other's content, and how much.
+
+    Shape at 100 TB: the corpus reduces FIRST to the distinct
+    (source, shingle-hash) index — one dedup shuffle of skinny rows,
+    bounded by sources x vocabulary, not by corpus rows — and the
+    self-join on the hash fans out at most #sources rows per shingle
+    (sources is a small set by construction), so nothing pairwise ever
+    touches documents. Counts are exact integers; jaccard divides two
+    exact sub-2^53 longs, bit-identical across engines.
+
+    Output: (source_a, source_b, common_grams, union_grams, jaccard)
+    for source_a < source_b with common_grams >= 1.
+    """
+    from github_etl_pipeline_spark.operators.dedup import shingle_hashes
+
+    sg = (
+        docs.select(
+            F.col(source_col).alias("_src"),
+            F.explode(shingle_hashes(text_col, k)).alias("_gh"),
+        )
+        .dropDuplicates(["_src", "_gh"])
+    )
+    counts = sg.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = (
+        sg.select(F.col("_src").alias("source_a"), "_gh")
+        .join(sg.select(F.col("_src").alias("source_b"), "_gh"), "_gh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("common_grams"))
+    )
+    na = F.broadcast(counts.select(F.col("_src").alias("source_a"), F.col("_n").alias("_na")))
+    nb = F.broadcast(counts.select(F.col("_src").alias("source_b"), F.col("_n").alias("_nb")))
+    return (
+        pairs.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "common_grams",
+            (F.col("_na") + F.col("_nb") - F.col("common_grams")).alias("union_grams"),
+            (
+                F.col("common_grams").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("common_grams"))
+            ).alias("jaccard"),
+        )
+    )

@@ -23,11 +23,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from github_etl_pipeline_spark.functions.hashing import portable_hash32
+from github_etl_pipeline_spark.functions.hashing import (
+    portable_hash32,
+    portable_hash52,
+)
 
 CMS_DEPTH = 4
 CMS_WIDTH = 256
 HLL_BUCKETS = 64
+KMV_K = 64
 
 
 def _key(col: Column | str) -> Column:
@@ -133,6 +137,78 @@ def hll_estimate(registers: dict[int, int], buckets: int = HLL_BUCKETS) -> float
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return raw
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group: keep the
+    ``k`` smallest 52-bit md5 hash values of the DISTINCT keys; with
+    fewer than ``k`` distinct keys the count is exact, otherwise
+    est = (k-1) * 2^52 / kth_smallest_hash (Bar-Yossef et al. 2002).
+
+    Scale shape: one distinct-projection shuffle of skinny (group,
+    hash) rows, then a per-group partial top-k (WindowGroupLimit: each
+    task keeps at most ``k`` rows per group before the exchange — the
+    sketch is mergeable, and merging IS taking the k smallest of a
+    union, which is exactly what partial top-k + final top-k computes).
+    Nothing grows with the corpus: output is one row per group.
+
+    Cross-engine exactness: 52-bit hashes are exact doubles, and the
+    estimate divides two exactly-representable doubles, so the DuckDB
+    oracle reproduces the float bit-for-bit (no rounding needed).
+
+    Output: (<group_col>, n_in_sketch, kth_hash, est_distinct).
+    """
+    h = portable_hash52(_key(key_col))
+    sg = (
+        df.select(F.col(group_col), h.alias("_h"))
+        .dropDuplicates([group_col, "_h"])
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
+    topk = sg.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    agg = topk.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_in_sketch"),
+        F.max("_h").alias("kth_hash"),
+    )
+    est = (
+        F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double"))
+        .otherwise(
+            F.lit(k - 1).cast("double") * F.lit(float(2**52)) / F.col("kth_hash")
+        )
+    )
+    return agg.select(
+        group_col, "n_in_sketch", "kth_hash", est.alias("est_distinct")
+    )
+
+
+def kmv_sketch_oracle_sql(
+    key_expr: str,
+    group_expr: str,
+    group_alias: str,
+    table: str,
+    k: int = KMV_K,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB mirror of ``kmv_sketch`` (same md5-52 hashes, same
+    row_number top-k, same exact-double estimate)."""
+    return f"""
+WITH d AS (
+  SELECT DISTINCT {group_expr} AS grp,
+         CAST(('0x' || substr(md5({key_expr}), 1, 13)) AS BIGINT) AS h
+  FROM {table} WHERE {where}
+),
+r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d),
+s AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_in_sketch, MAX(h) AS kth_hash
+  FROM r WHERE rn <= {k} GROUP BY grp
+)
+SELECT grp AS {group_alias}, n_in_sketch, kth_hash,
+       CASE WHEN n_in_sketch < {k} THEN CAST(n_in_sketch AS DOUBLE)
+            ELSE CAST({k - 1} AS DOUBLE) * {float(2**52):.1f} / kth_hash END
+         AS est_distinct
+FROM s
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -653,3 +653,41 @@ def exact_k_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_k_per_stratum(read_table(spark, sf_dir, "documents"), k=10).select(
         "source", "sample_rank", "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix: exact word-bigram Jaccard per source
+# pair (the corpus-level companion of decontaminate)
+# ---------------------------------------------------------------------------
+@register(
+    "source_overlap_documents",
+    oracle=f"""
+WITH t AS (SELECT source, regexp_extract_all(text, '{TOKEN_RE}') AS toks FROM documents),
+sh AS (
+  SELECT source,
+         CASE WHEN len(toks) >= 2
+              THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+              WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+              ELSE [] END AS sh
+  FROM t
+),
+sg AS (
+  SELECT DISTINCT source AS src,
+         CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS gh
+  FROM (SELECT source, unnest(sh) AS s FROM sh)
+),
+n AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY src),
+p AS (
+  SELECT a.src AS source_a, b.src AS source_b, CAST(COUNT(*) AS BIGINT) AS common_grams
+  FROM sg a JOIN sg b ON a.gh = b.gh AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, common_grams,
+       na.n + nb.n - common_grams AS union_grams,
+       CAST(common_grams AS DOUBLE) / (na.n + nb.n - common_grams) AS jaccard
+FROM p JOIN n na ON na.src = source_a JOIN n nb ON nb.src = source_b
+""",
+    doc="cross-source contamination matrix: exact word-bigram Jaccard for every source pair sharing a shingle — corpus reduces to the distinct (source, gram-hash) index first, pairwise fan-out bounded by #sources per gram, documents never join",
+)
+def source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.source_overlap_matrix(_docs(spark, sf_dir))

@@ -1579,3 +1579,29 @@ def sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_duration="1 hour",
         slide="30 minutes",
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch: distinct users per event type
+# ---------------------------------------------------------------------------
+from github_etl_pipeline_spark.operators.sketches import (  # noqa: E402
+    kmv_sketch_oracle_sql,
+)
+
+
+@register(
+    "kmv_distinct_users_events",
+    oracle=kmv_sketch_oracle_sql(
+        key_expr="CAST(user_id AS VARCHAR)",
+        group_expr="event_type",
+        group_alias="event_type",
+        table="events",
+    ),
+    doc="KMV (k-minimum-values) distinct-user sketch per event type: per-group partial top-k of 52-bit md5 hashes (WindowGroupLimit before the exchange), exact-double estimate — mergeable like CMS/HLL, one row per group regardless of corpus size",
+)
+def kmv_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sketches import kmv_sketch
+
+    return kmv_sketch(
+        read_table(spark, sf_dir, "events"), key_col="user_id", group_col="event_type"
+    )

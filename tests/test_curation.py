@@ -362,3 +362,29 @@ def test_remove_duplicate_spans_keep_first(spark):
     got = {r.doc_id: r for r in remove_duplicate_spans(docs, k=3, keep_first=True).collect()}
     # doc 1 holds the first occurrence -> untouched; doc 2 loses the prefix
     assert got[1].n_removed == 0 and got[2].n_removed == 6
+
+
+def test_source_overlap_matrix_exact_jaccard(spark):
+    """Hand-computable corpus: srcA/srcB share exactly one word bigram,
+    srcC shares none. Jaccard = common / (na + nb - common) on distinct
+    bigram sets."""
+    from github_etl_pipeline_spark.operators.curation import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "the quick brown fox"),          # 3 bigrams
+            (2, "B", "quick brown wolves run"),       # 3 bigrams, shares 'quick brown'
+            (3, "C", "entirely different words here"),
+            (4, "B", "quick brown wolves run"),       # dup doc: distinct set unchanged
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(docs, source_col="source").collect()
+    }
+    assert set(rows) == {("A", "B")}  # C overlaps nobody
+    r = rows[("A", "B")]
+    assert r.common_grams == 1
+    assert r.union_grams == 3 + 3 - 1
+    assert r.jaccard == 1 / 5

@@ -54,3 +54,64 @@ def test_hll_estimate_within_error_band(spark):
     est = hll_estimate(regs)
     # m=64 -> relative error ~1.04/sqrt(64) = 13%; allow 3 sigma
     assert abs(est - n) / n < 0.40
+
+
+def _grouped(spark, rows):
+    return spark.createDataFrame(rows, "grp string, k string")
+
+
+def test_kmv_exact_below_k_and_estimate_above(spark):
+    from github_etl_pipeline_spark.operators.sketches import KMV_K, kmv_sketch
+
+    rows = [("small", f"u{i}") for i in range(10)] * 3  # duplicates collapse
+    rows += [("big", f"v{i}") for i in range(2000)]
+    out = {r.grp: r for r in kmv_sketch(_grouped(spark, rows), "k", "grp").collect()}
+    # below k: exact distinct count, no estimation error
+    assert out["small"].n_in_sketch == 10
+    assert out["small"].est_distinct == 10.0
+    # above k: sketch holds exactly k rows; estimate within the KMV
+    # error band ~1/sqrt(k-1) = 12.6%; allow 3 sigma
+    assert out["big"].n_in_sketch == KMV_K
+    assert abs(out["big"].est_distinct - 2000) / 2000 < 0.38
+
+
+def test_kmv_depends_only_on_distinct_keys(spark):
+    from github_etl_pipeline_spark.operators.sketches import kmv_sketch
+
+    once = _grouped(spark, [("g", f"u{i}") for i in range(300)])
+    thrice = _grouped(spark, [("g", f"u{i}") for i in range(300)] * 3)
+    a = kmv_sketch(once, "k", "grp").collect()[0]
+    b = kmv_sketch(thrice, "k", "grp").collect()[0]
+    assert (a.n_in_sketch, a.kth_hash, a.est_distinct) == (
+        b.n_in_sketch, b.kth_hash, b.est_distinct
+    )
+
+
+def test_kmv_merge_is_topk_of_union(spark):
+    """Mergeability: the sketch of A ∪ B equals taking the k smallest of
+    the two sketches' hash sets — the property that makes partial top-k
+    aggregation correct at any partitioning."""
+    from github_etl_pipeline_spark.operators.sketches import KMV_K, kmv_sketch
+
+    A = [("g", f"a{i}") for i in range(150)]
+    B = [("g", f"b{i}") for i in range(150)]
+
+    def hashes(rows):
+        from github_etl_pipeline_spark.functions.hashing import portable_hash52
+
+        df = _grouped(spark, rows).select(portable_hash52(F.col("k")).alias("h"))
+        return sorted({r.h for r in df.collect()})
+
+    merged_kth = sorted(set(hashes(A)) | set(hashes(B)))[KMV_K - 1]
+    union_sketch = kmv_sketch(_grouped(spark, A + B), "k", "grp").collect()[0]
+    assert union_sketch.kth_hash == merged_kth
+
+
+def test_kmv_plan_uses_window_group_limit(spark):
+    from github_etl_pipeline_spark.operators.sketches import kmv_sketch
+
+    df = _grouped(spark, [("g", f"u{i}") for i in range(100)])
+    plan = (
+        kmv_sketch(df, "k", "grp")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
