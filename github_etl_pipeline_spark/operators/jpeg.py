@@ -4,29 +4,36 @@ seam after PNG (r4) and WAV (r5): JFIF images now decode for REAL
 through the same ``(content, fmt) -> (w, h, channels, pixels)`` contract
 ``extract_features`` / ``resize_images`` consume.
 
-Scope (the baseline-sequential profile that covers the overwhelming
-majority of real-world JPEGs):
+Scope (baseline + progressive — together the profiles covering
+essentially all real-world JPEGs):
 
-  * SOF0 (baseline DCT), 8-bit precision
+  * SOF0 (baseline DCT) and SOF2 (progressive DCT, r6: spectral
+    selection + successive approximation per T.81 Annex G.1.2, IJG
+    reference semantics), 8-bit precision
   * grayscale (1 component) and YCbCr (3 components)
   * any subsampling the SOF declares (4:4:4, 4:2:0, 4:2:2, ...) via
     per-component sampling factors
   * restart markers (DRI/RSTn)
   * entropy-coded-segment byte unstuffing (0xFF 0x00)
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and CMYK raise
-``NotImplementedError`` with the marker that triggered it — the same
-documented-seam behavior as the other codecs.
+Arithmetic coding, hierarchical/lossless frames, 12-bit precision and
+CMYK raise ``NotImplementedError`` with the marker that triggered it —
+the same documented-seam behavior as the other codecs.
 
-The companion :func:`encode_baseline_jpeg` exists to produce REAL test
-vectors (standard Annex-K quantization tables, spec Table K.3-K.6
-Huffman tables, 4:4:4, no subsampling) so the decoder is exercised on
-actual entropy-coded JPEG bytes without an external library. Structural
-elements shared by both paths (zigzag order, the DCT basis) are unit
-tests' cross-check surface: the zigzag table is asserted against the
-spec's layout and the DCT/IDCT pair against numpy's orthonormal
-transform, so an error there cannot silently cancel between encoder and
-decoder.
+The companion encoders :func:`encode_baseline_jpeg` and
+:func:`encode_progressive_jpeg` exist to produce REAL test vectors
+(standard Annex-K quantization tables; Annex-K or explicit DHT Huffman
+tables; 4:4:4) so both decode paths are exercised on actual
+entropy-coded JPEG bytes without an external library. The two encoders
+share one quantization front half, so a progressive encoding carries
+coefficients IDENTICAL to the baseline encoding of the same image —
+tests pin that both decode to byte-identical pixels, which anchors the
+progressive entropy pipeline to the independently-verified baseline
+path (a matched encoder/decoder bug pair would have to reproduce
+baseline's pixels exactly to hide). Structural elements shared by both
+paths (zigzag order, the DCT basis) are unit tests' cross-check
+surface: the zigzag table is asserted against the spec's layout and
+the DCT/IDCT pair against numpy's orthonormal transform.
 
 Everything here derives from the public T.81 spec text.
 """
@@ -256,6 +263,235 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next marker (the 0xFF byte) at or after ``pos``,
+    skipping stuffed 0xFF00 pairs and 0xFF fill bytes inside the
+    entropy-coded segment."""
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    raise ValueError("truncated JPEG: no marker after scan data")
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for progressive (SOF2) decoding — T.81
+    Annex G.1.2, successive-approximation semantics matched to the IJG
+    reference behavior (public libjpeg): DC values are arithmetic-
+    shifted by Al, AC values magnitude-shifted; refinement scans append
+    one bit per coefficient.
+
+    Per component the full zigzag coefficient grid lives in an int32
+    array of shape (blocks_y, blocks_x, 64) sized to the MCU-padded
+    grid (so interleaved DC scans can write their dummy blocks);
+    non-interleaved AC scans touch only the component's real block
+    grid. ``finish`` dequantizes + IDCTs every block and reuses the
+    baseline pixel-composition path."""
+
+    def __init__(self, frame: dict):
+        self.frame = frame
+        comps = frame["comps"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcux = (frame["w"] + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (frame["h"] + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coef: dict[int, np.ndarray] = {
+            c["id"]: np.zeros(
+                (self.mcuy * c["v"], self.mcux * c["h"], 64), dtype=np.int32
+            )
+            for c in comps
+        }
+        self.scans_done = 0
+
+    def _blocks_grid(self, c: dict) -> tuple[int, int]:
+        """Real (non-interleaved) block grid of one component."""
+        w, h = self.frame["w"], self.frame["h"]
+        cw = (w * c["h"] + self.hmax - 1) // self.hmax
+        ch = (h * c["v"] + self.vmax - 1) // self.vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def decode_scan(
+        self, data, pos, seg, qtables, huff_dc, huff_ac, dri
+    ) -> int:
+        """Decode one scan's entropy data starting at ``pos``; returns
+        the position of the next marker."""
+        ns = seg[0]
+        scan = []
+        for i in range(ns):
+            cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
+            comp = next(c for c in self.frame["comps"] if c["id"] == cs)
+            scan.append({**comp, "dc": tds >> 4, "ac": tds & 0xF})
+        ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+        ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+        r = _BitReader(data, pos)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se == 0")
+            self._dc_scan(r, scan, huff_dc, ah, al, dri)
+        else:
+            if ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            self._ac_scan(r, scan[0], huff_ac, ss, se, ah, al, dri)
+        self.scans_done += 1
+        return _next_marker(data, r.pos)
+
+    # -- DC scans (interleaved over all scan components) ------------------
+    def _dc_scan(self, r, scan, huff_dc, ah, al, dri) -> None:
+        if len(scan) == 1:
+            sub = [{**scan[0], "h": 1, "v": 1}]
+            by, bx = self._blocks_grid(scan[0])
+            mcus = by * bx
+            grid = (1, 1)
+        elif len(scan) == len(self.frame["comps"]):
+            sub = scan
+            mcus = self.mcux * self.mcuy
+            grid = None
+        else:
+            raise NotImplementedError(
+                "progressive DC scan over a strict component subset"
+            )
+        pred = {c["id"]: 0 for c in scan}
+        count = 0
+        for m in range(mcus):
+            if dri and count and count % dri == 0:
+                r.sync_restart()
+                pred = {c["id"]: 0 for c in scan}
+            for c in sub:
+                for byy in range(c["v"]):
+                    for bxx in range(c["h"]):
+                        if grid == (1, 1):
+                            yb, xb = divmod(m, bx)
+                        else:
+                            my, mx = divmod(m, self.mcux)
+                            yb = my * c["v"] + byy
+                            xb = mx * c["h"] + bxx
+                        zz = self.coef[c["id"]][yb, xb]
+                        if ah == 0:
+                            t = _decode_huff_symbol(r, huff_dc[c["dc"]])
+                            diff = _extend(r.read_bits(t), t)
+                            pred[c["id"]] += diff
+                            zz[0] = pred[c["id"]] << al
+                        else:
+                            if r.read_bit():
+                                zz[0] |= 1 << al
+            count += 1
+
+    # -- AC scans (always non-interleaved) --------------------------------
+    def _ac_scan(self, r, c, huff_ac, ss, se, ah, al, dri) -> None:
+        by, bx = self._blocks_grid(c)
+        tbl = huff_ac[c["ac"]]
+        eobrun = 0
+        count = 0
+        for m in range(by * bx):
+            if dri and count and count % dri == 0:
+                r.sync_restart()
+                eobrun = 0
+            yb, xb = divmod(m, bx)
+            zz = self.coef[c["id"]][yb, xb]
+            if ah == 0:
+                eobrun = self._ac_first_block(r, tbl, zz, ss, se, al, eobrun)
+            else:
+                eobrun = self._ac_refine_block(r, tbl, zz, ss, se, al, eobrun)
+            count += 1
+
+    @staticmethod
+    def _ac_first_block(r, tbl, zz, ss, se, al, eobrun) -> int:
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _decode_huff_symbol(r, tbl)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr != 15:
+                    eobrun = (1 << rr) - 1
+                    if rr:
+                        eobrun += r.read_bits(rr)
+                    break
+                k += 16  # ZRL
+                continue
+            k += rr
+            if k > se:
+                raise ValueError("AC run past end of spectral band")
+            zz[k] = _extend(r.read_bits(s), s) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine_block(r, tbl, zz, ss, se, al, eobrun) -> int:
+        p1 = 1 << al
+        m1 = -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff_symbol(r, tbl)
+                rr, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if rr != 15:
+                        eobrun = 1 << rr  # includes the current block
+                        if rr:
+                            eobrun += r.read_bits(rr)
+                        break
+                    # ZRL: pass over 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("AC refinement magnitude != 1")
+                    val = p1 if r.read_bit() else m1
+                # advance over rr zero-history coefficients, emitting
+                # correction bits for every nonzero-history one passed
+                while k <= se:
+                    z = int(zz[k])
+                    if z != 0:
+                        if r.read_bit() and (z & p1) == 0:
+                            zz[k] = z + (p1 if z >= 0 else m1)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if eobrun > 0:
+            # EOB band covers the rest of this block: correction bits
+            # still appear for nonzero-history coefficients
+            while k <= se:
+                z = int(zz[k])
+                if z != 0 and r.read_bit() and (z & p1) == 0:
+                    zz[k] = z + (p1 if z >= 0 else m1)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -- final reconstruction ---------------------------------------------
+    def finish(self, qtables) -> tuple[int, int, int, bytes]:
+        frame = self.frame
+        planes = {}
+        for c in frame["comps"]:
+            grid = self.coef[c["id"]]
+            by, bx = grid.shape[0], grid.shape[1]
+            plane = np.zeros((by * 8, bx * 8))
+            q = qtables[c["tq"]]
+            for yb in range(by):
+                for xb in range(bx):
+                    zz = grid[yb, xb]
+                    coeffs = np.zeros((8, 8))
+                    for k in range(64):
+                        coeffs[ZIGZAG[k]] = zz[k]
+                    plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = idct2(
+                        coeffs * q
+                    )
+            planes[c["id"]] = plane
+        return (
+            frame["w"],
+            frame["h"],
+            len(frame["comps"]),
+            _compose_pixels(planes, frame["comps"], frame["w"], frame["h"],
+                            self.hmax, self.vmax),
+        )
+
+
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
@@ -285,6 +521,7 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    prog = None
     restart_interval = 0
 
     while pos < len(content):
@@ -319,7 +556,7 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"JPEG precision {precision}")
@@ -329,11 +566,13 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps, "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                prog = _ProgressiveState(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG frame type 0xFF{marker:02X} (only baseline SOF0)"
+                f"JPEG frame type 0xFF{marker:02X} (baseline SOF0 / progressive SOF2)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -341,6 +580,15 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = seg[0]
+            if frame["progressive"]:
+                # progressive: accumulate this scan's coefficient
+                # contribution and continue the marker loop from the
+                # next marker after the entropy-coded data
+                pos = prog.decode_scan(
+                    content, pos + seglen, seg, qtables, huff_dc, huff_ac,
+                    restart_interval,
+                )
+                continue
             if ns < len(frame["comps"]):
                 # T.81 A.2: a scan covering fewer components than the
                 # frame means a non-interleaved multi-scan encoding;
@@ -368,6 +616,8 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
             )
             return frame["w"], frame["h"], (1 if ns == 1 else 3), pixels
         pos += seglen
+    if prog is not None and prog.scans_done:
+        return prog.finish(qtables)
     raise ValueError("no SOS marker found")
 
 
@@ -399,9 +649,14 @@ def _decode_scan(data, pos, frame, scan, qtables, huff_dc, huff_ac, dri):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
-    # upsample each component to full resolution and crop
+    return _compose_pixels(planes, scan, w, h, hmax, vmax)
+
+
+def _compose_pixels(planes, comps, w, h, hmax, vmax) -> bytes:
+    """Upsample each component plane to full resolution, crop, and
+    color-convert (shared by the baseline and progressive paths)."""
     full = []
-    for c in scan:
+    for c in comps:
         p = planes[c["id"]]
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
@@ -611,4 +866,274 @@ def encode_baseline_jpeg(pixels: bytes, w: int, h: int, channels: int,
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Minimal progressive encoder (test-vector generator): 4:4:4, spectral
+# selection + successive approximation, Annex-K DC tables + a uniform
+# 9-bit AC table (Annex-K AC tables lack the (r<<4)|0 EOBRUN symbols)
+# --------------------------------------------------------------------------
+# all 256 symbols: 255 at 9 bits + 1 at 10 (a DHT BITS count is one
+# byte, so a single length cannot hold all 256)
+PROG_AC_BITS = [0] * 8 + [255, 1] + [0] * 6
+PROG_AC_VALS = list(range(256))
+
+
+def _component_zz_blocks(pixels, w, h, channels, quality):
+    """Quantized zigzag coefficient blocks per component — the shared
+    front half of both encoders: color-convert, edge-pad, per-block
+    fdct/quantize. Returns (zz[comp][by][bx] -> list[64], qt, qsel)."""
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels).astype(np.float64)
+    if channels == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+        ]
+        qsel = [0, 1, 1]
+    elif channels == 1:
+        comps = [img[..., 0]]
+        qsel = [0]
+    else:
+        raise ValueError("channels must be 1 or 3")
+    qt = [_quant_scaled(QUANT_LUMA, quality), _quant_scaled(QUANT_CHROMA, quality)]
+    bx = (w + 7) // 8
+    by = (h + 7) // 8
+    zz_all = []
+    for i, comp in enumerate(comps):
+        p = np.zeros((by * 8, bx * 8))
+        p[:h, :w] = comp
+        p[h:, :w] = comp[-1:, :]
+        p[:h, w:] = comp[:, -1:]
+        p[h:, w:] = comp[-1, -1]
+        p -= 128.0
+        rows = []
+        for yb in range(by):
+            row = []
+            for xb in range(bx):
+                block = p[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                coeffs = np.round(fdct2(block) / qt[qsel[i]]).astype(np.int64)
+                row.append([int(coeffs[ZIGZAG[k]]) for k in range(64)])
+            rows.append(row)
+        zz_all.append(rows)
+    return zz_all, qt, qsel
+
+
+def _emit_dc_first(wtr, zz_all, dc_encs, al):
+    """Interleaved DC scan, Ah=0: diff-coded (dc >> al) — arithmetic
+    shift per G.1.2.1."""
+    nf = len(zz_all)
+    by = len(zz_all[0])
+    bx = len(zz_all[0][0])
+    pred = [0] * nf
+    for yb in range(by):
+        for xb in range(bx):
+            for i in range(nf):
+                v = zz_all[i][yb][xb][0] >> al
+                diff = v - pred[i]
+                pred[i] = v
+                t = int(abs(diff)).bit_length() if diff else 0
+                ln, code = dc_encs[i][t]
+                wtr.write(code, ln)
+                if t:
+                    b = diff if diff > 0 else diff + (1 << t) - 1
+                    wtr.write(b & ((1 << t) - 1), t)
+
+
+def _emit_dc_refine(wtr, zz_all, al):
+    """Interleaved DC refinement: one raw bit per block."""
+    by = len(zz_all[0])
+    bx = len(zz_all[0][0])
+    for yb in range(by):
+        for xb in range(bx):
+            for comp in zz_all:
+                wtr.write((comp[yb][xb][0] >> al) & 1, 1)
+
+
+def _emit_ac_first(wtr, blocks, ac_enc, ss, se, al):
+    """Single-component AC first scan (Ah=0): magnitude-shifted
+    coefficients with ZRL and EOBRUN coding (G.1.2.2)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            ln, code = ac_enc[nbits << 4]
+            wtr.write(code, ln)
+            if nbits:
+                wtr.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for zz in blocks:
+        r_run = 0
+        for k in range(ss, se + 1):
+            z = zz[k]
+            t = (abs(z) >> al) * (1 if z >= 0 else -1)
+            if t == 0:
+                r_run += 1
+                continue
+            while r_run > 15:
+                flush_eob()
+                ln, code = ac_enc[0xF0]
+                wtr.write(code, ln)
+                r_run -= 16
+            flush_eob()
+            s = int(abs(t)).bit_length()
+            ln, code = ac_enc[(r_run << 4) | s]
+            wtr.write(code, ln)
+            b = t if t > 0 else t + (1 << s) - 1
+            wtr.write(b & ((1 << s) - 1), s)
+            r_run = 0
+        if r_run > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine(wtr, blocks, ac_enc, ss, se, al):
+    """Single-component AC refinement scan (Ah = Al+1): correction bits
+    for previously-significant coefficients, (r<<4)|1 symbols for newly
+    significant ones, EOBRUN with buffered correction bits — bit order
+    matched to the decoder's interleaved read (G.1.2.3 / IJG)."""
+    eobrun = 0
+    be_bits: list[int] = []  # owed after the next EOB symbol
+
+    def flush_eob():
+        nonlocal eobrun, be_bits
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            ln, code = ac_enc[nbits << 4]
+            wtr.write(code, ln)
+            if nbits:
+                wtr.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+            for b in be_bits:
+                wtr.write(b, 1)
+            be_bits = []
+
+    for zz in blocks:
+        mags = [(abs(zz[k]) >> al) for k in range(ss, se + 1)]
+        eob_k = max((ss + i for i, m in enumerate(mags) if m == 1), default=ss - 1)
+        r_run = 0
+        br_bits: list[int] = []  # owed after the next in-block symbol
+        for k in range(ss, se + 1):
+            t = mags[k - ss]
+            if t == 0:
+                r_run += 1
+                continue
+            while r_run > 15 and k <= eob_k:
+                flush_eob()
+                ln, code = ac_enc[0xF0]
+                wtr.write(code, ln)
+                for b in br_bits:
+                    wtr.write(b, 1)
+                br_bits = []
+                r_run -= 16
+            if t > 1:  # previously significant: one correction bit
+                br_bits.append(t & 1)
+                continue
+            flush_eob()
+            ln, code = ac_enc[(r_run << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if zz[k] >= 0 else 0, 1)
+            for b in br_bits:
+                wtr.write(b, 1)
+            br_bits = []
+            r_run = 0
+        if r_run > 0 or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_progressive_jpeg(
+    pixels: bytes, w: int, h: int, channels: int,
+    quality: int = 90, successive: bool = True,
+) -> bytes:
+    """Encode a progressive (SOF2) 4:4:4 JFIF JPEG. With ``successive``
+    the scan script exercises every progressive code path — DC first at
+    Al=1, split spectral AC first scans at Al=2, two AC refinement
+    passes, DC refinement; without it, plain spectral selection (one DC
+    + one full-band AC scan per component) at Al=0. The quantized
+    coefficients are IDENTICAL to :func:`encode_baseline_jpeg` at the
+    same quality (shared quantization front half), so progressive and
+    baseline encodings of the same image must decode to byte-identical
+    pixels — the anchor :mod:`tests.test_jpeg_progressive` pins.
+    Test-vector generator, not the production media path."""
+    zz_all, qt, qsel = _component_zz_blocks(pixels, w, h, channels, quality)
+    nf = channels if channels == 3 else 1
+    flat = [
+        [zz_all[i][yb][xb] for yb in range(len(zz_all[i])) for xb in range(len(zz_all[i][0]))]
+        for i in range(nf)
+    ]
+    dc_encs = [
+        _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+        _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    dc_for_comp = [dc_encs[0 if i == 0 else 1] for i in range(nf)]
+    ac_enc = _huff_encode_table(PROG_AC_BITS, PROG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq in range(2 if channels == 3 else 1):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(qt[tq][ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
+    for i in range(nf):
+        out += bytes([i + 1, 0x11, qsel[i]])
+
+    def dht(tc, th, bits, vals):
+        return (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+                + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    if channels == 3:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+    out += dht(1, 0, PROG_AC_BITS, PROG_AC_VALS)
+
+    def sos(comps_td, ss, se, ah, al):
+        n = len(comps_td)
+        seg = bytearray(b"\xff\xda" + struct.pack(">HB", 6 + 2 * n, n))
+        for cid, td in comps_td:
+            seg += bytes([cid, td])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg)
+
+    def scan(header, emit):
+        nonlocal out
+        out += header
+        wtr = _BitWriter()
+        emit(wtr)
+        wtr.flush()
+        out += wtr.out
+
+    all_dc = [(i + 1, ((0 if i == 0 else 1) << 4) | 0) for i in range(nf)]
+    if successive:
+        scan(sos(all_dc, 0, 0, 0, 1), lambda w_: _emit_dc_first(w_, zz_all, dc_for_comp, 1))
+        for i in range(nf):
+            scan(sos([(i + 1, 0)], 1, 5, 0, 2),
+                 lambda w_, i=i: _emit_ac_first(w_, flat[i], ac_enc, 1, 5, 2))
+        for i in range(nf):
+            scan(sos([(i + 1, 0)], 6, 63, 0, 2),
+                 lambda w_, i=i: _emit_ac_first(w_, flat[i], ac_enc, 6, 63, 2))
+        for i in range(nf):
+            scan(sos([(i + 1, 0)], 1, 63, 2, 1),
+                 lambda w_, i=i: _emit_ac_refine(w_, flat[i], ac_enc, 1, 63, 1))
+        for i in range(nf):
+            scan(sos([(i + 1, 0)], 1, 63, 1, 0),
+                 lambda w_, i=i: _emit_ac_refine(w_, flat[i], ac_enc, 1, 63, 0))
+        scan(sos(all_dc, 0, 0, 1, 0), lambda w_: _emit_dc_refine(w_, zz_all, 0))
+    else:
+        scan(sos(all_dc, 0, 0, 0, 0), lambda w_: _emit_dc_first(w_, zz_all, dc_for_comp, 0))
+        for i in range(nf):
+            scan(sos([(i + 1, 0)], 1, 63, 0, 0),
+                 lambda w_, i=i: _emit_ac_first(w_, flat[i], ac_enc, 1, 63, 0))
+    out += b"\xff\xd9"
     return bytes(out)

@@ -9,15 +9,16 @@ bytes with exactly-predicted outputs:
   * PNG  — pure stdlib (``decode_png``: zlib + scanline unfiltering), r4
   * WAV  — pure stdlib (``decode_wav``: RIFF PCM 8/16/32-bit), r5
   * JPEG — baseline T.81 (``operators/jpeg.py``: Huffman + IDCT,
-    grayscale/YCbCr, subsampling, restart markers), r5
+    grayscale/YCbCr, subsampling, restart markers), r5; progressive
+    SOF2 (spectral selection + successive approximation), r6
   * MJPEG-AVI — pure stdlib RIFF walk (``operators/avi.py``) feeding
     the JPEG decoder per sampled frame (``frame_sample``), r6
 
-Remaining codecs (progressive JPEG, webp, mp3/aac, mp4/mkv containers,
-inter-frame video) still need an external library injected through the
-same seam; absent one, a deterministic fake decoder keeps the
-Spark-side contract — schema, Arrow batch shape, partition
-preservation — fully testable.
+Remaining codecs (webp, mp3/aac, mp4/mkv containers, inter-frame
+video) still need an external library injected through the same seam;
+absent one, a deterministic fake decoder keeps the Spark-side
+contract — schema, Arrow batch shape, partition preservation — fully
+testable.
 
 Scale notes: binary payloads ride in the DataFrame as parquet binary
 columns; per-batch processing (Arrow RecordBatch in, RecordBatch out)
@@ -150,12 +151,12 @@ def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
 
 def decode_image(content: bytes, fmt: str | None) -> tuple[int, int, int, bytes]:
     """Real decoder entry point: PNG decodes with the stdlib decoder
-    above, baseline JPEG with the in-repo T.81 decoder
+    above, baseline AND progressive JPEG with the in-repo T.81 decoder
     (``operators/jpeg.py`` — pure Python + numpy, grayscale/YCbCr, any
-    SOF0 subsampling, restart markers); remaining formats (progressive
-    JPEG, webp, tiff, ...) need an imaging library injected through the
-    ``decoder=`` seam of ``extract_features``/``resize_images``.
-    Returns ``(width, height, channels, pixel_bytes)``."""
+    SOF0/SOF2 subsampling, restart markers, successive approximation);
+    remaining formats (webp, tiff, ...) need an imaging library
+    injected through the ``decoder=`` seam of ``extract_features``/
+    ``resize_images``. Returns ``(width, height, channels, pixel_bytes)``."""
     if (fmt or "").lower() == "png" or content[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(content)
     if (fmt or "").lower() in ("jpeg", "jpg") or content[:2] == b"\xff\xd8":

@@ -170,13 +170,24 @@ def test_corrupt_streams_raise_value_error():
         decode_jpeg(rst[:dri] + rst[dri + 6:])  # drop the 6-byte DRI segment
 
 
-def test_progressive_raises_not_implemented():
-    # splice an SOF2 marker into an otherwise valid prefix
+def test_arithmetic_coding_raises_not_implemented():
+    # splice an SOF9 (arithmetic sequential) marker into a valid prefix
+    w, h = 8, 8
+    enc = bytearray(encode_baseline_jpeg(b"\x80" * 64, w, h, 1))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(enc))
+
+
+def test_baseline_scan_under_sof2_is_rejected():
+    # SOF2 + a baseline full-band SOS (Ss=0, Se=63) is structurally
+    # invalid progressive data -> ValueError, not a wrong decode
     w, h = 8, 8
     enc = bytearray(encode_baseline_jpeg(b"\x80" * 64, w, h, 1))
     i = enc.find(b"\xff\xc0")
     enc[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="Se == 0"):
         decode_jpeg(bytes(enc))
 
 
