@@ -484,6 +484,42 @@ def build_ivf_index(
         emb.unpersist()
 
 
+def ann_ivf_append(
+    spark,
+    index_path,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append delta vectors to an existing IVF index WITHOUT a rebuild:
+    assign each new vector to its cell with the PERSISTED centroids
+    (the one shared ``_assign_cells`` path), then append cell-partitioned
+    rows — the daily-ingest half of the index lifecycle, mirroring
+    ``build_gram_index(mode="append")`` on the dedup side. The
+    historical index is never read or rewritten; only the delta scans.
+
+    Centroids are frozen by design: a served search stays exact over
+    the union (``tests/test_ivf_index.py`` pins full-probe append ==
+    brute force over old+new). What degrades under heavy drift is cell
+    BALANCE — recall per probe — not correctness; rebuild on the corpus
+    refresh cadence, and fold the per-cell append files with the
+    compaction sink when file counts grow."""
+    from pathlib import Path
+
+    index_path = Path(str(index_path))
+    centroids = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(str(index_path / "centroids")).collect()
+    )
+    (
+        _assign_cells(new_emb, centroids, id_col, vec_col)
+        .repartition(len(centroids), F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(str(index_path / "cells"))
+    )
+
+
 def ann_ivf_search(
     spark,
     index_path,

@@ -141,3 +141,37 @@ def test_serving_path_has_no_python_workers(spark, index):
     plan = q._jdf.queryExecution().executedPlan().toString()
     for marker in ("PythonUDF", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, f"Python worker node in serving plan: {marker}"
+
+
+def test_append_serves_union_exactly(spark, tmp_path):
+    """Index lifecycle: build over half the corpus, ann_ivf_append the
+    other half — a full-probe served search over the appended index must
+    equal brute-force cosine_topk over the WHOLE corpus (frozen
+    centroids keep serving exact; only per-probe recall can drift)."""
+    from github_etl_pipeline_spark.operators.similarity import ann_ivf_append
+
+    emb = read_table(spark, SF, "embeddings")
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "idx_append")
+    build_ivf_index(old, path, n_centroids=8, lloyd_iterations=1)
+    ann_ivf_append(spark, path, new)
+
+    queries = _queries(spark)
+    exact = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    served = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ann_ivf_search(spark, path, queries, k=5, n_probe=8).collect()
+    }
+    assert served == exact
+    # every vector of both halves landed in exactly one cell
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+    # and the served plan still partition-prunes after the append
+    q = ann_ivf_search(spark, path, queries, k=5, n_probe=2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
