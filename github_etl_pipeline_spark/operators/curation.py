@@ -581,32 +581,50 @@ def source_overlap_matrix(
     corpus-level view of ``decontaminate`` (which is doc-vs-benchmark):
     which ingestion sources feed each other's content, and how much.
 
-    Shape at 100 TB: the corpus reduces FIRST to the distinct
-    (source, shingle-hash) index — one dedup shuffle of skinny rows,
-    bounded by sources x vocabulary, not by corpus rows — and the
-    self-join on the hash fans out at most #sources rows per shingle
-    (sources is a small set by construction), so nothing pairwise ever
-    touches documents. Counts are exact integers; jaccard divides two
-    exact sub-2^53 longs, bit-identical across engines.
+    Shape at 100 TB: the corpus reduces FIRST to one row per distinct
+    shingle hash holding its sorted source set — ONE explode +
+    groupBy(gh) shuffle of skinny rows, bounded by the shingle
+    vocabulary, not by corpus rows. Pairs come from an in-row array
+    comprehension over that set (<= #sources^2/2 structs per gram —
+    sources is a small set by construction, so no self-join and no
+    second corpus pass), and the per-source totals re-aggregate the
+    same relation. That relation is PERSISTED (memory-and-disk): it is
+    vocabulary-bounded — thousands of times smaller than the text —
+    and ``collect_set`` is a nondeterministic-flagged expression, so
+    Catalyst's ReusedExchange cannot canonicalize the three consumer
+    subtrees together; without the persist the corpus would be scanned
+    and tokenized once PER consumer (the r6 first cut did exactly
+    that — 4 scans; tests now assert one). Counts are exact integers;
+    jaccard divides two exact sub-2^53 longs, bit-identical across
+    engines.
 
     Output: (source_a, source_b, common_grams, union_grams, jaccard)
     for source_a < source_b with common_grams >= 1.
     """
     from github_etl_pipeline_spark.operators.dedup import shingle_hashes
 
-    sg = (
+    by_gram = (
         docs.select(
             F.col(source_col).alias("_src"),
             F.explode(shingle_hashes(text_col, k)).alias("_gh"),
         )
-        .dropDuplicates(["_src", "_gh"])
+        .groupBy("_gh")
+        .agg(F.array_sort(F.collect_set("_src")).alias("_srcs"))
+        .persist()
     )
-    counts = sg.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    counts = (
+        by_gram.select(F.explode("_srcs").alias("_src"))
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    pair_structs = F.expr(
+        "flatten(transform(_srcs, (x, i) -> "
+        "transform(slice(_srcs, i + 2, size(_srcs)), "
+        "y -> struct(x AS source_a, y AS source_b))))"
+    )
     pairs = (
-        sg.select(F.col("_src").alias("source_a"), "_gh")
-        .join(sg.select(F.col("_src").alias("source_b"), "_gh"), "_gh")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        by_gram.select(F.explode(pair_structs).alias("_p"))
+        .groupBy(F.col("_p.source_a").alias("source_a"), F.col("_p.source_b").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("common_grams"))
     )
     na = F.broadcast(counts.select(F.col("_src").alias("source_a"), F.col("_n").alias("_na")))

@@ -388,3 +388,19 @@ def test_source_overlap_matrix_exact_jaccard(spark):
     assert r.common_grams == 1
     assert r.union_grams == 3 + 3 - 1
     assert r.jaccard == 1 / 5
+
+
+def test_source_overlap_scans_corpus_once(spark):
+    """The per-gram source-set relation is persisted: every consumer
+    (pair fan-out, na, nb) must read the cache, not re-scan and
+    re-tokenize the corpus (the r6 first cut ran 4 full scans)."""
+    from github_etl_pipeline_spark.operators.curation import source_overlap_matrix
+    from github_etl_pipeline_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    df = source_overlap_matrix(docs, source_col="source")
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+        rdd.unpersist()
