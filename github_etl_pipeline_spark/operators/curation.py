@@ -588,15 +588,14 @@ def source_overlap_matrix(
     comprehension over that set (<= #sources^2/2 structs per gram —
     sources is a small set by construction, so no self-join and no
     second corpus pass), and the per-source totals re-aggregate the
-    same relation. That relation is PERSISTED (memory-and-disk): it is
-    vocabulary-bounded — thousands of times smaller than the text —
-    and ``collect_set`` is a nondeterministic-flagged expression, so
-    Catalyst's ReusedExchange cannot canonicalize the three consumer
-    subtrees together; without the persist the corpus would be scanned
-    and tokenized once PER consumer (the r6 first cut did exactly
-    that — 4 scans; tests now assert one). Counts are exact integers;
-    jaccard divides two exact sub-2^53 longs, bit-identical across
-    engines.
+    same relation: every consumer sits on the identical exchange
+    subtree, so AQE's ReusedExchange runs the scan + tokenize +
+    partial-aggregate exactly once and the second broadcast of the
+    per-source totals reuses the first (asserted on the FINAL adaptive
+    plan in tests — the r6 first cut, a dropDuplicates + double
+    self-join shape, really did scan the corpus 4x). Counts are exact
+    integers; jaccard divides two exact sub-2^53 longs, bit-identical
+    across engines.
 
     Output: (source_a, source_b, common_grams, union_grams, jaccard)
     for source_a < source_b with common_grams >= 1.
@@ -610,7 +609,6 @@ def source_overlap_matrix(
         )
         .groupBy("_gh")
         .agg(F.array_sort(F.collect_set("_src")).alias("_srcs"))
-        .persist()
     )
     counts = (
         by_gram.select(F.explode("_srcs").alias("_src"))

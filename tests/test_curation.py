@@ -391,16 +391,23 @@ def test_source_overlap_matrix_exact_jaccard(spark):
 
 
 def test_source_overlap_scans_corpus_once(spark):
-    """The per-gram source-set relation is persisted: every consumer
-    (pair fan-out, na, nb) must read the cache, not re-scan and
-    re-tokenize the corpus (the r6 first cut ran 4 full scans)."""
+    """All three consumers of the per-gram source-set relation (pair
+    fan-out, na, nb) share one exchange: the FINAL adaptive plan must
+    reuse the gram exchange (corpus scanned + tokenized once — the r6
+    first cut, dropDuplicates + double self-join, ran 4 full scans)
+    and dedup the second per-source-totals broadcast. collect() (not a
+    noop write) because only the DataFrame's own executed query
+    finalizes its AdaptiveSparkPlan."""
+    import re
+
     from github_etl_pipeline_spark.operators.curation import source_overlap_matrix
     from github_etl_pipeline_spark.sources.tables import read_table
 
     docs = read_table(spark, "/root/testdata/sf0.001", "documents")
     df = source_overlap_matrix(docs, source_col="source")
-    df.write.mode("overwrite").format("noop").save()
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") >= 2, plan
-    for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
-        rdd.unpersist()
+    assert "isFinalPlan=true" in plan, plan
+    reused = re.findall(r"ReusedExchange \[([^\]]*)\]", plan)
+    assert any("_gh" in r for r in reused), plan  # gram shuffle reused
+    assert len(reused) >= 2, plan  # + the second totals broadcast
