@@ -1605,3 +1605,63 @@ def kmv_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_sketch(
         read_table(spark, sf_dir, "events"), key_col="user_id", group_col="event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE: the training loop's core relation (adjacent symbol-pair counts over
+# the word-frequency table) as a hash-checked query; the iterative argmax
+# loop itself is reference-checked in tests/test_bpe.py (not SQL-expressible)
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_top_pairs_documents",
+    oracle=r"""
+WITH w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents
+  ) WHERE word != '' GROUP BY word
+),
+s AS (
+  SELECT list_concat(
+           list_transform(range(1, len(word)), i -> word[i]),
+           [word[len(word)] || '</w>']
+         ) AS syms, cnt
+  FROM w
+),
+p AS (
+  SELECT pr.a AS pair_a, pr.b AS pair_b, cnt
+  FROM s, unnest(list_transform(range(1, len(syms)),
+                 i -> {'a': syms[i], 'b': syms[i + 1]})) AS t(pr)
+)
+SELECT pair_a, pair_b, CAST(SUM(cnt) AS BIGINT) AS n
+FROM p GROUP BY pair_a, pair_b
+ORDER BY n DESC, pair_a, pair_b LIMIT 20
+""",
+    doc="BPE merge candidates: adjacent symbol-pair counts over the word-frequency table (ONE corpus pass reduces text to the vocabulary-bounded word table; pair counting never touches documents) — top-20 by count with full deterministic ordering (TakeOrderedAndProject)",
+)
+def bpe_top_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.bpe import (
+        _initial_symbols,
+        _word_counts,
+    )
+
+    words = _word_counts(read_table(spark, sf_dir, "documents"), "text").select(
+        _initial_symbols(F.col("word")).alias("syms"), "cnt"
+    )
+    pairs = words.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("pair_a"), F.col("p.b").alias("pair_b")
+        )
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.col("n").desc(), "pair_a", "pair_b")
+        .limit(20)
+    )
