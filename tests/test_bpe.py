@@ -131,3 +131,32 @@ def test_train_on_real_documents(spark):
     assert all(r.n_tokens > 0 for r in enc)
     for r in enc:
         assert r.tokens[-1].endswith(EOW)
+
+
+def test_random_corpora_match_reference(spark):
+    """Randomized cross-check: distributed train + encode equal the
+    reference on generated corpora (seeded, 4 trials — each trial is a
+    full multi-job Spark train loop, so the count stays small)."""
+    import random
+
+    rng = random.Random(77)
+    alphabet = "abcdef"
+    for trial in range(4):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(5, 12))
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(3, 15)))
+            for _ in range(rng.randint(2, 5))
+        ]
+        corpus = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        n = rng.randint(2, 8)
+        got = bpe_train(corpus, n_merges=n)
+        exp = ref_train(texts, n)
+        assert got == exp, (trial, texts, got, exp)
+        rows = {r.doc_id: list(r.tokens) for r in bpe_encode(corpus, exp).collect()}
+        for i, t in enumerate(texts):
+            assert rows[i] == ref_encode(t, exp), (trial, i)

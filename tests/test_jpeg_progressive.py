@@ -102,3 +102,31 @@ def test_truncated_progressive_raises_value_error():
     sos = enc.find(b"\xff\xda")
     with pytest.raises(ValueError):
         decode_jpeg(enc[: sos + 14])
+
+
+@pytest.mark.parametrize("w,h", [(13, 9), (17, 11), (8, 24), (25, 8)])
+def test_odd_dimensions_progressive_equals_baseline(w, h):
+    """Non-multiple-of-8 geometries exercise the padded-block encode and
+    the crop on reconstruction — identity with baseline must hold."""
+    img = (np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3) % 211)
+    base = decode_jpeg(encode_baseline_jpeg(img.tobytes(), w, h, 3, quality=88))
+    for successive in (False, True):
+        prog = decode_jpeg(
+            encode_progressive_jpeg(img.tobytes(), w, h, 3, quality=88, successive=successive)
+        )
+        assert prog == base, (w, h, successive)
+
+
+def test_random_images_progressive_equals_baseline():
+    rng = np.random.RandomState(42)
+    for trial in range(5):
+        w = int(rng.randint(8, 49))
+        h = int(rng.randint(8, 41))
+        ch = int(rng.choice([1, 3]))
+        q = int(rng.choice([70, 85, 95]))
+        img = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        base = decode_jpeg(encode_baseline_jpeg(img.tobytes(), w, h, ch, quality=q))
+        prog = decode_jpeg(
+            encode_progressive_jpeg(img.tobytes(), w, h, ch, quality=q, successive=True)
+        )
+        assert prog == base, (trial, w, h, ch, q)
