@@ -69,14 +69,16 @@ DRIVER_SAMPLE_PRIORITY = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_count",
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
     "tpch_q20_dominant_supplier",
     "tpch_q21_waiting_supplier",
+    # --- new in r6 (never sampled; swapped in for q13/q16/q19 — 13
+    # TPC-H queries remain in the prefix, above the >=10 floor) ---
+    "kmv_distinct_users_events",
+    "source_overlap_documents",
+    "bpe_top_pairs_documents",
     # NOTE: ivf_index_build still precedes ann_topk_ivf_served in the
     # remainder (r5 order is preserved for non-prefix queries), so the
     # served query keeps finding the index the build writes.
