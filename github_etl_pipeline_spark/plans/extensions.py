@@ -702,14 +702,14 @@ def _ivf_ctes(n_centroids: int = 16, lloyd: int = 2, dim: int = 64) -> str:
     return ",\n".join(ctes)
 
 
-def _ivf_topk_oracle(
+def _ivf_topk_ctes(
     n_centroids: int = 16, lloyd: int = 2, n_probe: int = 4, k: int = 5
 ) -> str:
-    """Full served-IVF mirror: probe the query's n_probe nearest final
-    centroids (same 9dp-rounded ranking), exact rerank inside those
-    cells, ranks only (float-sum-order safe like every ANN oracle)."""
-    return f"""
-WITH {_ivf_ctes(n_centroids, lloyd)},
+    """CTE body ending with ``ivf(query_id, rank, neighbor_id)`` —
+    probe the query's n_probe nearest final centroids (same 9dp-rounded
+    ranking as the operator), exact rerank inside those cells, ranks
+    only (float-sum-order safe like every ANN oracle)."""
+    return f"""{_ivf_ctes(n_centroids, lloyd)},
 qp AS (
   SELECT query_id, qv, nq, cell FROM (
     SELECT en.vec_id AS query_id, en.v AS qv, en.nv AS nq, cfin.cid AS cell,
@@ -726,13 +726,23 @@ s AS (
   FROM qp JOIN afin ON afin.cell = qp.cell
   JOIN en ON en.vec_id = afin.vec_id
   WHERE en.vec_id != qp.query_id
-)
-SELECT query_id, rank, neighbor_id FROM (
-  SELECT query_id, neighbor_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM s
-) WHERE rank <= {k}
-"""
+),
+ivf AS (
+  SELECT query_id, rank, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM s
+  ) WHERE rank <= {k}
+)"""
+
+
+def _ivf_topk_oracle(
+    n_centroids: int = 16, lloyd: int = 2, n_probe: int = 4, k: int = 5
+) -> str:
+    return (
+        f"WITH {_ivf_topk_ctes(n_centroids, lloyd, n_probe, k)}\n"
+        "SELECT query_id, rank, neighbor_id FROM ivf"
+    )
 
 
 @register(
@@ -1664,4 +1674,55 @@ def bpe_top_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("cnt").alias("n"))
         .orderBy(F.col("n").desc(), "pair_a", "pair_b")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall as a CHECKED query: per-query integer overlap between the IVF
+# top-k and the exact top-k (both deterministic since r6, so the whole
+# comparison is hash-exact — VERDICT r5 #3 option (b) layered on top of
+# the full oracles from option (a))
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ivf_recall_floor",
+    oracle=f"""
+WITH {_ivf_topk_ctes()},
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(e.v, q.v) / (e.nv * q.nv) DESC, e.vec_id ASC) AS rank
+    FROM en e CROSS JOIN en q WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+  ) WHERE rank <= 5
+)
+SELECT q.query_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_in_exact
+FROM (SELECT DISTINCT query_id FROM ex) q
+LEFT JOIN (
+  SELECT ivf.query_id AS qid, COUNT(*) AS n
+  FROM ivf JOIN ex ON ivf.query_id = ex.query_id
+                  AND ivf.neighbor_id = ex.neighbor_id
+  GROUP BY 1
+) c ON c.qid = q.query_id
+""",
+    doc="IVF quality gate as a query: per-query count of IVF top-5 neighbors that are true exact-top-5 neighbors — the recall property the approximate index is graded on, continuously hash-checked now that both sides are deterministic; tests assert the aggregate floor",
+)
+def ann_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf = S.ann_ivf_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    exact = S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    hits = (
+        ivf.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id", F.coalesce(F.col("_n"), F.lit(0)).alias("n_in_exact")
+        )
     )

@@ -175,3 +175,16 @@ def test_append_serves_union_exactly(spark, tmp_path):
     q = ann_ivf_search(spark, path, queries, k=5, n_probe=2)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_recall_floor_query(spark):
+    """The registered recall gate: summed per-query overlap with the
+    exact top-5 stays above the measured floor (same 0.3 bound as the
+    operator-level recall tests)."""
+    from github_etl_pipeline_spark.plans import REGISTRY
+
+    rows = REGISTRY["ann_ivf_recall_floor"].builder(spark, SF).collect()
+    assert len(rows) == 5
+    total = sum(r.n_in_exact for r in rows)
+    assert 0 <= total <= 25
+    assert total / 25 >= 0.3, rows

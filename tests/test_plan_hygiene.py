@@ -37,9 +37,13 @@ SF_DIR = "/root/testdata/sf0.001"
 #     broadcast onto the scored corpus
 #   bigram_lm_outliers — same scalar attach as its unigram sibling: the
 #     1-row corpus bigram-total broadcast onto the bigram vocab relation
+#   ann_ivf_recall_floor — embeds the exact-ANN baseline (the same
+#     corpus x broadcast 5-row query set as ann_topk_bruteforce) to
+#     grade the IVF side against it
 ALLOWED_NESTED_LOOP = {
     "quality_percentile_gate_documents",
     "bigram_lm_outliers",
+    "ann_ivf_recall_floor",
     "ann_topk_bruteforce",
     "bm25_search_documents",
     "top_terms_by_source",
