@@ -23,8 +23,10 @@ the same documented-seam behavior as the other codecs.
 The companion encoders :func:`encode_baseline_jpeg` and
 :func:`encode_progressive_jpeg` exist to produce REAL test vectors
 (standard Annex-K quantization tables; Annex-K or explicit DHT Huffman
-tables; 4:4:4) so both decode paths are exercised on actual
-entropy-coded JPEG bytes without an external library. The two encoders
+tables; 4:4:4, plus 4:2:0 on the baseline encoder so the subsampled
+multi-block-MCU decode + upsample path sees real bytes — r6) so both
+decode paths are exercised on actual entropy-coded JPEG bytes without
+an external library. The two encoders
 share one quantization front half, so a progressive encoding carries
 coefficients IDENTICAL to the baseline encoding of the same image —
 tests pin that both decode to byte-identical pixels, which anchors the
@@ -773,14 +775,22 @@ def _encode_block(wtr, block, qtbl, dc_tbl, ac_tbl, pred):
 
 
 def encode_baseline_jpeg(pixels: bytes, w: int, h: int, channels: int,
-                         quality: int = 90, restart_interval: int = 0) -> bytes:
+                         quality: int = 90, restart_interval: int = 0,
+                         subsampling: str = "444") -> bytes:
     """Encode row-major channel-interleaved 8-bit pixels (1 = grayscale,
-    3 = RGB) as a baseline 4:4:4 JFIF JPEG with the Annex-K tables;
+    3 = RGB) as a baseline JFIF JPEG with the Annex-K tables;
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    N MCUs (so the decoder's restart path has a real test vector).
-    Exists to generate entropy-coded test vectors for
-    :func:`decode_jpeg`; it is NOT the production media path."""
+    N MCUs (so the decoder's restart path has a real test vector), and
+    ``subsampling="420"`` (color only) emits 2x2-sampled luma with
+    box-averaged chroma — the real test vector for the decoder's
+    multi-block-MCU + upsample path (on spatially constant chroma the
+    2x2 average is lossless, so 4:2:0 and 4:4:4 decodes of such images
+    are pinned byte-identical in tests). Exists to generate
+    entropy-coded test vectors for :func:`decode_jpeg`; it is NOT the
+    production media path."""
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels).astype(np.float64)
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     if channels == 3:
         r, g, b = img[..., 0], img[..., 1], img[..., 2]
         comps = [
@@ -790,10 +800,23 @@ def encode_baseline_jpeg(pixels: bytes, w: int, h: int, channels: int,
         ]
         qsel = [0, 1, 1]
         hsel = [0, 1, 1]
+        if subsampling == "420":
+            # box-average chroma over 2x2 (even-pad by edge replication)
+            def down2(p):
+                ph = np.pad(p, ((0, p.shape[0] & 1), (0, p.shape[1] & 1)), "edge")
+                return (
+                    ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+                ) / 4.0
+
+            comps = [comps[0], down2(comps[1]), down2(comps[2])]
+            hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            hv = [(1, 1)] * 3
     elif channels == 1:
         comps = [img[..., 0]]
         qsel = [0]
         hsel = [0]
+        hv = [(1, 1)]
     else:
         raise ValueError("channels must be 1 or 3")
     qt = [_quant_scaled(QUANT_LUMA, quality), _quant_scaled(QUANT_CHROMA, quality)]
@@ -816,7 +839,7 @@ def encode_baseline_jpeg(pixels: bytes, w: int, h: int, channels: int,
     nf = len(comps)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
     for i in range(nf):
-        out += bytes([i + 1, 0x11, qsel[i]])
+        out += bytes([i + 1, (hv[i][0] << 4) | hv[i][1], qsel[i]])
     # DHT
     def dht(tc, th, bits, vals):
         return (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
@@ -836,16 +859,19 @@ def encode_baseline_jpeg(pixels: bytes, w: int, h: int, channels: int,
     out += b"\x00\x3f\x00"
 
     wtr = _BitWriter()
-    mcux = (w + 7) // 8
-    mcuy = (h + 7) // 8
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     padded = []
-    for comp in comps:
-        p = np.zeros((mcuy * 8, mcux * 8))
-        p[:h, :w] = comp
+    for i, comp in enumerate(comps):
+        ch, cw = comp.shape
+        p = np.zeros((mcuy * hv[i][1] * 8, mcux * hv[i][0] * 8))
+        p[:ch, :cw] = comp
         # edge-replicate padding avoids ringing at the crop boundary
-        p[h:, :w] = comp[-1:, :]
-        p[:h, w:] = comp[:, -1:]
-        p[h:, w:] = comp[-1, -1]
+        p[ch:, :cw] = comp[-1:, :]
+        p[:ch, cw:] = comp[:, -1:]
+        p[ch:, cw:] = comp[-1, -1]
         padded.append(p - 128.0)
     pred = [0] * nf
     mcu_count = 0
@@ -858,10 +884,15 @@ def encode_baseline_jpeg(pixels: bytes, w: int, h: int, channels: int,
                 rst = (rst + 1) % 8
                 pred = [0] * nf
             for i in range(nf):
-                block = padded[i][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                pred[i] = _encode_block(
-                    wtr, block, qt[qsel[i]], dc_enc[hsel[i]], ac_enc[hsel[i]], pred[i]
-                )
+                for by in range(hv[i][1]):
+                    for bx in range(hv[i][0]):
+                        y0 = (my * hv[i][1] + by) * 8
+                        x0 = (mx * hv[i][0] + bx) * 8
+                        block = padded[i][y0 : y0 + 8, x0 : x0 + 8]
+                        pred[i] = _encode_block(
+                            wtr, block, qt[qsel[i]],
+                            dc_enc[hsel[i]], ac_enc[hsel[i]], pred[i],
+                        )
             mcu_count += 1
     wtr.flush()
     out += wtr.out

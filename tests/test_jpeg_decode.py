@@ -251,3 +251,57 @@ def test_cross_codec_perceptual_dedup(spark):
 
     assert hamming(got[1], got[2]) <= 4, "same picture across codecs must collide"
     assert hamming(got[1], got[3]) >= 16, "different pictures must stay far"
+
+
+def test_420_constant_chroma_equals_444_exactly():
+    """Real 4:2:0 bytes through the decoder's multi-block-MCU +
+    upsample path: on spatially CONSTANT chroma the 2x2 box average is
+    lossless, so the 4:2:0 decode must equal the 4:4:4 decode
+    byte-for-byte (incl. odd dimensions exercising the crop)."""
+    for w, h in [(32, 16), (13, 9), (17, 24)]:
+        x = np.linspace(0, 255, w).astype(np.uint8)
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[..., 0] = x[None, :]  # R gradient ...
+        img[..., 1] = x[None, :]  # ... with G == R == B per pixel:
+        img[..., 2] = x[None, :]  # Cb and Cr are constant 128 everywhere
+        full = decode_jpeg(encode_baseline_jpeg(img.tobytes(), w, h, 3, quality=90))
+        sub = decode_jpeg(
+            encode_baseline_jpeg(img.tobytes(), w, h, 3, quality=90, subsampling="420")
+        )
+        assert sub == full, (w, h)
+
+
+def test_420_smooth_image_close_and_shaped():
+    """Varying chroma: 4:2:0 is lossy in chroma only — decoded shape is
+    full resolution and pixels stay near the 4:4:4 decode on a smooth
+    image (chroma varies slowly, so the 2x2 average is a good fit)."""
+    w, h = 40, 24
+    base = np.zeros((h, w, 3), dtype=np.uint8)
+    base[..., 0] = np.linspace(30, 220, w).astype(np.uint8)[None, :]
+    base[..., 1] = np.linspace(220, 30, h).astype(np.uint8)[:, None]
+    base[..., 2] = 90
+    W, H, C, px_sub = decode_jpeg(
+        encode_baseline_jpeg(base.tobytes(), w, h, 3, quality=95, subsampling="420")
+    )
+    assert (W, H, C) == (w, h, 3)
+    _, _, _, px_full = decode_jpeg(
+        encode_baseline_jpeg(base.tobytes(), w, h, 3, quality=95)
+    )
+    a = np.frombuffer(px_sub, np.uint8).astype(int)
+    b = np.frombuffer(px_full, np.uint8).astype(int)
+    assert np.abs(a - b).mean() < 3.0
+    assert np.abs(a - b).max() <= 20
+
+
+def test_420_with_restart_markers():
+    w, h = 48, 32
+    img = _gradient(w, h)
+    plain = decode_jpeg(
+        encode_baseline_jpeg(img.tobytes(), w, h, 3, quality=92, subsampling="420")
+    )
+    rst = decode_jpeg(
+        encode_baseline_jpeg(
+            img.tobytes(), w, h, 3, quality=92, subsampling="420", restart_interval=2
+        )
+    )
+    assert plain == rst
