@@ -911,11 +911,19 @@ PROG_AC_BITS = [0] * 8 + [255, 1] + [0] * 6
 PROG_AC_VALS = list(range(256))
 
 
-def _component_zz_blocks(pixels, w, h, channels, quality):
+def _component_zz_blocks(pixels, w, h, channels, quality, subsampling="444"):
     """Quantized zigzag coefficient blocks per component — the shared
-    front half of both encoders: color-convert, edge-pad, per-block
-    fdct/quantize. Returns (zz[comp][by][bx] -> list[64], qt, qsel)."""
+    front half of both encoders: color-convert, optional 4:2:0 chroma
+    box-average, edge-pad to the MCU-aligned grid, per-block
+    fdct/quantize. Returns (zz, qt, qsel, hv, real) where
+    ``zz[comp][by][bx] -> list[64]`` covers the PADDED grid (what
+    interleaved DC scans encode, dummy blocks included),
+    ``real[comp] = (rb_y, rb_x)`` is the component's real block grid
+    (what non-interleaved AC scans cover), and ``hv`` the sampling
+    factors."""
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels).astype(np.float64)
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     if channels == 3:
         r, g, b = img[..., 0], img[..., 1], img[..., 2]
         comps = [
@@ -924,21 +932,40 @@ def _component_zz_blocks(pixels, w, h, channels, quality):
             0.5 * r - 0.418688 * g - 0.081312 * b + 128,
         ]
         qsel = [0, 1, 1]
+        if subsampling == "420":
+            def down2(p):
+                ph = np.pad(p, ((0, p.shape[0] & 1), (0, p.shape[1] & 1)), "edge")
+                return (
+                    ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+                ) / 4.0
+
+            comps = [comps[0], down2(comps[1]), down2(comps[2])]
+            hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            hv = [(1, 1)] * 3
     elif channels == 1:
         comps = [img[..., 0]]
         qsel = [0]
+        hv = [(1, 1)]
     else:
         raise ValueError("channels must be 1 or 3")
     qt = [_quant_scaled(QUANT_LUMA, quality), _quant_scaled(QUANT_CHROMA, quality)]
-    bx = (w + 7) // 8
-    by = (h + 7) // 8
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     zz_all = []
+    real = []
     for i, comp in enumerate(comps):
+        ch, cw = comp.shape
+        real.append(((ch + 7) // 8, (cw + 7) // 8))
+        by = mcuy * hv[i][1]
+        bx = mcux * hv[i][0]
         p = np.zeros((by * 8, bx * 8))
-        p[:h, :w] = comp
-        p[h:, :w] = comp[-1:, :]
-        p[:h, w:] = comp[:, -1:]
-        p[h:, w:] = comp[-1, -1]
+        p[:ch, :cw] = comp
+        p[ch:, :cw] = comp[-1:, :]
+        p[:ch, cw:] = comp[:, -1:]
+        p[ch:, cw:] = comp[-1, -1]
         p -= 128.0
         rows = []
         for yb in range(by):
@@ -949,38 +976,44 @@ def _component_zz_blocks(pixels, w, h, channels, quality):
                 row.append([int(coeffs[ZIGZAG[k]]) for k in range(64)])
             rows.append(row)
         zz_all.append(rows)
-    return zz_all, qt, qsel
+    return zz_all, qt, qsel, hv, real
 
 
-def _emit_dc_first(wtr, zz_all, dc_encs, al):
+def _mcu_blocks(zz_all, hv):
+    """Yield (comp_index, zz_block) in interleaved-MCU order over the
+    padded grids — the walk both DC emitters share (matches the
+    decoder's ``_dc_scan``)."""
+    # MCU grid derived from component 0's padded grid (identical for all)
+    mcuy = len(zz_all[0]) // hv[0][1]
+    mcux = len(zz_all[0][0]) // hv[0][0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for i in range(len(zz_all)):
+                for by in range(hv[i][1]):
+                    for bx in range(hv[i][0]):
+                        yield i, zz_all[i][my * hv[i][1] + by][mx * hv[i][0] + bx]
+
+
+def _emit_dc_first(wtr, zz_all, dc_encs, al, hv):
     """Interleaved DC scan, Ah=0: diff-coded (dc >> al) — arithmetic
     shift per G.1.2.1."""
-    nf = len(zz_all)
-    by = len(zz_all[0])
-    bx = len(zz_all[0][0])
-    pred = [0] * nf
-    for yb in range(by):
-        for xb in range(bx):
-            for i in range(nf):
-                v = zz_all[i][yb][xb][0] >> al
-                diff = v - pred[i]
-                pred[i] = v
-                t = int(abs(diff)).bit_length() if diff else 0
-                ln, code = dc_encs[i][t]
-                wtr.write(code, ln)
-                if t:
-                    b = diff if diff > 0 else diff + (1 << t) - 1
-                    wtr.write(b & ((1 << t) - 1), t)
+    pred = [0] * len(zz_all)
+    for i, zz in _mcu_blocks(zz_all, hv):
+        v = zz[0] >> al
+        diff = v - pred[i]
+        pred[i] = v
+        t = int(abs(diff)).bit_length() if diff else 0
+        ln, code = dc_encs[i][t]
+        wtr.write(code, ln)
+        if t:
+            b = diff if diff > 0 else diff + (1 << t) - 1
+            wtr.write(b & ((1 << t) - 1), t)
 
 
-def _emit_dc_refine(wtr, zz_all, al):
+def _emit_dc_refine(wtr, zz_all, al, hv):
     """Interleaved DC refinement: one raw bit per block."""
-    by = len(zz_all[0])
-    bx = len(zz_all[0][0])
-    for yb in range(by):
-        for xb in range(bx):
-            for comp in zz_all:
-                wtr.write((comp[yb][xb][0] >> al) & 1, 1)
+    for i, zz in _mcu_blocks(zz_all, hv):
+        wtr.write((zz[0] >> al) & 1, 1)
 
 
 def _emit_ac_first(wtr, blocks, ac_enc, ss, se, al):
@@ -1085,7 +1118,7 @@ def _emit_ac_refine(wtr, blocks, ac_enc, ss, se, al):
 
 def encode_progressive_jpeg(
     pixels: bytes, w: int, h: int, channels: int,
-    quality: int = 90, successive: bool = True,
+    quality: int = 90, successive: bool = True, subsampling: str = "444",
 ) -> bytes:
     """Encode a progressive (SOF2) 4:4:4 JFIF JPEG. With ``successive``
     the scan script exercises every progressive code path — DC first at
@@ -1097,10 +1130,14 @@ def encode_progressive_jpeg(
     baseline encodings of the same image must decode to byte-identical
     pixels — the anchor :mod:`tests.test_jpeg_progressive` pins.
     Test-vector generator, not the production media path."""
-    zz_all, qt, qsel = _component_zz_blocks(pixels, w, h, channels, quality)
+    zz_all, qt, qsel, hv, real = _component_zz_blocks(
+        pixels, w, h, channels, quality, subsampling
+    )
     nf = channels if channels == 3 else 1
+    # non-interleaved AC scans cover each component's REAL block grid
+    # in raster order (the padded grid's dummy blocks are DC-scan-only)
     flat = [
-        [zz_all[i][yb][xb] for yb in range(len(zz_all[i])) for xb in range(len(zz_all[i][0]))]
+        [zz_all[i][yb][xb] for yb in range(real[i][0]) for xb in range(real[i][1])]
         for i in range(nf)
     ]
     dc_encs = [
@@ -1118,7 +1155,7 @@ def encode_progressive_jpeg(
         out += bytes(int(qt[tq][ZIGZAG[k]]) for k in range(64))
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)
     for i in range(nf):
-        out += bytes([i + 1, 0x11, qsel[i]])
+        out += bytes([i + 1, (hv[i][0] << 4) | hv[i][1], qsel[i]])
 
     def dht(tc, th, bits, vals):
         return (b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
@@ -1147,7 +1184,7 @@ def encode_progressive_jpeg(
 
     all_dc = [(i + 1, ((0 if i == 0 else 1) << 4) | 0) for i in range(nf)]
     if successive:
-        scan(sos(all_dc, 0, 0, 0, 1), lambda w_: _emit_dc_first(w_, zz_all, dc_for_comp, 1))
+        scan(sos(all_dc, 0, 0, 0, 1), lambda w_: _emit_dc_first(w_, zz_all, dc_for_comp, 1, hv))
         for i in range(nf):
             scan(sos([(i + 1, 0)], 1, 5, 0, 2),
                  lambda w_, i=i: _emit_ac_first(w_, flat[i], ac_enc, 1, 5, 2))
@@ -1160,9 +1197,9 @@ def encode_progressive_jpeg(
         for i in range(nf):
             scan(sos([(i + 1, 0)], 1, 63, 1, 0),
                  lambda w_, i=i: _emit_ac_refine(w_, flat[i], ac_enc, 1, 63, 0))
-        scan(sos(all_dc, 0, 0, 1, 0), lambda w_: _emit_dc_refine(w_, zz_all, 0))
+        scan(sos(all_dc, 0, 0, 1, 0), lambda w_: _emit_dc_refine(w_, zz_all, 0, hv))
     else:
-        scan(sos(all_dc, 0, 0, 0, 0), lambda w_: _emit_dc_first(w_, zz_all, dc_for_comp, 0))
+        scan(sos(all_dc, 0, 0, 0, 0), lambda w_: _emit_dc_first(w_, zz_all, dc_for_comp, 0, hv))
         for i in range(nf):
             scan(sos([(i + 1, 0)], 1, 63, 0, 0),
                  lambda w_, i=i: _emit_ac_first(w_, flat[i], ac_enc, 1, 63, 0))

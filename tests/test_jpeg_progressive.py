@@ -130,3 +130,44 @@ def test_random_images_progressive_equals_baseline():
             encode_progressive_jpeg(img.tobytes(), w, h, ch, quality=q, successive=True)
         )
         assert prog == base, (trial, w, h, ch, q)
+
+
+@pytest.mark.parametrize("successive", [False, True])
+def test_progressive_420_constant_chroma_equals_baseline_444(successive):
+    """Subsampled progressive: with constant chroma the 2x2 average is
+    lossless, so progressive-4:2:0 decode equals the baseline-4:4:4
+    decode byte-for-byte — real bytes through the progressive decoder's
+    multi-block interleaved DC scan and per-component AC grids."""
+    for w, h in [(32, 16), (13, 9)]:
+        x = np.linspace(0, 255, w).astype(np.uint8)
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[..., 0] = img[..., 1] = img[..., 2] = x[None, :]
+        base = decode_jpeg(encode_baseline_jpeg(img.tobytes(), w, h, 3, quality=90))
+        prog = decode_jpeg(
+            encode_progressive_jpeg(
+                img.tobytes(), w, h, 3, quality=90,
+                successive=successive, subsampling="420",
+            )
+        )
+        assert prog == base, (w, h, successive)
+
+
+@pytest.mark.parametrize("successive", [False, True])
+def test_progressive_420_equals_baseline_420_on_noise(successive):
+    """Strongest anchor: identical quantized coefficients through two
+    entirely different entropy pipelines (baseline interleaved vs
+    progressive DC/AC scan scripts) must decode identically even with
+    chroma that subsampling distorts."""
+    rng = np.random.RandomState(5)
+    w, h = 40, 24
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    b420 = decode_jpeg(
+        encode_baseline_jpeg(img.tobytes(), w, h, 3, quality=85, subsampling="420")
+    )
+    p420 = decode_jpeg(
+        encode_progressive_jpeg(
+            img.tobytes(), w, h, 3, quality=85,
+            successive=successive, subsampling="420",
+        )
+    )
+    assert p420 == b420
