@@ -16,72 +16,71 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 # fresh independent evidence (VERDICT r5 "Next round" #2):
 #   r1-r4: the relational/TPC-H block (original registration order)
 #   r5:    the extension surface (dedup/ANN/text/curation/...)
-#   r6:    (this list) the 21 never-driver-sampled queries, the two queries
-#          last sampled in r1, then pricing_summary + the streaming family
-#          + 16 TPC-H queries from the r4-stale block.
+#   r6:    the 21 never-driver-sampled queries + pricing_summary +
+#          streaming + 13 r4-stale TPC-H queries.
+#   r7:    (this list) the ONLY 4 queries never driver-hash-green (the IVF
+#          family — their exact oracles landed in r6 after the r6 sample was
+#          fixed), then the 26 queries whose newest green row is r4, then 20
+#          r5-green names to fill the prefix.
 # CHECK_LOCAL.json re-verifies EVERY registered query each round regardless
-# of this order. Recompute for r7 from the committed CORRECTNESS_r*.json:
+# of this order. Recompute for r8 from the committed CORRECTNESS_r*.json:
 # lead with the ~50 names whose newest green row is oldest.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY = [
-    # --- never driver-sampled (r1-r5 prefixes missed these 21) ---
-    "frame_sample_media",
-    "media_ahash_documents",
-    "media_dup_pairs_documents",
-    "split_documents_hash",
-    "shuffle_documents_shards",
-    "zorder_key_events",
-    "snapshot_diff_orders",
-    "profile_columns_orders",
-    "cohort_retention_events",
-    "overlap_click_purchase_windows",
-    "grouping_sets_orders",
-    "props_variant_events",
-    "sliding_event_counts",
-    "session_window_events",
-    "rolling_7d_revenue",
-    "anomaly_zscore_daily",
-    "user_value_trend_events",
-    "latency_percentiles_events",
-    "top3_orders_per_priority",
-    "unpivot_order_status_counts",
-    "window_rank_extras_events",
-    # --- last driver-sampled in round 1 ---
-    "multimodal_features_documents",
-    "props_parse_events",
-    # --- r4-stale: flagship + streaming + joins + TPC-H ---
-    "pricing_summary",
-    "windowed_event_counts",
-    "stream_join_click_purchase",
-    "sessionize_events",
-    "hypertable_rollup_events",
-    "dedup_latest_events",
-    "asof_click_before_error",
-    "range_join_clicks_after_error",
-    "cube_lineitem",
-    "set_ops_users",
-    "pivot_user_cohort_events",
-    "tpch_q2_min_price_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q20_dominant_supplier",
-    "tpch_q21_waiting_supplier",
-    # --- new in r6 (never sampled; swapped in for q13/q16/q19 — 13
-    # TPC-H queries remain in the prefix, above the >=10 floor) ---
-    "kmv_distinct_users_events",
-    "source_overlap_documents",
-    "bpe_top_pairs_documents",
-    # NOTE: ivf_index_build still precedes ann_topk_ivf_served in the
-    # remainder (r5 order is preserved for non-prefix queries), so the
-    # served query keeps finding the index the build writes.
+    # --- never driver-hash-green: the IVF family. Build MUST run before the
+    # served/recall queries so they find the persisted index it writes. ---
+    "ivf_index_build",
+    "ann_topk_ivf",
+    "ann_topk_ivf_served",
+    "ann_ivf_recall_floor",
+    # --- newest green row is r4 (26 queries) ---
+    "summary_stats_orders",
+    "type_distribution_events",
+    "pct_of_total_events",
+    "value_histogram_lineitem",
+    "first_last_k_events",
+    "region_rollup",
+    "top_orders",
+    "rollup_orders",
+    "quantiles_lineitem",
+    "corr_quantity_price",
+    "semi_anti_customers",
+    "window_analytics_events",
+    "gapfill_daily_purchases",
+    "full_outer_nation_balance",
+    "gapfill_user_activity",
+    "dq_expectations_orders",
+    "skew_profile_orders",
+    "funnel_events",
+    "tpch_q4_order_priority",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_idle_customers",
+    # --- oldest r5-green names (fill the ~50 prefix) ---
+    "pool_kpis_synth",
+    "pool_distribution_synth",
+    "token_stats_documents",
+    "text_profile_documents",
+    "source_profile_documents",
+    "exact_dedup_documents",
+    "minhash_signatures_documents",
+    "minhash_dup_pairs_documents",
+    "ngram_jaccard_pairs_documents",
+    "dup_clusters_documents",
+    "dedup_canonical_documents",
+    "winnowing_fingerprints_documents",
+    "simhash_documents",
+    "simhash_dup_pairs",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "embedding_high_sim_pairs",
+    "audio_features_documents",
+    "repetition_profile_documents",
+    "pii_profile_documents",
 ]
 
 
