@@ -18,69 +18,69 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 #   r5:    the extension surface (dedup/ANN/text/curation/...)
 #   r6:    the 21 never-driver-sampled queries + pricing_summary +
 #          streaming + 13 r4-stale TPC-H queries.
-#   r7:    (this list) the ONLY 4 queries never driver-hash-green (the IVF
-#          family — their exact oracles landed in r6 after the r6 sample was
-#          fixed), then the 26 queries whose newest green row is r4, then 20
-#          r5-green names to fill the prefix.
+#   r7:    the 4 never-hash-green IVF queries, then 26 r4-stale names, then
+#          20 r5-green fillers. After r7 every registered query has been
+#          hash-green in at least one of r5/r6/r7.
+#   r8:    (this list) the 27 queries whose newest green row is r5 (the
+#          text/curation/sampling/sketch block — VERDICT r7 "What's wrong"
+#          #3), then 23 single-evidence r6 names to fill the ~50 prefix.
 # CHECK_LOCAL.json re-verifies EVERY registered query each round regardless
-# of this order. Recompute for r8 from the committed CORRECTNESS_r*.json:
+# of this order. Recompute for r9 from the committed CORRECTNESS_r*.json:
 # lead with the ~50 names whose newest green row is oldest.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY = [
-    # --- never driver-hash-green: the IVF family. Build MUST run before the
-    # served/recall queries so they find the persisted index it writes. ---
-    "ivf_index_build",
-    "ann_topk_ivf",
-    "ann_topk_ivf_served",
-    "ann_ivf_recall_floor",
-    # --- newest green row is r4 (26 queries) ---
-    "summary_stats_orders",
-    "type_distribution_events",
-    "pct_of_total_events",
-    "value_histogram_lineitem",
-    "first_last_k_events",
-    "region_rollup",
-    "top_orders",
-    "rollup_orders",
-    "quantiles_lineitem",
-    "corr_quantity_price",
-    "semi_anti_customers",
-    "window_analytics_events",
-    "gapfill_daily_purchases",
-    "full_outer_nation_balance",
-    "gapfill_user_activity",
-    "dq_expectations_orders",
-    "skew_profile_orders",
-    "funnel_events",
-    "tpch_q4_order_priority",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_idle_customers",
-    # --- oldest r5-green names (fill the ~50 prefix) ---
-    "pool_kpis_synth",
-    "pool_distribution_synth",
-    "token_stats_documents",
-    "text_profile_documents",
-    "source_profile_documents",
-    "exact_dedup_documents",
-    "minhash_signatures_documents",
-    "minhash_dup_pairs_documents",
-    "ngram_jaccard_pairs_documents",
-    "dup_clusters_documents",
-    "dedup_canonical_documents",
-    "winnowing_fingerprints_documents",
-    "simhash_documents",
-    "simhash_dup_pairs",
-    "ann_topk_bruteforce",
-    "ann_topk_lsh",
-    "embedding_high_sim_pairs",
-    "audio_features_documents",
-    "repetition_profile_documents",
-    "pii_profile_documents",
+    # --- newest green row is r5 (27 queries) ---
+    "stratified_sample_documents",
+    "top_terms_by_source",
+    "cms_user_purchase_counts",
+    "hll_registers_events",
+    "vocabulary_documents",
+    "bm25_search_documents",
+    "embedding_centroid_outliers",
+    "unigram_logprob_outliers",
+    "bigram_lm_outliers",
+    "quantize_embeddings_int8",
+    "fuzzy_pairs_documents",
+    "weighted_sample_documents",
+    "quantile_sketch_lineitem",
+    "ann_topk_gemm",
+    "decontaminate_documents",
+    "boilerplate_ngrams_documents",
+    "dup_span_documents",
+    "dup_span_keep_first_documents",
+    "remove_dup_spans_documents",
+    "quality_percentile_gate_documents",
+    "chunk_documents",
+    "pack_sequences_documents",
+    "quality_filter_documents",
+    "temperature_sample_documents",
+    "embedding_dup_clusters",
+    "curation_pipeline_documents",
+    "exact_k_sample_documents",
+    # --- r6-green names with only one green row (fill the ~50 prefix) ---
+    "cohort_retention_events",
+    "overlap_click_purchase_windows",
+    "grouping_sets_orders",
+    "frame_sample_media",
+    "props_variant_events",
+    "media_ahash_documents",
+    "media_dup_pairs_documents",
+    "sliding_event_counts",
+    "kmv_distinct_users_events",
+    "bpe_top_pairs_documents",
+    "source_overlap_documents",
+    "session_window_events",
+    "rolling_7d_revenue",
+    "anomaly_zscore_daily",
+    "user_value_trend_events",
+    "latency_percentiles_events",
+    "top3_orders_per_priority",
+    "unpivot_order_status_counts",
+    "snapshot_diff_orders",
+    "profile_columns_orders",
+    "window_rank_extras_events",
+    "split_documents_hash",
+    "shuffle_documents_shards",
 ]
 
 
