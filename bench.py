@@ -117,6 +117,10 @@ def main() -> None:
     # skew on the first query vs an identically-shaped later one)
     first = next(iter(REGISTRY.values()))
     _run(first.builder(spark, sf_dir))
+    # drop SQL-cache entries FIRST: rdd.unpersist() alone leaves a
+    # stale CacheManager entry that the next identical plan reuses
+    # WITHOUT re-storing (recompute-per-consumer, measured 3-10x)
+    spark.catalog.clearCache()
     for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
         rdd.unpersist()
 
@@ -137,6 +141,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             # builders may persist small intermediates (e.g. the pool
             # distribution); drop them so queries don't pollute each other
+            # drop SQL-cache entries FIRST: rdd.unpersist() alone leaves a
+            # stale CacheManager entry that the next identical plan reuses
+            # WITHOUT re-storing (recompute-per-consumer, measured 3-10x)
+            spark.catalog.clearCache()
             for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
                 rdd.unpersist()
         return best
@@ -173,6 +181,10 @@ def main() -> None:
             pools, _ = run_pipeline(spark, ref_root, dim=dim)
             _run(pools)
             dt = time.perf_counter() - t0
+            # drop SQL-cache entries FIRST: rdd.unpersist() alone leaves a
+            # stale CacheManager entry that the next identical plan reuses
+            # WITHOUT re-storing (recompute-per-consumer, measured 3-10x)
+            spark.catalog.clearCache()
             for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
                 rdd.unpersist()
             return dt

@@ -379,20 +379,24 @@ def decontaminate(
     cf. GPT-3/PaLM appendix methodology). The benchmark's shingle set is
     deduped then BROADCAST — eval sets are tiny next to the corpus, so
     the corpus-side exploded shingle stream joins map-side and only hits
-    one (doc_id) aggregate shuffle of the matching rows."""
-    bench_sh = (
-        benchmark.select(F.explode(shingle_hashes(text_col, k)).alias("_sh")).distinct()
-    )
-    doc_sh = docs.select(
-        F.col(id_col), F.explode(shingle_hashes(text_col, k)).alias("_sh")
-    )
+    one (doc_id) aggregate shuffle of the matching rows.
+
+    ``text_col`` may instead name a precomputed ``array<bigint>``
+    shingle-hash column (see ``dedup.hash_array_or_shingles``) — the
+    shared-scan path ``curation_pipeline`` uses."""
+    from github_etl_pipeline_spark.operators.dedup import hash_array_or_shingles
+
+    bench_h = hash_array_or_shingles(benchmark, text_col, k)
+    doc_h = hash_array_or_shingles(docs, text_col, k)
+    bench_sh = benchmark.select(F.explode(bench_h).alias("_sh")).distinct()
+    doc_sh = docs.select(F.col(id_col), F.explode(doc_h).alias("_sh"))
     overlap = (
         doc_sh.join(F.broadcast(bench_sh), "_sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_n_overlap"))
     )
     return (
-        docs.select(F.col(id_col), F.size(shingle_hashes(text_col, k)).alias("n_shingles"))
+        docs.select(F.col(id_col), F.size(doc_h).alias("n_shingles"))
         .join(overlap, id_col, "left")
         .select(
             id_col,
@@ -499,6 +503,44 @@ QUALITY_RULES = {
 }
 
 
+def quality_signals(text_col: Column | str = "text") -> dict[str, Column]:
+    """The five per-document signals ``QUALITY_RULES`` tests, as pure
+    column expressions over one tokenization — usable inline by any scan
+    projection (``quality_filter`` and ``curation_pipeline`` both build
+    from this, so the rule inputs are defined exactly once)."""
+    feats = quality_features(text_col)
+    rep = repetition_signals(text_col)
+    return {
+        "n_words": rep["n_words"],
+        "top_word_frac": rep["top_word_frac"],
+        "dup_bigram_frac": rep["dup_bigram_frac"],
+        "punct_ratio": feats["punct_ratio"],
+        "mean_word_len": feats["mean_word_len"],
+    }
+
+
+def _quality_conditions(sig: dict[str, Column]) -> dict[str, Column]:
+    """``QUALITY_RULES`` as fail conditions over a signal mapping, in the
+    fixed reason-list order. The thresholds live here ONLY."""
+    return {
+        "too_few_words": sig["n_words"] < 5,
+        "repetitive_top_word": sig["top_word_frac"] > 0.30,
+        "repetitive_bigrams": sig["dup_bigram_frac"] > 0.30,
+        "punct_soup": sig["punct_ratio"] > 0.30,
+        "words_too_long": sig["mean_word_len"] > 12,
+    }
+
+
+def quality_keep(text_col: Column | str = "text") -> Column:
+    """Per-row boolean: the document passes every ``QUALITY_RULES`` rule —
+    the keep column of ``quality_filter`` as a single inline expression
+    (no reasons string), for plans that only need the gate."""
+    keep = F.lit(True)
+    for c in _quality_conditions(quality_signals(text_col)).values():
+        keep = keep & ~c
+    return keep
+
+
 def quality_filter(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -510,29 +552,15 @@ def quality_filter(
     pure expression in one scan projection (repetition via
     ``repetition_signals``), so the filter adds zero shuffles and
     composes with predicate pushdown."""
-    feats = quality_features(text_col)
-    rep = repetition_signals(text_col)
-    j = docs.select(
-        F.col(id_col),
-        feats["punct_ratio"].alias("punct_ratio"),
-        feats["mean_word_len"].alias("mean_word_len"),
-        rep["n_words"].alias("n_words"),
-        rep["top_word_frac"].alias("top_word_frac"),
-        rep["dup_bigram_frac"].alias("dup_bigram_frac"),
-    )
-    conds = {
-        "too_few_words": F.col("n_words") < 5,
-        "repetitive_top_word": F.col("top_word_frac") > 0.30,
-        "repetitive_bigrams": F.col("dup_bigram_frac") > 0.30,
-        "punct_soup": F.col("punct_ratio") > 0.30,
-        "words_too_long": F.col("mean_word_len") > 12,
-    }
+    sig = quality_signals(text_col)
+    j = docs.select(F.col(id_col), *[c.alias(name) for name, c in sig.items()])
+    conds = _quality_conditions({name: F.col(name) for name in sig})
     # concat_ws skips NULLs -> stable fixed-order reason list
     reasons = F.concat_ws(
         ",", *[F.when(c, F.lit(name)) for name, c in conds.items()]
     )
-    keep = ~conds["too_few_words"]
-    for name, c in conds.items():
+    keep = F.lit(True)
+    for c in conds.values():
         keep = keep & ~c
     return j.select(id_col, keep.alias("keep"), reasons.alias("reasons"))
 
@@ -567,6 +595,80 @@ def temperature_sample(
         .join(F.broadcast(counts), strata_col)
         .where(b * b * F.col("_n") < F.col("_n_min") * F.lit(BUCKETS * BUCKETS))
         .select(id_col, strata_col)
+    )
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    part_col: str = "source",
+    bench_source: str = "src0",
+    dedup_k: int = 2,
+    dedup_threshold: float = 0.2,
+    decon_k: int = 3,
+    budget: int = 128,
+) -> DataFrame:
+    """End-to-end curation: four independent per-doc keep signals —
+    quality rules, dedup-canonical (MinHash+LSH connected components),
+    benchmark decontamination, alpha=0.5 temperature sampling — computed
+    over the FULL corpus, intersected as left-semi joins, survivors
+    packed into ``budget``-token sequences. Signal semantics are
+    identical to the standalone operators (they share the same
+    expression builders).
+
+    Shape at 100 TB (VERDICT r7 #5): the corpus is scanned, tokenized
+    and shingled EXACTLY ONCE into a persisted narrow base relation
+    (id, source, n_tokens, quality gate, two shingle-hash arrays — no
+    text); every signal reads the cache instead of re-running the
+    regexp chains per signal (the r7 plan scanned the corpus once PER
+    signal, ~6 tokenize passes). MEMORY_AND_DISK so an executor that
+    can't hold its slice spills instead of recomputing; the bench /
+    correctness harnesses sweep persisted RDDs between queries."""
+    from pyspark import StorageLevel
+
+    from github_etl_pipeline_spark.operators.dedup import dup_clusters, shingle_hashes
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+        quality_keep(text_col).alias("_qkeep"),
+        shingle_hashes(text_col, dedup_k).alias("_hs_dup"),
+        shingle_hashes(text_col, decon_k).alias("_hs_dc"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    qkeep = base.where(F.col("_qkeep")).select(id_col)
+    canon = (
+        dup_clusters(base, "_hs_dup", id_col, k=dedup_k, threshold=dedup_threshold)
+        .where(F.col(id_col) == F.col("cluster_id"))
+        .select(id_col)
+    )
+    bench = base.where(F.col(part_col) == bench_source)
+    clean = (
+        decontaminate(base, bench, text_col="_hs_dc", id_col=id_col, k=decon_k)
+        .where(~F.col("contaminated"))
+        .select(id_col)
+    )
+    tkeep = temperature_sample(base, strata_col=part_col, id_col=id_col).select(id_col)
+    # narrow fact BEFORE the keep-set intersections: (id, source,
+    # n_tokens) is ~24 bytes/row, so the four doc_id semi-join shuffles
+    # never carry arrays or text
+    narrow = base.select(id_col, part_col, "n_tokens")
+    survivors = (
+        narrow.join(qkeep, id_col, "left_semi")
+        .join(canon, id_col, "left_semi")
+        .join(clean, id_col, "left_semi")
+        .join(tkeep, id_col, "left_semi")
+    )
+    return pack_sequences(
+        survivors,
+        id_col=id_col,
+        part_col=part_col,
+        budget=budget,
+        n_tokens_col="n_tokens",
     )
 
 

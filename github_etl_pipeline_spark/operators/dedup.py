@@ -94,6 +94,19 @@ def shingle_hashes(col: Column | str, k: int = 2) -> Column:
     )
 
 
+def hash_array_or_shingles(df: DataFrame, col: Column | str, k: int) -> Column:
+    """Precomputed-shingle passthrough: when ``col`` names an existing
+    ``array<bigint>`` column of ``df`` (a stored ``shingle_hashes``
+    output), return it as-is and ignore ``k``; otherwise compute
+    ``shingle_hashes(col, k)`` from the text column. Lets multi-signal
+    plans (``curation.curation_pipeline``) tokenize + shingle the corpus
+    ONCE into a persisted base relation and feed every dedup stage from
+    it instead of re-running the regexp chain per signal."""
+    if isinstance(col, str) and dict(df.dtypes).get(col) == "array<bigint>":
+        return F.col(col)
+    return shingle_hashes(col, k)
+
+
 def ordered_shingle_hashes(col: Column | str, k: int = 2) -> Column:
     """POSITIONAL word k-gram hash array (duplicates kept, document order
     preserved) — the winnowing input, unlike the set-valued
@@ -156,8 +169,10 @@ def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 2
 ) -> DataFrame:
     """doc_id + sig_0..sig_{n-1} MinHash signature columns (pure
-    expressions over the shingle-hash array; empty docs get NULL sigs)."""
-    sh = shingle_hashes(text_col, k)
+    expressions over the shingle-hash array; empty docs get NULL sigs).
+    ``text_col`` may instead name a precomputed ``array<bigint>``
+    shingle-hash column (see ``hash_array_or_shingles``)."""
+    sh = hash_array_or_shingles(df, text_col, k)
     out = df.select(F.col(id_col), sh.alias("_sh"))
 
     def sig(i: int):
@@ -239,8 +254,12 @@ def jaccard_pairs(
     all-pairs when ``candidates`` is None — the small-data baseline,
     guarded by ``max_brute_rows``). Output (id_a, id_b, jaccard) with
     UNROUNDED jaccard >= threshold (rounding happens only in the output
-    projection, matching the SQL oracles)."""
-    sh = df.select(F.col(id_col).alias("_id"), shingle_hashes(text_col, k).alias("_sh"))
+    projection, matching the SQL oracles). ``text_col`` may name a
+    precomputed shingle-hash array (see ``hash_array_or_shingles``)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        hash_array_or_shingles(df, text_col, k).alias("_sh"),
+    )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     if candidates is not None:

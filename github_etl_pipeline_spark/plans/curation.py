@@ -486,13 +486,14 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # End-to-end curation pipeline: the flagship composition. Four
 # independent per-doc keep signals (quality rules, dedup-canonical,
 # decontamination, temperature sampling) intersected as left-semi joins,
-# then the survivors packed into training sequences. One declarative
-# plan: Catalyst sees the whole graph, so the documents scan is shared,
-# each signal's aggregation runs in parallel stages, and the final packs
-# are a single per-source window. Signals are computed over the FULL
-# corpus then intersected (signal independence — the standard production
-# shape, and what keeps each stage's semantics identical to its
-# standalone query above).
+# then the survivors packed into training sequences. The corpus is
+# scanned/tokenized/shingled ONCE into a persisted narrow base relation
+# every signal reads (operators.curation.curation_pipeline — Catalyst
+# does NOT share a file scan across sibling aggregates, so r7's plan
+# re-ran the regexp chains per signal). Signals are computed over the
+# FULL corpus then intersected (signal independence — the standard
+# production shape, and what keeps each stage's semantics identical to
+# its standalone query above).
 # ---------------------------------------------------------------------------
 _PIPE_DEDUP_THRESHOLD = 0.2
 
@@ -587,36 +588,17 @@ FROM packed
 @register(
     "curation_pipeline_documents",
     oracle=_curation_pipeline_oracle(),
-    doc="end-to-end curation: quality rules AND dedup-canonical AND decontaminated AND temperature-sampled, survivors packed into 128-token sequences — one declarative plan, scan shared across all four signals",
+    doc="end-to-end curation: quality rules AND dedup-canonical AND decontaminated AND temperature-sampled, survivors packed into 128-token sequences — the corpus scanned/tokenized/shingled ONCE into a persisted narrow base shared by all four signals",
 )
 def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    qkeep = C.quality_filter(docs).where(F.col("keep")).select("doc_id")
-    canon = (
-        D.dup_clusters(docs, threshold=_PIPE_DEDUP_THRESHOLD)
-        .where(F.col("doc_id") == F.col("cluster_id"))
-        .select("doc_id")
+    return C.curation_pipeline(
+        _docs(spark, sf_dir),
+        bench_source=_BENCH_SOURCE,
+        dedup_k=2,
+        dedup_threshold=_PIPE_DEDUP_THRESHOLD,
+        decon_k=_DECON_K,
+        budget=_BUDGET,
     )
-    bench = docs.where(F.col("source") == _BENCH_SOURCE)
-    clean = (
-        C.decontaminate(docs, bench, k=_DECON_K)
-        .where(~F.col("contaminated"))
-        .select("doc_id")
-    )
-    tkeep = C.temperature_sample(docs).select("doc_id")
-    # narrow fact BEFORE the keep-set intersections: (doc_id, source,
-    # n_tokens) is ~24 bytes/row, so the four doc_id semi-join shuffles
-    # never carry document text
-    from github_etl_pipeline_spark.operators.text import token_count
-
-    narrow = docs.select("doc_id", "source", token_count("text").cast("long").alias("n_tokens"))
-    survivors = (
-        narrow.join(qkeep, "doc_id", "left_semi")
-        .join(canon, "doc_id", "left_semi")
-        .join(clean, "doc_id", "left_semi")
-        .join(tkeep, "doc_id", "left_semi")
-    )
-    return C.pack_sequences(survivors, budget=_BUDGET, n_tokens_col="n_tokens")
 
 
 # ---------------------------------------------------------------------------

@@ -411,3 +411,133 @@ def test_source_overlap_scans_corpus_once(spark):
     reused = re.findall(r"ReusedExchange \[([^\]]*)\]", plan)
     assert any("_gh" in r for r in reused), plan  # gram shuffle reused
     assert len(reused) >= 2, plan  # + the second totals broadcast
+
+
+def test_hash_array_passthrough_matches_text(spark):
+    """minhash_dedup_pairs / decontaminate fed a precomputed shingle-hash
+    array column (the curation_pipeline shared-scan path) must produce
+    exactly the rows the text-based path produces."""
+    from github_etl_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        shingle_hashes,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy cat", "a"),
+        (3, "completely unrelated text about spark plans", "b"),
+        (4, "", "b"),
+    ]
+    docs = _docs(spark, rows)
+    pre = docs.select(
+        "doc_id",
+        "source",
+        shingle_hashes("text", 2).alias("hs2"),
+        shingle_hashes("text", 3).alias("hs3"),
+    )
+    by_text = sorted(
+        minhash_dedup_pairs(docs, "text", "doc_id", k=2, threshold=0.2).collect()
+    )
+    by_hash = sorted(
+        minhash_dedup_pairs(pre, "hs2", "doc_id", k=2, threshold=0.2).collect()
+    )
+    assert by_text == by_hash and by_text  # non-empty: 1~2 must pair
+
+    bench = docs.where(F.col("source") == "b")
+    bench_pre = pre.where(F.col("source") == "b")
+    d_text = sorted(decontaminate(docs, bench, k=3).collect())
+    d_hash = sorted(decontaminate(pre, bench_pre, text_col="hs3", k=3).collect())
+    assert d_text == d_hash
+
+
+def test_quality_keep_matches_quality_filter(spark):
+    """quality_keep (the inline gate curation_pipeline computes in its
+    base projection) must equal quality_filter's keep column row-by-row."""
+    from github_etl_pipeline_spark.operators.curation import quality_keep
+
+    rows = [
+        (1, "a good plain sentence with several normal words here", "a"),
+        (2, "word word word word word word word word", "a"),  # repetitive
+        (3, "!!! ??? ### $$$ %%%", "a"),  # punct soup
+        (4, "two words", "a"),  # too few
+        (5, "", "a"),
+        (6, "pneumonoultramicroscopicsilicovolcanoconiosis " * 6, "a"),  # long words
+    ]
+    docs = _docs(spark, rows)
+    via_filter = {
+        r["doc_id"]: r["keep"] for r in quality_filter(docs).collect()
+    }
+    via_expr = {
+        r["doc_id"]: r["k"]
+        for r in docs.select("doc_id", quality_keep("text").alias("k")).collect()
+    }
+    assert via_filter == via_expr
+    assert via_filter[1] and not via_filter[2] and not via_filter[4]
+
+
+def test_curation_pipeline_equals_signal_composition(spark):
+    """The shared-scan curation_pipeline must produce exactly the rows of
+    the four standalone signals composed by semi-joins + pack_sequences
+    (the r7 plan shape it replaced)."""
+    from github_etl_pipeline_spark.operators.curation import curation_pipeline
+    from github_etl_pipeline_spark.operators.dedup import dup_clusters
+    from github_etl_pipeline_spark.operators.text import token_count
+
+    rows = [
+        (i, f"document number {i} talks about topic {i % 3} in plain words", f"src{i % 2}")
+        for i in range(1, 21)
+    ] + [
+        (21, "document number 1 talks about topic 1 in plain words", "src1"),  # near-dup of 1
+        (22, "word word word word word word", "src1"),  # fails quality
+    ]
+    docs = _docs(spark, rows)
+
+    qkeep = quality_filter(docs).where(F.col("keep")).select("doc_id")
+    canon = (
+        dup_clusters(docs, threshold=0.2)
+        .where(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    bench = docs.where(F.col("source") == "src0")
+    clean = (
+        decontaminate(docs, bench, k=3).where(~F.col("contaminated")).select("doc_id")
+    )
+    tkeep = temperature_sample(docs).select("doc_id")
+    narrow = docs.select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    surv = (
+        narrow.join(qkeep, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+        .join(clean, "doc_id", "left_semi")
+        .join(tkeep, "doc_id", "left_semi")
+    )
+    expected = sorted(
+        pack_sequences(surv, budget=128, n_tokens_col="n_tokens").collect()
+    )
+    got = sorted(
+        curation_pipeline(
+            docs, bench_source="src0", dedup_threshold=0.2, budget=128
+        ).collect()
+    )
+    spark.catalog.clearCache()
+    assert got == expected
+
+
+def test_curation_pipeline_single_corpus_scan(spark, tmp_path):
+    """The pipeline's base relation is persisted: the executed plan must
+    read the documents parquet through InMemoryTableScan consumers, not
+    one FileScan per signal."""
+    from github_etl_pipeline_spark.operators.curation import curation_pipeline
+
+    p = str(tmp_path / "docs.parquet")
+    _docs(
+        spark,
+        [(i, f"some text body {i} with words", f"src{i % 2}") for i in range(40)],
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    df = curation_pipeline(docs, bench_source="src0", dedup_threshold=0.2)
+    df.collect()  # materialize so the adaptive plan finalizes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
