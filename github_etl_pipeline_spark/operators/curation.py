@@ -41,7 +41,6 @@ from github_etl_pipeline_spark.operators.sampling import BUCKETS, sample_bucket
 from github_etl_pipeline_spark.operators.text import (
     TOKEN_RE,
     quality_features,
-    repetition_signals,
 )
 
 
@@ -503,20 +502,41 @@ QUALITY_RULES = {
 }
 
 
-def quality_signals(text_col: Column | str = "text") -> dict[str, Column]:
-    """The five per-document signals ``QUALITY_RULES`` tests, as pure
-    column expressions over one tokenization — usable inline by any scan
-    projection (``quality_filter`` and ``curation_pipeline`` both build
-    from this, so the rule inputs are defined exactly once)."""
+def quality_signal_struct(text_col: Column | str = "text") -> Column:
+    """The five per-document signals ``QUALITY_RULES`` tests, as ONE
+    struct column with every heavy subexpression let-bound (see
+    ``text.let_``): the WORD_RE extraction, the repetition struct and
+    the TOKEN_RE token count are each computed exactly once per row no
+    matter how many rules read them. ``quality_filter`` selects this as
+    a single column and reads fields in an outer projection;
+    ``quality_keep`` folds it into one inline boolean for
+    ``curation_pipeline``'s base scan."""
+    from github_etl_pipeline_spark.operators.text import (
+        let_,
+        repetition_struct,
+        token_count,
+    )
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     feats = quality_features(text_col)
-    rep = repetition_signals(text_col)
-    return {
-        "n_words": rep["n_words"],
-        "top_word_frac": rep["top_word_frac"],
-        "dup_bigram_frac": rep["dup_bigram_frac"],
-        "punct_ratio": feats["punct_ratio"],
-        "mean_word_len": feats["mean_word_len"],
-    }
+    n_chars = F.length(c)
+
+    def with_rep(rep: Column) -> Column:
+        def with_nt(t: Column) -> Column:
+            mean_word_len = F.when(t > 0, (n_chars - (t - 1)) / t).otherwise(
+                F.lit(0.0)
+            )
+            return F.struct(
+                rep["n_words"].alias("n_words"),
+                rep["top_word_frac"].alias("top_word_frac"),
+                rep["dup_bigram_frac"].alias("dup_bigram_frac"),
+                feats["punct_ratio"].alias("punct_ratio"),
+                mean_word_len.alias("mean_word_len"),
+            )
+
+        return let_(token_count(c), with_nt)
+
+    return let_(repetition_struct(c), with_rep)
 
 
 def _quality_conditions(sig: dict[str, Column]) -> dict[str, Column]:
@@ -534,11 +554,28 @@ def _quality_conditions(sig: dict[str, Column]) -> dict[str, Column]:
 def quality_keep(text_col: Column | str = "text") -> Column:
     """Per-row boolean: the document passes every ``QUALITY_RULES`` rule —
     the keep column of ``quality_filter`` as a single inline expression
-    (no reasons string), for plans that only need the gate."""
-    keep = F.lit(True)
-    for c in _quality_conditions(quality_signals(text_col)).values():
-        keep = keep & ~c
-    return keep
+    (no reasons string), for plans that only need the gate. The signal
+    struct is let-bound, so the rule conjunction's short-circuit
+    positions read variables, not re-evaluated regexps."""
+    from github_etl_pipeline_spark.operators.text import let_
+
+    def body(q: Column) -> Column:
+        sig = {
+            name: q[name]
+            for name in (
+                "n_words",
+                "top_word_frac",
+                "dup_bigram_frac",
+                "punct_ratio",
+                "mean_word_len",
+            )
+        }
+        keep = F.lit(True)
+        for c in _quality_conditions(sig).values():
+            keep = keep & ~c
+        return keep
+
+    return let_(quality_signal_struct(text_col), body)
 
 
 def quality_filter(
@@ -549,12 +586,12 @@ def quality_filter(
     emits (doc_id, keep, reasons) where ``reasons`` is the
     comma-joined, fixed-order list of failed rules ('' when keep).
     EVERY signal — length, repetition, punctuation, word shape — is a
-    pure expression in one scan projection (repetition via
-    ``repetition_signals``), so the filter adds zero shuffles and
+    pure expression in one scan projection (one let-bound struct via
+    ``quality_signal_struct``), so the filter adds zero shuffles and
     composes with predicate pushdown."""
-    sig = quality_signals(text_col)
-    j = docs.select(F.col(id_col), *[c.alias(name) for name, c in sig.items()])
-    conds = _quality_conditions({name: F.col(name) for name in sig})
+    sig_names = ["n_words", "top_word_frac", "dup_bigram_frac", "punct_ratio", "mean_word_len"]
+    j = docs.select(F.col(id_col), quality_signal_struct(text_col).alias("_q"))
+    conds = _quality_conditions({name: F.col(f"_q.{name}") for name in sig_names})
     # concat_ws skips NULLs -> stable fixed-order reason list
     reasons = F.concat_ws(
         ",", *[F.when(c, F.lit(name)) for name, c in conds.items()]

@@ -68,22 +68,29 @@ def language_id(col: Column | str) -> Column:
 
 
 def quality_features(col: Column | str) -> dict[str, Column]:
-    """Raw quality signals: lengths, ratios — deterministic doubles."""
+    """Raw quality signals: lengths, ratios — deterministic doubles.
+    Entries that reference the token count more than once let-bind it
+    internally (see ``let_``), so selecting any subset never evaluates
+    the TOKEN_RE extraction more than once per entry."""
     c = _c(col)
     n_chars = F.length(c)
     n_tokens = token_count(c)
     n_words = F.size(F.regexp_extract_all(c, F.lit(WORD_RE), 0))
     n_punct = F.regexp_count(c, F.lit(PUNCT_RE))
     n_stop = F.regexp_count(F.lower(c), F.lit(STOPWORDS["en"]))
-    mean_word_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
-        F.lit(0.0)
+    mean_word_len = let_(
+        n_tokens,
+        lambda t: F.when(t > 0, (n_chars - (t - 1)) / t).otherwise(F.lit(0.0)),
     )
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
         "n_words": n_words,
         "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
-        "stopword_ratio": F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)),
+        "stopword_ratio": let_(
+            n_tokens,
+            lambda t: F.when(t > 0, n_stop / t).otherwise(F.lit(0.0)),
+        ),
         "mean_word_len": mean_word_len,
     }
 
@@ -92,15 +99,32 @@ def quality_score(col: Column | str) -> Column:
     """Composite quality score in [0,1]: rewards in-range length, word-like
     tokens, some stopwords; penalizes punctuation soup. The exact weighting
     is a heuristic — its value is the plumbing (pure expressions, cross-
-    engine reproducible), not the constants."""
-    f = quality_features(col)
-    len_ok = F.when((f["n_chars"] >= 100) & (f["n_chars"] <= 20000), F.lit(1.0)).otherwise(
+    engine reproducible), not the constants. The token count is let-bound
+    so the TOKEN_RE extraction runs once per row across all four terms."""
+    c = _c(col)
+    n_chars = F.length(c)
+    n_words = F.size(F.regexp_extract_all(c, F.lit(WORD_RE), 0))
+    n_stop = F.regexp_count(F.lower(c), F.lit(STOPWORDS["en"]))
+    n_punct = F.regexp_count(c, F.lit(PUNCT_RE))
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), F.lit(1.0)).otherwise(
         F.lit(0.5)
     )
-    wordish = F.when(f["n_tokens"] > 0, f["n_words"] / f["n_tokens"]).otherwise(F.lit(0.0))
-    stop_ok = F.when(f["stopword_ratio"] > 0.02, F.lit(1.0)).otherwise(F.lit(0.5))
-    punct_pen = F.when(f["punct_ratio"] > 0.2, F.lit(0.5)).otherwise(F.lit(1.0))
-    return F.round(0.25 * len_ok + 0.25 * F.least(wordish, F.lit(1.0)) + 0.25 * stop_ok + 0.25 * punct_pen, 4)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    punct_pen = F.when(punct_ratio > 0.2, F.lit(0.5)).otherwise(F.lit(1.0))
+
+    def body(t: Column) -> Column:
+        wordish = F.when(t > 0, n_words / t).otherwise(F.lit(0.0))
+        stop_ratio = F.when(t > 0, n_stop / t).otherwise(F.lit(0.0))
+        stop_ok = F.when(stop_ratio > 0.02, F.lit(1.0)).otherwise(F.lit(0.5))
+        return F.round(
+            0.25 * len_ok
+            + 0.25 * F.least(wordish, F.lit(1.0))
+            + 0.25 * stop_ok
+            + 0.25 * punct_pen,
+            4,
+        )
+
+    return let_(token_count(c), body)
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -231,6 +255,20 @@ def max_multiplicity(arr: Column) -> Column:
     return F.aggregate(s, init, step, lambda acc: acc["best"])
 
 
+def let_(value: Column, body) -> Column:
+    """Single-evaluation let-binding: bind ``value`` to a higher-order-
+    function lambda variable so ``body`` (Column -> Column) can reference
+    it any number of times while it is computed ONCE per row. Needed
+    because (a) project collapse re-inlines plain column expressions into
+    every reference, and (b) codegen subexpression elimination skips
+    trees containing lambda functions and conditional/short-circuit
+    positions — the quality-rule projection was re-running the word-array
+    regexp per rule (24 regexp_extract_all nodes in one Project) before
+    this. Implemented as ``transform(array(value), body)[0]`` — the array
+    wrap is O(1) per row next to the expressions worth binding."""
+    return F.transform(F.array(value), body)[0]
+
+
 def repetition_signals(col: Column | str) -> dict[str, Column]:
     """The per-document repetition measures as pure column expressions
     over ONE tokenization: total word count, top-word fraction
@@ -254,6 +292,34 @@ def repetition_signals(col: Column | str) -> dict[str, Column]:
     }
 
 
+def repetition_struct(col: Column | str) -> Column:
+    """``repetition_signals`` as ONE struct column with the word array
+    let-bound (see ``let_``): the WORD_RE extraction runs exactly once
+    per row no matter how many signals the caller reads. Select the
+    struct as a single column and read its fields in an outer projection
+    (CollapseProject keeps multi-referenced expensive aliases in their
+    own Project, so the struct is not re-inlined per field)."""
+
+    def body(w: Column) -> Column:
+        n = F.size(w)
+        bg = _bigrams_of(w)
+        nbg, ndbg = F.size(bg), F.size(F.array_distinct(bg))
+        return F.struct(
+            F.when(n > 0, n).otherwise(F.lit(0)).cast("long").alias("n_words"),
+            F.round(
+                F.when(n > 0, max_multiplicity(w) / n).otherwise(F.lit(0.0)), 6
+            ).alias("top_word_frac"),
+            F.round(
+                F.when(nbg > 0, F.lit(1.0) - ndbg.cast("double") / nbg).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+
+    return let_(words_lower(col), body)
+
+
 def repetition_profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -261,15 +327,15 @@ def repetition_profile(
     (Gopher/C4-style): the fraction of words taken by the single most
     frequent word, and the duplicated fraction of word bigrams. ONE
     zero-shuffle projection: all three signals are array expressions
-    over a single tokenization (see ``repetition_signals`` /
+    over a single let-bound tokenization (see ``repetition_struct`` /
     ``max_multiplicity`` for why this beats the explode+groupBy form
     at scale)."""
-    sig = repetition_signals(text_col)
-    return df.select(
-        F.col(id_col),
-        sig["n_words"].alias("n_words"),
-        sig["top_word_frac"].alias("top_word_frac"),
-        sig["dup_bigram_frac"].alias("dup_bigram_frac"),
+    j = df.select(F.col(id_col), repetition_struct(text_col).alias("_r"))
+    return j.select(
+        id_col,
+        F.col("_r.n_words").alias("n_words"),
+        F.col("_r.top_word_frac").alias("top_word_frac"),
+        F.col("_r.dup_bigram_frac").alias("dup_bigram_frac"),
     )
 
 
