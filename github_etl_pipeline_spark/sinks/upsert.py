@@ -73,7 +73,13 @@ def merge_into(
 
     ``backend="delta"`` raises ImportError when delta-spark is missing,
     so a deployment that REQUIRES transactional semantics fails loudly
-    instead of degrading to last-writer-wins."""
+    instead of degrading to last-writer-wins.
+
+    Test coverage: every branch of THIS function (including the exact
+    MERGE call chain) is asserted in every environment via a recording
+    stand-in for ``delta.tables`` (tests/test_sinks.py); the end-to-end
+    transactional behavior additionally runs wherever delta-spark is
+    importable. The parquet emulation is the golden-tested store."""
     if backend not in ("auto", "delta", "parquet"):
         raise ValueError(f"merge_into: unknown backend {backend!r}")
     if backend != "parquet":
@@ -294,7 +300,15 @@ def _write_sharded_json(pools: DataFrame, shard_dir: Path) -> Path:
         .where(F.col("key").isNotNull() & (F.col("key") != ""))
         .repartitionByRange(F.col("key"))
         .sortWithinPartitions("key")
-        .select(F.to_json(F.struct("key", "record")).alias("value"))
+        # ignoreNullFields=false: a null field must serialize as an
+        # explicit null exactly like the consolidated json.dumps path —
+        # a reader switching between store formats sees one record shape
+        # (golden-parity-tested in test_sinks.py)
+        .select(
+            F.to_json(
+                F.struct("key", "record"), {"ignoreNullFields": "false"}
+            ).alias("value")
+        )
         .write.mode("overwrite")
         .text(str(shard_dir))
     )

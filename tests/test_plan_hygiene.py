@@ -116,7 +116,9 @@ _HEAVY_FILTER = __import__("re").compile(
 )
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
+@pytest.mark.parametrize(
+    "name", sorted(set(REGISTRY) - ALLOWED_HEAVY_SCAN_FILTER)
+)
 def test_no_heavy_expression_in_scan_filter(name, spark):
     """No ACCIDENTALLY duplicated heavy expression (tokenize / md5 /
     higher-order array fold) in a scan's DataFilters: Catalyst pushes
@@ -124,9 +126,10 @@ def test_no_heavy_expression_in_scan_filter(name, spark):
     the expensive chain serially in the (locally single-partition) scan
     stage AND again in the post-exchange project — the winnowing query
     was 5x slower for it. Queries whose sampling/pruning predicate is
-    genuinely scan-stage are allow-listed."""
-    if name in ALLOWED_HEAVY_SCAN_FILTER:
-        pytest.skip("scan-stage predicate is the query's semantics")
+    genuinely scan-stage (ALLOWED_HEAVY_SCAN_FILTER) are excluded from
+    the parametrization rather than skipped at runtime — a skip is a
+    report of something NOT verified, but the allow-list is a design
+    decision, not a gap."""
     plan = (
         REGISTRY[name]
         .builder(spark, SF_DIR)

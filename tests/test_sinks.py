@@ -120,30 +120,133 @@ def test_merge_into_upserts_and_is_idempotent(spark, tmp_path):
     assert again == got
 
 
-@pytest.mark.skipif(not _has_delta(), reason="delta-spark not installed")
-def test_merge_into_delta_backend(spark, tmp_path):
-    """Same MERGE semantics through the transactional Delta backend
-    (first call CREATES the Delta table; later calls are literal
-    MERGE INTO)."""
+def _install_fake_delta(monkeypatch, is_delta_table: bool):
+    """Inject a recording stand-in for delta.tables into sys.modules so
+    the MERGE call-chain construction is exercised without delta-spark
+    (which cannot be installed in this sandbox). Returns the call log:
+    entries are (method, arg) tuples in invocation order."""
+    import sys
+    import types
+
+    log: list[tuple] = []
+
+    class _Recorder:
+        def alias(self, a):
+            log.append(("alias", a))
+            return self
+
+        def merge(self, updates, cond):
+            log.append(("merge", cond))
+            return self
+
+        def whenMatchedUpdateAll(self):
+            log.append(("whenMatchedUpdateAll",))
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            log.append(("whenNotMatchedInsertAll",))
+            return self
+
+        def execute(self):
+            log.append(("execute",))
+
+    class _FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(spark, path):
+            log.append(("isDeltaTable", path))
+            return is_delta_table
+
+        @staticmethod
+        def forPath(spark, path):
+            log.append(("forPath", path))
+            return _Recorder()
+
+    delta_mod = types.ModuleType("delta")
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = _FakeDeltaTable
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+    return log
+
+
+def test_merge_into_delta_backend(spark, tmp_path, monkeypatch):
+    """The Delta MERGE path. With delta-spark importable this runs the
+    real transactional backend end-to-end; in this sandbox (no
+    delta-spark, and installs are not possible) it runs against a
+    recording fake, asserting the exact MERGE call chain merge_into
+    constructs — the seam our code owns. Either way the test RUNS:
+    the Delta branch is never a perpetual skip."""
     from github_etl_pipeline_spark.sinks.upsert import merge_into
 
-    table = tmp_path / "merged_delta"
-    merge_into(spark, table, _pools_df(spark, [("a", 1.0), ("b", 2.0)]), backend="delta")
-    merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), backend="delta")
-    read = spark.read.format("delta").load(str(table))
-    got = {r.source_file: r.rtp for r in read.collect()}
-    assert got == {"a": 9.0, "b": 2.0, "c": 3.0}
-    merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), backend="delta")
-    again = {r.source_file: r.rtp for r in spark.read.format("delta").load(str(table)).collect()}
-    assert again == got
+    if _has_delta():
+        table = tmp_path / "merged_delta"
+        merge_into(spark, table, _pools_df(spark, [("a", 1.0), ("b", 2.0)]), backend="delta")
+        merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), backend="delta")
+        read = spark.read.format("delta").load(str(table))
+        got = {r.source_file: r.rtp for r in read.collect()}
+        assert got == {"a": 9.0, "b": 2.0, "c": 3.0}
+        merge_into(spark, table, _pools_df(spark, [("a", 9.0), ("c", 3.0)]), backend="delta")
+        again = {
+            r.source_file: r.rtp
+            for r in spark.read.format("delta").load(str(table)).collect()
+        }
+        assert again == got
+        return
+
+    # existing-Delta-table branch: the literal MERGE INTO chain
+    log = _install_fake_delta(monkeypatch, is_delta_table=True)
+    merge_into(spark, tmp_path / "t", _pools_df(spark, [("a", 1.0)]), backend="delta")
+    assert [e[0] for e in log] == [
+        "isDeltaTable",
+        "forPath",
+        "alias",
+        "merge",
+        "whenMatchedUpdateAll",
+        "whenNotMatchedInsertAll",
+        "execute",
+    ]
+    assert ("alias", "t") in log
+    assert ("merge", "t.source_file = u.source_file") in log
+    # nothing was written through the parquet emulation
+    assert not (tmp_path / "t").exists()
 
 
-@pytest.mark.skipif(_has_delta(), reason="delta-spark installed")
-def test_merge_into_delta_backend_fails_loudly_without_delta(spark, tmp_path):
+def test_merge_into_auto_ignores_non_delta_target(spark, tmp_path, monkeypatch):
+    """auto mode with delta importable but a NON-Delta (absent) target
+    must take the parquet path and never create a Delta table."""
+    from github_etl_pipeline_spark.sinks.upsert import merge_into
+
+    log = _install_fake_delta(monkeypatch, is_delta_table=False)
+    table = tmp_path / "store"
+    merge_into(spark, table, _pools_df(spark, [("a", 1.0)]), backend="auto")
+    assert [e[0] for e in log] == ["isDeltaTable"]  # probed, then parquet
+    got = {r.source_file: r.rtp for r in read_store(spark, table).collect()}
+    assert got == {"a": 1.0}
+
+
+def test_merge_into_delta_refuses_to_clobber_parquet(spark, tmp_path, monkeypatch):
+    """backend='delta' with an existing non-Delta target must refuse
+    (format migration is an explicit user decision)."""
+    from github_etl_pipeline_spark.sinks.upsert import merge_into
+
+    table = tmp_path / "store"
+    merge_into(spark, table, _pools_df(spark, [("a", 1.0)]), backend="parquet")
+    _install_fake_delta(monkeypatch, is_delta_table=False)
+    with pytest.raises(ValueError, match="not a[\\s]+Delta table|not a Delta"):
+        merge_into(spark, table, _pools_df(spark, [("b", 2.0)]), backend="delta")
+
+
+def test_merge_into_delta_backend_fails_loudly_without_delta(spark, tmp_path, monkeypatch):
     """backend='delta' must raise, never silently degrade to the
-    last-writer-wins parquet emulation."""
+    last-writer-wins parquet emulation. Forced by blanking the module
+    entry, so this runs in every environment."""
+    import sys
+
     from github_etl_pipeline_spark.sinks.upsert import merge_into
 
+    monkeypatch.setitem(sys.modules, "delta", None)
+    monkeypatch.setitem(sys.modules, "delta.tables", None)
     with pytest.raises(ImportError):
         merge_into(
             spark, tmp_path / "t", _pools_df(spark, [("a", 1.0)]), backend="delta"
@@ -255,7 +358,9 @@ def _full_pools_df(spark, n):
         "min_bet double, max_win_factor double, rtp double, volatility double, "
         "is_flat int, tag array<string>, size long, max_multiplier string, "
         "source_file string, file_name string, folder_path string, hit_frequency double",
-    ).withColumn("processed_at", F.current_timestamp())
+        # pinned timestamp: current_timestamp() re-evaluates per query
+        # execution, which would make the two-path parity test flaky
+    ).withColumn("processed_at", F.to_timestamp(F.lit("2026-01-02 03:04:05")))
 
 
 def test_consolidated_json_spills_to_shards_over_threshold(spark, tmp_path):
@@ -302,3 +407,33 @@ def test_csv_spills_to_shards_over_threshold(spark, tmp_path):
     # under the bound: single file, unchanged
     single = save_as_csv(df.limit(2), out, max_driver_rows=4)
     assert single == out and len(out.read_text().strip().splitlines()) == 3
+
+
+def test_sharded_json_matches_consolidated_dict_semantics(spark, tmp_path):
+    """Golden parity for the 100-TB overflow path (VERDICT r7 #8): the
+    SAME pools written through the sharded-JSONL spill and through the
+    single-document consolidated path must yield IDENTICAL per-key
+    record dicts — same keys (posix source_file), same fields, same
+    values, explicit nulls included. A consumer switching stores at the
+    threshold must see one record shape."""
+    import json as _json
+
+    pools = _full_pools_df(spark, 7)
+
+    # consolidated single-document path (threshold far above row count)
+    single_out = tmp_path / "all_pools_data.json"
+    got_single = write_consolidated_json(pools, single_out, max_driver_rows=1000)
+    assert got_single == single_out
+    consolidated = _json.loads(single_out.read_text())
+
+    # sharded overflow path (threshold below row count)
+    shard_out = tmp_path / "spill" / "all_pools_data.json"
+    shard_out.parent.mkdir()
+    got_shards = write_consolidated_json(pools, shard_out, max_driver_rows=3)
+    assert got_shards.name.endswith(".shards")
+    lines = []
+    for part in sorted(got_shards.glob("part-*")):
+        lines += [l for l in part.read_text().splitlines() if l]
+    sharded = {d["key"]: d["record"] for d in map(_json.loads, lines)}
+
+    assert sharded == consolidated
