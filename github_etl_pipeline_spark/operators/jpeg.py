@@ -774,6 +774,65 @@ def _encode_block(wtr, block, qtbl, dc_tbl, ac_tbl, pred):
     return zz[0]
 
 
+def _convert_components(pixels, w, h, channels, subsampling):
+    """Color-convert + optional 4:2:0 chroma box-average — the front
+    half both encoders share (was duplicated; ADVICE r7). Returns
+    (comps, qsel, hv): float component planes, per-component quant-table
+    selectors, and (h, v) sampling factors. ``subsampling="420"``
+    requires 3 channels: grayscale has no chroma to subsample, and
+    silently encoding 4:4:4 would mislabel the test vector the caller
+    asked for, so that contract is an explicit ValueError."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels).astype(np.float64)
+    if channels == 3:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+        ]
+        qsel = [0, 1, 1]
+        if subsampling == "420":
+            # box-average chroma over 2x2 (even-pad by edge replication)
+            def down2(p):
+                ph = np.pad(p, ((0, p.shape[0] & 1), (0, p.shape[1] & 1)), "edge")
+                return (
+                    ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
+                ) / 4.0
+
+            comps = [comps[0], down2(comps[1]), down2(comps[2])]
+            hv = [(2, 2), (1, 1), (1, 1)]
+        else:
+            hv = [(1, 1)] * 3
+    elif channels == 1:
+        if subsampling == "420":
+            raise ValueError(
+                "subsampling='420' requires channels=3 — grayscale has no "
+                "chroma to subsample (a silent 4:4:4 fallback would mislabel "
+                "the requested test vector)"
+            )
+        comps = [img[..., 0]]
+        qsel = [0]
+        hv = [(1, 1)]
+    else:
+        raise ValueError("channels must be 1 or 3")
+    return comps, qsel, hv
+
+
+def _pad_to_mcu_grid(comp, hvi, mcux, mcuy):
+    """Edge-replicate pad one component plane to its MCU-aligned block
+    grid and level-shift by -128 (shared by both encoders; replicate
+    padding avoids ringing at the crop boundary)."""
+    ch, cw = comp.shape
+    p = np.zeros((mcuy * hvi[1] * 8, mcux * hvi[0] * 8))
+    p[:ch, :cw] = comp
+    p[ch:, :cw] = comp[-1:, :]
+    p[:ch, cw:] = comp[:, -1:]
+    p[ch:, cw:] = comp[-1, -1]
+    return p - 128.0
+
+
 def encode_baseline_jpeg(pixels: bytes, w: int, h: int, channels: int,
                          quality: int = 90, restart_interval: int = 0,
                          subsampling: str = "444") -> bytes:
@@ -788,37 +847,8 @@ def encode_baseline_jpeg(pixels: bytes, w: int, h: int, channels: int,
     are pinned byte-identical in tests). Exists to generate
     entropy-coded test vectors for :func:`decode_jpeg`; it is NOT the
     production media path."""
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels).astype(np.float64)
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    if channels == 3:
-        r, g, b = img[..., 0], img[..., 1], img[..., 2]
-        comps = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
-        ]
-        qsel = [0, 1, 1]
-        hsel = [0, 1, 1]
-        if subsampling == "420":
-            # box-average chroma over 2x2 (even-pad by edge replication)
-            def down2(p):
-                ph = np.pad(p, ((0, p.shape[0] & 1), (0, p.shape[1] & 1)), "edge")
-                return (
-                    ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
-                ) / 4.0
-
-            comps = [comps[0], down2(comps[1]), down2(comps[2])]
-            hv = [(2, 2), (1, 1), (1, 1)]
-        else:
-            hv = [(1, 1)] * 3
-    elif channels == 1:
-        comps = [img[..., 0]]
-        qsel = [0]
-        hsel = [0]
-        hv = [(1, 1)]
-    else:
-        raise ValueError("channels must be 1 or 3")
+    comps, qsel, hv = _convert_components(pixels, w, h, channels, subsampling)
+    hsel = qsel  # Huffman table selectors mirror the quant selectors
     qt = [_quant_scaled(QUANT_LUMA, quality), _quant_scaled(QUANT_CHROMA, quality)]
     dc_enc = [
         _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
@@ -863,16 +893,9 @@ def encode_baseline_jpeg(pixels: bytes, w: int, h: int, channels: int,
     vmax = max(y for _, y in hv)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    padded = []
-    for i, comp in enumerate(comps):
-        ch, cw = comp.shape
-        p = np.zeros((mcuy * hv[i][1] * 8, mcux * hv[i][0] * 8))
-        p[:ch, :cw] = comp
-        # edge-replicate padding avoids ringing at the crop boundary
-        p[ch:, :cw] = comp[-1:, :]
-        p[:ch, cw:] = comp[:, -1:]
-        p[ch:, cw:] = comp[-1, -1]
-        padded.append(p - 128.0)
+    padded = [
+        _pad_to_mcu_grid(comp, hv[i], mcux, mcuy) for i, comp in enumerate(comps)
+    ]
     pred = [0] * nf
     mcu_count = 0
     rst = 0
@@ -901,9 +924,10 @@ def encode_baseline_jpeg(pixels: bytes, w: int, h: int, channels: int,
 
 
 # --------------------------------------------------------------------------
-# Minimal progressive encoder (test-vector generator): 4:4:4, spectral
-# selection + successive approximation, Annex-K DC tables + a uniform
-# 9-bit AC table (Annex-K AC tables lack the (r<<4)|0 EOBRUN symbols)
+# Minimal progressive encoder (test-vector generator): 4:4:4 or 4:2:0,
+# spectral selection + successive approximation, Annex-K DC tables + a
+# uniform 9-bit AC table (Annex-K AC tables lack the (r<<4)|0 EOBRUN
+# symbols)
 # --------------------------------------------------------------------------
 # all 256 symbols: 255 at 9 bits + 1 at 10 (a DHT BITS count is one
 # byte, so a single length cannot hold all 256)
@@ -921,34 +945,7 @@ def _component_zz_blocks(pixels, w, h, channels, quality, subsampling="444"):
     ``real[comp] = (rb_y, rb_x)`` is the component's real block grid
     (what non-interleaved AC scans cover), and ``hv`` the sampling
     factors."""
-    img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels).astype(np.float64)
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    if channels == 3:
-        r, g, b = img[..., 0], img[..., 1], img[..., 2]
-        comps = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128,
-        ]
-        qsel = [0, 1, 1]
-        if subsampling == "420":
-            def down2(p):
-                ph = np.pad(p, ((0, p.shape[0] & 1), (0, p.shape[1] & 1)), "edge")
-                return (
-                    ph[0::2, 0::2] + ph[1::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 1::2]
-                ) / 4.0
-
-            comps = [comps[0], down2(comps[1]), down2(comps[2])]
-            hv = [(2, 2), (1, 1), (1, 1)]
-        else:
-            hv = [(1, 1)] * 3
-    elif channels == 1:
-        comps = [img[..., 0]]
-        qsel = [0]
-        hv = [(1, 1)]
-    else:
-        raise ValueError("channels must be 1 or 3")
+    comps, qsel, hv = _convert_components(pixels, w, h, channels, subsampling)
     qt = [_quant_scaled(QUANT_LUMA, quality), _quant_scaled(QUANT_CHROMA, quality)]
     hmax = max(x for x, _ in hv)
     vmax = max(y for _, y in hv)
@@ -961,12 +958,7 @@ def _component_zz_blocks(pixels, w, h, channels, quality, subsampling="444"):
         real.append(((ch + 7) // 8, (cw + 7) // 8))
         by = mcuy * hv[i][1]
         bx = mcux * hv[i][0]
-        p = np.zeros((by * 8, bx * 8))
-        p[:ch, :cw] = comp
-        p[ch:, :cw] = comp[-1:, :]
-        p[:ch, cw:] = comp[:, -1:]
-        p[ch:, cw:] = comp[-1, -1]
-        p -= 128.0
+        p = _pad_to_mcu_grid(comp, hv[i], mcux, mcuy)
         rows = []
         for yb in range(by):
             row = []
@@ -1120,7 +1112,8 @@ def encode_progressive_jpeg(
     pixels: bytes, w: int, h: int, channels: int,
     quality: int = 90, successive: bool = True, subsampling: str = "444",
 ) -> bytes:
-    """Encode a progressive (SOF2) 4:4:4 JFIF JPEG. With ``successive``
+    """Encode a progressive (SOF2) JFIF JPEG, 4:4:4 or 4:2:0
+    (``subsampling="420"``, color only). With ``successive``
     the scan script exercises every progressive code path — DC first at
     Al=1, split spectral AC first scans at Al=2, two AC refinement
     passes, DC refinement; without it, plain spectral selection (one DC

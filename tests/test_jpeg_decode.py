@@ -305,3 +305,22 @@ def test_420_with_restart_markers():
         )
     )
     assert plain == rst
+
+
+def test_420_grayscale_is_an_explicit_error():
+    """Grayscale has no chroma to subsample: requesting 4:2:0 on a
+    1-channel image must raise, not silently encode 4:4:4 (the caller
+    asked for a vector the encoder cannot produce)."""
+    import numpy as np
+    import pytest
+
+    from github_etl_pipeline_spark.operators.jpeg import (
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    img = np.zeros((8, 8, 1), dtype=np.uint8)
+    with pytest.raises(ValueError, match="channels=3"):
+        encode_baseline_jpeg(img.tobytes(), 8, 8, 1, subsampling="420")
+    with pytest.raises(ValueError, match="channels=3"):
+        encode_progressive_jpeg(img.tobytes(), 8, 8, 1, subsampling="420")
