@@ -765,8 +765,19 @@ def media_dup_pairs(
     12-bit keys (pigeonhole: Hamming <= 3 pairs agree on >= 1 band —
     LOSSLESS for the threshold), hash-join bands, verify with
     bit_count(xor) exactly. Same scale shape as the SimHash text pairs:
-    the shuffle carries (band, key) rows, never all pairs."""
-    ah = media_ahash(media_text, text_col, id_col)
+    the shuffle carries (band, key) rows, never all pairs.
+
+    The aHash relation is persisted before the self-join: both join
+    sides re-project it under different aliases, so without the cache
+    the decode + hash chain runs once PER SIDE (AQE cannot reuse the
+    differently-aliased exchanges — measured 2x at sf3). Rows are
+    (media_id, ahash) = ~16 bytes, thousands of times smaller than the
+    media bytes, so caching it is the 100-TB shape too."""
+    from pyspark import StorageLevel
+
+    ah = media_ahash(media_text, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bits_per_band = AHASH_BITS // AHASH_BANDS
     mask = (1 << bits_per_band) - 1
     keyed = ah.select(
@@ -792,13 +803,16 @@ def media_dup_pairs(
     b = keyed.select(
         F.col("media_id").alias("id_b"), F.col("ahash").alias("hb"), "band", "bkey"
     )
-    cand = (
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # verify BEFORE dedup: the bit_count filter is map-side and free,
+    # while dropDuplicates shuffles its input — filtering first shrinks
+    # the distinct to the true near-dup pairs instead of every band
+    # collision (band collisions scale with corpus density; measured 4x
+    # at sf3 where ~11M candidates reduce to a handful of survivors)
+    return (
         a.join(b, ["band", "bkey"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ha", "hb")
+        .where(hamming <= max_hamming)
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.where(hamming <= max_hamming).select(
-        "id_a", "id_b", hamming.cast("long").alias("hamming")
     )

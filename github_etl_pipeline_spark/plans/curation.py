@@ -273,10 +273,19 @@ FROM q CROSS JOIN thr
     doc=f"distribution-derived quality gate: keep docs >= the corpus p{int(_QGATE_P*100)} composite quality score; the threshold is a broadcast single-row EXACT percentile (4dp scores, 6dp threshold — cross-engine-stable compare; at fleet scale swap in approx_percentile, same plan shape)",
 )
 def quality_percentile_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from github_etl_pipeline_spark.operators.text import quality_score
 
     docs = _docs(spark, sf_dir)
-    scored = docs.select("doc_id", quality_score("text").alias("quality"))
+    # persisted: the scored relation feeds BOTH the threshold aggregate
+    # and the output gate — without the cache the quality expression
+    # (three regexp passes) runs twice over the corpus. Narrow rows
+    # (id + one double), MEMORY_AND_DISK; harnesses clear cache between
+    # queries.
+    scored = docs.select("doc_id", quality_score("text").alias("quality")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     thr = scored.agg(
         F.round(F.expr(f"percentile(quality, {_QGATE_P})"), 6).alias("_thr")
     )
