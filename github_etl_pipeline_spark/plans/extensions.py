@@ -29,22 +29,13 @@ from github_etl_pipeline_spark.operators.text import (
     text_profile,
 )
 from github_etl_pipeline_spark.plans.registry import register
-from github_etl_pipeline_spark.sources.tables import read_table
+from github_etl_pipeline_spark.sources.tables import fan_out, read_table
 
 
 def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Repartition up to machine parallelism ONLY when the scan is
-    under-parallel: the test parquet is a single small file (1 scan
-    task), while the per-row work here (regex tokenize, shingle hashing,
-    minhash perms) is CPU-heavy and interpreted (higher-order exprs are
-    not codegen'd), so locally a round-robin repartition of ~MBs is the
-    right trade. At fleet scale the many input files already provide the
-    parallelism and the gate makes this a no-op — no gratuitous full
-    shuffle of the corpus (VERDICT r1 item 6)."""
-    parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
-        return df
-    return df.repartition(parallelism)
+    """See sources.tables.fan_out (promoted there in r8 so non-documents
+    builders can widen pathologically narrow scans too)."""
+    return fan_out(spark, df)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,3 +52,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition up to machine parallelism ONLY when the scan is
+    under-parallel (single small file / one parquet row group = 1 scan
+    task): heavy per-row plans (regex chains, multi-distinct Expand)
+    otherwise run their partial phase on one core. At fleet scale the
+    many input files already provide the parallelism and the gate makes
+    this a no-op — no gratuitous full shuffle of the corpus."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
