@@ -37,9 +37,11 @@ FLAGSHIPS = {
     ),
     "curation_pipeline_documents": (
         "Four independent keep signals intersected over a narrow (doc_id, "
-        "source, n_tokens) fact — the document text appears only below "
-        "scan-stage projections, never in an Exchange — then one "
-        "per-source window for sequence packing."
+        "source, n_tokens) fact, all reading ONE persisted base relation "
+        "(the corpus is scanned, tokenized and shingled exactly once — "
+        "InMemoryTableScan consumers) — the document text appears only "
+        "below the cache fill, never in an Exchange — then one per-source "
+        "window for sequence packing."
     ),
     "ann_topk_lsh": (
         "Bucketed ANN: Arrow-batched band keys, bucket equi-join against the "
@@ -130,6 +132,33 @@ the no-all-pairs invariant for every registered query on every run.
 """
 
 
+def _count_exchanges(jplan, seen_cached) -> int:
+    """Distinct physical exchange operators in a plan TREE. A naive
+    string count over executedPlan().toString() over-counts plans with
+    persisted subtrees: every InMemoryTableScan consumer re-prints the
+    cached relation's internal exchanges (the curation pipeline showed
+    30 that way for 22 real operators). Walking the tree counts each
+    exchange once; a cached relation's fill-plan exchanges are counted
+    once per DISTINCT relation (they execute once, at cache fill)."""
+    name = jplan.nodeName()
+    if name.startswith("AdaptiveSparkPlan"):
+        return _count_exchanges(jplan.initialPlan(), seen_cached)
+    n = 1 if "Exchange" in name else 0
+    if name.startswith("InMemoryTableScan"):
+        try:
+            rel = jplan.relation()
+            key = rel.hashCode()
+            if key not in seen_cached:
+                seen_cached.add(key)
+                n += _count_exchanges(rel.cachedPlan(), seen_cached)
+        except Exception:
+            pass  # cache-internal audit is best-effort
+    ch = jplan.children()
+    for i in range(ch.size()):
+        n += _count_exchanges(ch.apply(i), seen_cached)
+    return n
+
+
 def main() -> None:
     from github_etl_pipeline_spark.plans import REGISTRY
     from github_etl_pipeline_spark.session import get_spark
@@ -139,19 +168,22 @@ def main() -> None:
     out = [HEADER]
     counts = []
     for name, spec in REGISTRY.items():
-        plan = spec.builder(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        counts.append((plan.count("Exchange"), name))
+        jp = spec.builder(spark, SF_DIR)._jdf.queryExecution().executedPlan()
+        counts.append((_count_exchanges(jp, set()), name))
+        spark.catalog.clearCache()
     counts.sort(reverse=True)
     median = sorted(c for c, _ in counts)[len(counts) // 2]
     out.append(
         "\n## Registry-wide exchange audit\n\n"
-        f"Exchange-node counts per executed plan ({len(counts)} queries, "
-        f"median {median}; broadcast exchanges included, so join-heavy "
-        "plans count their cheap dim broadcasts too). The composed "
-        "curation pipeline tops the list because it runs four independent "
-        "signal subplans (quality, dedup-clustering, decontamination, "
-        "temperature sampling) — each signal individually carries the "
-        "minimal shuffle set for its semantics.\n\n"
+        f"Distinct exchange operators per executed plan tree ({len(counts)} "
+        f"queries, median {median}; broadcast exchanges included, so "
+        "join-heavy plans count their cheap dim broadcasts too; a "
+        "persisted subtree's fill exchanges count once, as executed). The "
+        "composed curation pipeline tops the list because it intersects "
+        "four independent keep signals (quality, dedup-clustering, "
+        "decontamination, temperature sampling) over one persisted corpus "
+        "scan — each signal individually carries the minimal shuffle set "
+        "for its semantics.\n\n"
         "| query | exchanges |\n|---|---|\n"
         + "\n".join(f"| {n} | {c} |" for c, n in counts[:12])
         + "\n"
