@@ -340,7 +340,13 @@ def simhash_pairs(
             f"banding is only exact for max_hamming <= bands-1 "
             f"(got {max_hamming} with {bands} bands)"
         )
-    sh = simhash(df, text_col, id_col)
+    # persisted before the self-join: both sides re-project it under
+    # different aliases, so without the cache the tokenize + 48-vote
+    # aggregate runs once PER SIDE (same fix as media_dup_pairs). One
+    # (id, long) row per doc — trivially cacheable at any corpus size.
+    from pyspark import StorageLevel
+
+    sh = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     width = SIMHASH_BITS // bands
     bandcols = [
         F.struct(
@@ -356,13 +362,17 @@ def simhash_pairs(
     )
     a = keyed.select("band", "bh", F.col(id_col).alias("id_a"), F.col("simhash").alias("sa"))
     b = keyed.select("band", "bh", F.col(id_col).alias("id_b"), F.col("simhash").alias("sb"))
-    cand = (
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    # verify BEFORE dedup: the bit_count filter is map-side and free,
+    # while dropDuplicates shuffles its input — filtering first shrinks
+    # the distinct to true near-dups, not every band collision
+    return (
         a.join(b, ["band", "bh"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.alias("hamming"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
-    return cand.where(ham <= max_hamming).select("id_a", "id_b", ham.alias("hamming"))
 
 
 def connected_components(
@@ -568,7 +578,14 @@ def embedding_dup_pairs_lsh(
 
     rows = n_planes // bands
     planes = _hyperplanes(dim, n_planes)
-    keyed = lsh_band_keys(emb, vec_col, id_col, planes, bands, rows)
+    # persisted before the self-join: both sides re-project the band
+    # keys under different aliases, so without the cache the 64-dot
+    # hyperplane signing runs once PER SIDE. (band, bh, id) tuples only.
+    from pyspark import StorageLevel
+
+    keyed = lsh_band_keys(emb, vec_col, id_col, planes, bands, rows).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = keyed.select("band", "bh", F.col(id_col).alias("id_a"))
     b = keyed.select("band", "bh", F.col(id_col).alias("id_b"))
     cand = (
