@@ -255,11 +255,22 @@ def jaccard_pairs(
     guarded by ``max_brute_rows``). Output (id_a, id_b, jaccard) with
     UNROUNDED jaccard >= threshold (rounding happens only in the output
     projection, matching the SQL oracles). ``text_col`` may name a
-    precomputed shingle-hash array (see ``hash_array_or_shingles``)."""
+    precomputed shingle-hash array (see ``hash_array_or_shingles``).
+
+    The shingle relation feeds BOTH sides of the verify join (aliased
+    id_a/id_b), so it is persisted: without the cache the tokenize +
+    k-gram + md5 chain runs once per side. When ``text_col`` is already
+    a precomputed hash array the projection is trivial and the persist
+    is skipped (curation_pipeline feeds its own cached base)."""
+    pre_hashed = isinstance(text_col, str) and dict(df.dtypes).get(text_col) == "array<bigint>"
     sh = df.select(
         F.col(id_col).alias("_id"),
         hash_array_or_shingles(df, text_col, k).alias("_sh"),
     )
+    if not pre_hashed:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     if candidates is not None:
