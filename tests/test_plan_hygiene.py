@@ -139,3 +139,27 @@ def test_no_heavy_expression_in_scan_filter(name, spark):
     )
     m = _HEAVY_FILTER.search(plan)
     assert not m, f"{name}: heavy expression in scan DataFilters ({m.group(1)})"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "simhash_dup_pairs",
+        "media_dup_pairs_documents",
+        "embedding_high_sim_pairs",
+        "minhash_dup_pairs_documents",
+        "curation_pipeline_documents",
+    ],
+)
+def test_pair_mining_heavy_relation_cached(name, spark):
+    """Self-join pair miners must read their heavy relation (band keys /
+    signatures / shingles / signal base) through a persisted cache:
+    both join sides re-project it under different aliases, so without
+    the cache the tokenize/signing chain runs once PER SIDE (r8 fix —
+    measured 2x at sf3). Executed AFTER collect so the adaptive plan is
+    final."""
+    df = REGISTRY[name].builder(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    assert "InMemoryTableScan" in plan, f"{name}: heavy relation not cached"
