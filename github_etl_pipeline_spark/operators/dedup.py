@@ -746,6 +746,13 @@ def fuzzy_pairs(
             F.when(F.col("_id") < F.col("_idb"), F.col("_key")).otherwise(F.col("_keyb")).alias("ka"),
             F.when(F.col("_id") < F.col("_idb"), F.col("_keyb")).otherwise(F.col("_key")).alias("kb"),
         )
+        # dedup BEFORE the levenshtein verify — the opposite order from
+        # the banded Hamming miners, deliberately: bit_count is ~1 op so
+        # filtering pre-dedup is free there, but levenshtein is
+        # O(key_len^2) per ROW and segment-collision multiplicity is
+        # high (each true pair collides on several segments), so running
+        # it pre-dedup re-verifies every collision (measured 3.6x slower
+        # at sf3 when tried in r8)
         .dropDuplicates(["id_a", "id_b"])
     )
     ed = F.levenshtein("ka", "kb")
