@@ -491,7 +491,11 @@ def _components_driver(nodes: DataFrame, pairs: DataFrame, id_col: str) -> DataF
     schema = StructType(
         [StructField(id_col, id_type), StructField("cluster_id", id_type)]
     )
-    lbl = nodes.sparkSession.createDataFrame(mapping, schema)
+    # one slice: mapping is driver-bounded (<= max_driver_pairs ids); the
+    # default createDataFrame slices it defaultParallelism ways and the
+    # broadcast collect pays a Python-worker handoff per slice
+    spark = nodes.sparkSession
+    lbl = spark.createDataFrame(spark.sparkContext.parallelize(mapping, 1), schema)
     return (
         nodes.select(F.col(id_col))
         .join(F.broadcast(lbl), id_col, "left")

@@ -465,10 +465,16 @@ def build_ivf_index(
     if lloyd_iterations > 0:
         centroids = _lloyd_refine(emb, vec_col, centroids, lloyd_iterations)
     spark = emb.sparkSession
+    # ONE slice, not createDataFrame(...).coalesce(1): a Python-list
+    # DataFrame parallelizes into defaultParallelism pickled slices, and
+    # coalesce(1)'s single task then evaluates all of them SEQUENTIALLY
+    # through the Python worker — measured ~5s for 16 rows at local[32]
+    # (~0.15s per slice handoff), the dominant fixed cost of the whole
+    # index build. parallelize(rows, 1) is one slice -> one worker pass.
     spark.createDataFrame(
-        [(cid, vec) for cid, vec in centroids],
+        spark.sparkContext.parallelize([(cid, vec) for cid, vec in centroids], 1),
         "centroid_id int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(str(index_path / "centroids"))
+    ).write.mode("overwrite").parquet(str(index_path / "centroids"))
     (
         _assign_cells(emb, centroids, id_col, vec_col)
         # co-locate each cell before the partitioned write: one file per
@@ -577,8 +583,11 @@ def ann_ivf_search(
         for i, r in enumerate(qrows)
         for j in order[i]
     ]
+    # one slice: qcell_rows is driver-bounded (queries x n_probe); the
+    # default parallelize would pickle it into 32 slices and pay a
+    # per-slice Python-worker handoff on the broadcast collect
     qcells = spark.createDataFrame(
-        qcell_rows,
+        spark.sparkContext.parallelize(qcell_rows, 1),
         f"{query_id_col} long, {query_vec_col} array<double>, _nq double, cell int",
     )
     probe_cells = sorted({int(c) for row in order for c in cids[row]})

@@ -21,66 +21,76 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 #   r7:    the 4 never-hash-green IVF queries, then 26 r4-stale names, then
 #          20 r5-green fillers. After r7 every registered query has been
 #          hash-green in at least one of r5/r6/r7.
-#   r8:    (this list) the 27 queries whose newest green row is r5 (the
+#   r8:    the 27 queries whose newest green row was r5 (the
 #          text/curation/sampling/sketch block — VERDICT r7 "What's wrong"
 #          #3), then 23 single-evidence r6 names to fill the ~50 prefix.
+#   r9:    (this list) the 27 queries whose newest green row is r6 —
+#          TPC-H q2/q3/q5-q10/q14/q17/q18/q20/q21 + the session/window/
+#          as-of/range-join/set-ops/pivot/cube block — then 23 fillers
+#          ordered by FEWEST lifetime green rows (the 4 IVF queries have
+#          exactly one green row each, then the 2-green and 3-green r7
+#          names). After r9 registry max staleness becomes r7.
 # CHECK_LOCAL.json re-verifies EVERY registered query each round regardless
-# of this order. Recompute for r9 from the committed CORRECTNESS_r*.json:
-# lead with the ~50 names whose newest green row is oldest.
+# of this order. Recompute for r10 from the committed CORRECTNESS_r*.json:
+# lead with the ~50 names whose newest green row is oldest, tie-break by
+# fewest lifetime green rows.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY = [
-    # --- newest green row is r5 (27 queries) ---
-    "stratified_sample_documents",
-    "top_terms_by_source",
-    "cms_user_purchase_counts",
-    "hll_registers_events",
-    "vocabulary_documents",
-    "bm25_search_documents",
-    "embedding_centroid_outliers",
-    "unigram_logprob_outliers",
-    "bigram_lm_outliers",
-    "quantize_embeddings_int8",
-    "fuzzy_pairs_documents",
-    "weighted_sample_documents",
-    "quantile_sketch_lineitem",
-    "ann_topk_gemm",
-    "decontaminate_documents",
-    "boilerplate_ngrams_documents",
-    "dup_span_documents",
-    "dup_span_keep_first_documents",
-    "remove_dup_spans_documents",
-    "quality_percentile_gate_documents",
-    "chunk_documents",
-    "pack_sequences_documents",
-    "quality_filter_documents",
-    "temperature_sample_documents",
-    "embedding_dup_clusters",
-    "curation_pipeline_documents",
-    "exact_k_sample_documents",
-    # --- r6-green names with only one green row (fill the ~50 prefix) ---
-    "cohort_retention_events",
-    "overlap_click_purchase_windows",
-    "grouping_sets_orders",
-    "frame_sample_media",
-    "props_variant_events",
-    "media_ahash_documents",
-    "media_dup_pairs_documents",
-    "sliding_event_counts",
-    "kmv_distinct_users_events",
-    "bpe_top_pairs_documents",
-    "source_overlap_documents",
-    "session_window_events",
-    "rolling_7d_revenue",
-    "anomaly_zscore_daily",
-    "user_value_trend_events",
-    "latency_percentiles_events",
-    "top3_orders_per_priority",
-    "unpivot_order_status_counts",
-    "snapshot_diff_orders",
-    "profile_columns_orders",
-    "window_rank_extras_events",
-    "split_documents_hash",
-    "shuffle_documents_shards",
+    # --- newest green row is r6 (27 queries) ---
+    "asof_click_before_error",
+    "cube_lineitem",
+    "dedup_latest_events",
+    "hypertable_rollup_events",
+    "multimodal_features_documents",
+    "pivot_user_cohort_events",
+    "pricing_summary",
+    "props_parse_events",
+    "range_join_clicks_after_error",
+    "sessionize_events",
+    "set_ops_users",
+    "stream_join_click_purchase",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_price_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "windowed_event_counts",
+    "zorder_key_events",
+    # --- r7-green fillers, fewest lifetime green rows first ---
+    # 1 green row ever (r7 only):
+    "ivf_index_build",
+    "ann_topk_ivf",
+    "ann_topk_ivf_served",
+    "ann_ivf_recall_floor",
+    # 2 green rows (r5 + r7):
+    "ann_topk_lsh",
+    "audio_features_documents",
+    "dedup_canonical_documents",
+    "dup_clusters_documents",
+    "pii_profile_documents",
+    "repetition_profile_documents",
+    "simhash_dup_pairs",
+    "source_profile_documents",
+    "winnowing_fingerprints_documents",
+    # 3 green rows:
+    "ann_topk_bruteforce",
+    "embedding_high_sim_pairs",
+    "exact_dedup_documents",
+    "funnel_events",
+    "gapfill_daily_purchases",
+    "gapfill_user_activity",
+    "minhash_dup_pairs_documents",
+    "minhash_signatures_documents",
+    "ngram_jaccard_pairs_documents",
+    "pool_distribution_synth",
 ]
 
 

@@ -52,3 +52,17 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def sweep_caches(spark: SparkSession) -> None:
+    """Drop every cached relation AND persisted RDD between measured or
+    compared runs. Order matters: clear SQL-cache entries FIRST —
+    ``rdd.unpersist()`` alone leaves a stale CacheManager entry that the
+    next identical analyzed plan reuses WITHOUT re-storing
+    (recompute-per-consumer, measured 3-10x slower), and an
+    async-unpersist race can even serve stale rows if the table was
+    rewritten in between. Shared by bench.py, tools/check_correctness.py
+    and tools/scale_probe.py so the comment lives once (ADVICE r8)."""
+    spark.catalog.clearCache()
+    for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+        rdd.unpersist()

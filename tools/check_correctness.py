@@ -87,7 +87,7 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entry
-    from github_etl_pipeline_spark.session import get_spark
+    from github_etl_pipeline_spark.session import get_spark, sweep_caches
 
     spark = get_spark(app_name="check_correctness", cpus="32")
     spark.sparkContext.setLogLevel("ERROR")
@@ -112,12 +112,7 @@ def main() -> int:
             print(f"ERR  {name}: spark error: {e}")
             results[name] = {"status": "spark_error", "err": str(e)[:500]}
             continue
-        # drop SQL-cache entries FIRST: rdd.unpersist() alone leaves a
-        # stale CacheManager entry that the next identical plan reuses
-        # WITHOUT re-storing (recompute-per-consumer, measured 3-10x)
-        spark.catalog.clearCache()
-        for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
-            rdd.unpersist()
+        sweep_caches(spark)
         secs = round(time.perf_counter() - t0, 2)
         if name not in oracles:
             print(f"rows_only  {name}: {len(sdf)} rows  ({secs}s)")
