@@ -660,21 +660,36 @@ def curation_pipeline(
     text); every signal reads the cache instead of re-running the
     regexp chains per signal (the r7 plan scanned the corpus once PER
     signal, ~6 tokenize passes). MEMORY_AND_DISK so an executor that
-    can't hold its slice spills instead of recomputing; the bench /
-    correctness harnesses sweep persisted RDDs between queries."""
+    can't hold its slice spills instead of recomputing.
+
+    Cache contract (ADVICE r8): the base relation stays persisted in
+    the returned plan — sweep with ``session.sweep_caches(spark)`` in
+    long-lived sessions (the bench / correctness harnesses do), always
+    before re-running over a rewritten input table (a stale
+    CacheManager entry can serve dead rows for an identical analyzed
+    plan)."""
     from pyspark import StorageLevel
 
     from github_etl_pipeline_spark.operators.dedup import dup_clusters, shingle_hashes
 
+    from github_etl_pipeline_spark.operators.text import token_count
+
     base = docs.select(
         F.col(id_col),
         F.col(part_col),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0))
-        .cast("long")
-        .alias("n_tokens"),
+        # token_count, not an inlined regexp: pipeline-vs-standalone
+        # parity requires this to stay identical to pack_sequences'
+        # n_tokens source (ADVICE r8)
+        token_count(text_col).cast("long").alias("n_tokens"),
         quality_keep(text_col).alias("_qkeep"),
-        shingle_hashes(text_col, dedup_k).alias("_hs_dup"),
-        shingle_hashes(text_col, decon_k).alias("_hs_dc"),
+        # shingle_k metadata lets hash_array_or_shingles verify each
+        # consumer stage asks for the k this array was built with
+        shingle_hashes(text_col, dedup_k).alias(
+            "_hs_dup", metadata={"shingle_k": dedup_k}
+        ),
+        shingle_hashes(text_col, decon_k).alias(
+            "_hs_dc", metadata={"shingle_k": decon_k}
+        ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     qkeep = base.where(F.col("_qkeep")).select(id_col)

@@ -101,8 +101,24 @@ def hash_array_or_shingles(df: DataFrame, col: Column | str, k: int) -> Column:
     ``shingle_hashes(col, k)`` from the text column. Lets multi-signal
     plans (``curation.curation_pipeline``) tokenize + shingle the corpus
     ONCE into a persisted base relation and feed every dedup stage from
-    it instead of re-running the regexp chain per signal."""
+    it instead of re-running the regexp chain per signal.
+
+    The precomputed column must carry ``{"shingle_k": k}`` column
+    metadata (attach it at alias time:
+    ``shingle_hashes(text, k).alias(name, metadata={"shingle_k": k})``)
+    and it must MATCH this stage's ``k`` — silently accepting a k=2
+    array into a k=3 stage would yield wrong pairs/decontamination with
+    no error (ADVICE r8)."""
     if isinstance(col, str) and dict(df.dtypes).get(col) == "array<bigint>":
+        meta = df.schema[col].metadata or {}
+        got = meta.get("shingle_k")
+        if got != k:
+            raise ValueError(
+                f"precomputed shingle column {col!r} declares shingle_k="
+                f"{got!r} but this stage needs k={k}; attach matching "
+                'metadata via .alias(name, metadata={"shingle_k": k}) '
+                "when building the base relation"
+            )
         return F.col(col)
     return shingle_hashes(col, k)
 
@@ -261,7 +277,15 @@ def jaccard_pairs(
     id_a/id_b), so it is persisted: without the cache the tokenize +
     k-gram + md5 chain runs once per side. When ``text_col`` is already
     a precomputed hash array the projection is trivial and the persist
-    is skipped (curation_pipeline feeds its own cached base)."""
+    is skipped (curation_pipeline feeds its own cached base).
+
+    Cache contract (ADVICE r8): the returned plan READS that persisted
+    relation and this function never unpersists it (doing so before the
+    caller's terminal action would defeat the cache). Long-lived
+    sessions must sweep with ``session.sweep_caches(spark)`` after
+    consuming the result — and always before re-running over a
+    rewritten input table, since a stale CacheManager entry can serve
+    dead rows for an identical analyzed plan."""
     pre_hashed = isinstance(text_col, str) and dict(df.dtypes).get(text_col) == "array<bigint>"
     sh = df.select(
         F.col(id_col).alias("_id"),
@@ -345,7 +369,12 @@ def simhash_pairs(
     is lossless (100% recall) at the default (4 bands, distance <= 3),
     and the Hamming verify runs on candidates only. Same linear-time
     shape as minhash_dedup_pairs: shuffles (band, 12-bit block, id)
-    tuples, never text. Output (id_a, id_b, hamming)."""
+    tuples, never text. Output (id_a, id_b, hamming).
+
+    Cache contract (ADVICE r8): the signature relation stays persisted
+    in the returned plan (see ``jaccard_pairs``) — sweep with
+    ``session.sweep_caches(spark)`` in long-lived sessions, always
+    before re-running over a rewritten input table."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"banding is only exact for max_hamming <= bands-1 "
@@ -583,7 +612,12 @@ def embedding_dup_pairs_lsh(
     ~0.03, so candidates stay near-linear). At thresholds close to
     random (~0.45) sign-LSH cannot separate — recall falls to ~0.2 and
     exhaustive mining is inherently quadratic; use the capped
-    ``embedding_dup_pairs`` baseline there. Output (id_a, id_b)."""
+    ``embedding_dup_pairs`` baseline there. Output (id_a, id_b).
+
+    Cache contract (ADVICE r8): the band-key relation stays persisted
+    in the returned plan (see ``jaccard_pairs``) — sweep with
+    ``session.sweep_caches(spark)`` in long-lived sessions, always
+    before re-running over a rewritten input table."""
     from github_etl_pipeline_spark.operators.similarity import (
         _hyperplanes,
         dot_expr,

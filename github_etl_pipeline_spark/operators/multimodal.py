@@ -772,7 +772,13 @@ def media_dup_pairs(
     the decode + hash chain runs once PER SIDE (AQE cannot reuse the
     differently-aliased exchanges — measured 2x at sf3). Rows are
     (media_id, ahash) = ~16 bytes, thousands of times smaller than the
-    media bytes, so caching it is the 100-TB shape too."""
+    media bytes, so caching it is the 100-TB shape too.
+
+    Cache contract (ADVICE r8): that relation stays persisted in the
+    returned plan — sweep with ``session.sweep_caches(spark)`` in
+    long-lived sessions, always before re-running over a rewritten
+    input table (a stale CacheManager entry can serve dead rows for an
+    identical analyzed plan)."""
     from pyspark import StorageLevel
 
     ah = media_ahash(media_text, text_col, id_col).persist(

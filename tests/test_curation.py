@@ -432,8 +432,10 @@ def test_hash_array_passthrough_matches_text(spark):
     pre = docs.select(
         "doc_id",
         "source",
-        shingle_hashes("text", 2).alias("hs2"),
-        shingle_hashes("text", 3).alias("hs3"),
+        # shingle_k metadata is REQUIRED on precomputed arrays since r9
+        # (hash_array_or_shingles refuses undeclared/mismatched k)
+        shingle_hashes("text", 2).alias("hs2", metadata={"shingle_k": 2}),
+        shingle_hashes("text", 3).alias("hs3", metadata={"shingle_k": 3}),
     )
     by_text = sorted(
         minhash_dedup_pairs(docs, "text", "doc_id", k=2, threshold=0.2).collect()
@@ -541,3 +543,27 @@ def test_curation_pipeline_single_corpus_scan(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     spark.catalog.clearCache()
+
+
+def test_precomputed_shingle_k_metadata_contract(spark):
+    """hash_array_or_shingles must REFUSE a precomputed array<bigint>
+    whose shingle_k metadata is absent or mismatched — silently feeding
+    a k=2 array into a k=3 stage yields wrong pairs/decontamination
+    with no error (ADVICE r8)."""
+    import pytest
+
+    from github_etl_pipeline_spark.operators.dedup import (
+        hash_array_or_shingles,
+        shingle_hashes,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    base = df.select(
+        "doc_id", shingle_hashes("text", 2).alias("_hs", metadata={"shingle_k": 2})
+    )
+    hash_array_or_shingles(base, "_hs", 2)  # matching k passes
+    with pytest.raises(ValueError, match="shingle_k"):
+        hash_array_or_shingles(base, "_hs", 3)  # mismatched k refused
+    bare = df.select("doc_id", shingle_hashes("text", 2).alias("_hs"))
+    with pytest.raises(ValueError, match="shingle_k"):
+        hash_array_or_shingles(bare, "_hs", 2)  # undeclared k refused

@@ -142,8 +142,21 @@ def _count_exchanges(jplan, seen_cached) -> int:
     once per DISTINCT relation (they execute once, at cache fill)."""
     name = jplan.nodeName()
     if name.startswith("AdaptiveSparkPlan"):
+        # prefer the final plan when AQE has materialized one — the
+        # initialPlan misses runtime exchange elimination (ADVICE r8).
+        # executedPlan() is the CURRENT physical plan (never triggers
+        # execution, unlike finalPhysicalPlan()); for the un-executed
+        # plans this tool builds, isFinalPlan() is False and the
+        # initialPlan remains the only thing there is to count.
+        try:
+            if jplan.isFinalPlan():
+                return _count_exchanges(jplan.executedPlan(), seen_cached)
+        except Exception:
+            pass
         return _count_exchanges(jplan.initialPlan(), seen_cached)
-    n = 1 if "Exchange" in name else 0
+    # ReusedExchange re-prints an exchange that executes ONCE elsewhere
+    # in the tree — counting it double-books the shuffle (ADVICE r8)
+    n = 1 if ("Exchange" in name and not name.startswith("ReusedExchange")) else 0
     if name.startswith("InMemoryTableScan"):
         try:
             rel = jplan.relation()
