@@ -129,13 +129,15 @@ def quality_score(col: Column | str) -> Column:
 
 def fingerprint(col: Column | str) -> Column:
     """Deterministic 64-bit-ish document fingerprint: md5 of the
-    normalized text (lowercase, non-alnum stripped, whitespace collapsed),
+    normalized text (lowercase, non-alnum stripped, whitespace
+    collapsed — dedup.normalized_text, the shared extract-based
+    formulation; see its docstring for the RegExpReplace pathology),
     first 12 hex chars as integer."""
-    c = _c(col)
-    norm = F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    from github_etl_pipeline_spark.operators.dedup import normalized_text
+
+    return F.conv(F.substring(F.md5(normalized_text(_c(col))), 1, 12), 16, 10).cast(
+        "long"
     )
-    return F.conv(F.substring(F.md5(norm), 1, 12), 16, 10).cast("long")
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

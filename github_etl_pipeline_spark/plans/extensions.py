@@ -40,11 +40,13 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 # Deterministic duplicate-seeding knobs shared by the media-pair and
 # embedding-pair queries (see _MEDIA_SEED_SQL / _EMB_SEED_SQL below): every
-# 97th id is re-unioned under id + 10M so pair mining provably fires at
-# driver scale. Offset keeps seeded ids disjoint from real ids at any SF
-# this repo tests.
+# 97th id is re-unioned under id + 1e9 so pair mining provably fires at
+# driver scale. Offset sits far above the replicated scale tiers' id space
+# too (make_sf1 steps doc_id/vec_id by 1M per copy -> max ~1e8 at the .sf10
+# tier), so seeded ids never collide with real ids at any tier this repo
+# probes.
 _MEDIA_SEED_MOD = 97
-_MEDIA_SEED_OFFSET = 10_000_000
+_MEDIA_SEED_OFFSET = 1_000_000_000
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
