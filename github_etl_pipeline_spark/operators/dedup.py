@@ -49,13 +49,17 @@ def normalized_text(col: Column | str) -> Column:
     collapse+trim. Pinned row-for-row against the replace form in
     tests/test_properties.py.
 
-    Why not regexp_replace: Spark's RegExpReplace measured ~30x slower
-    than RegExpExtractAll for the same class on the same corpus (6.8s vs
-    0.9s over 150k x 400-char docs, r9 probe) and the cost barely
-    parallelizes — it dominated exact_dedup at every tier (VERDICT r8
-    #6). The DuckDB oracle mirror (_NORM_SQL) keeps the replace form:
-    DuckDB's RE2-based replace is fast, and equal semantics is all the
-    cross-engine hash needs."""
+    Why not regexp_replace: the NEGATED-UNION class '[^a-z0-9\\s]' is
+    ~10x slower in Spark's java.util.regex-backed replace than literal /
+    positive-class / '\\s+' patterns on the same corpus (6.3s vs 0.6s
+    over 150k x 400-char docs, r9 micro-probe — match counts comparable,
+    so it is the per-character complement-union step, not the
+    replacement machinery), and it dominated exact_dedup at every tier
+    (VERDICT r8 #6: the alpha=0.90 'scan-bound' read was really this one
+    expression). Extracting the POSITIVE complement sidesteps it: same
+    corpus 6.8s -> 0.9s. The DuckDB oracle mirror (_NORM_SQL) keeps the
+    replace form: DuckDB's RE2 has no such cliff, and equal semantics is
+    all the cross-engine hash needs."""
     c = F.col(col) if isinstance(col, str) else col
     kept = F.array_join(F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9\s]+"), 0), "")
     return F.array_join(F.regexp_extract_all(kept, F.lit(r"[a-z0-9]+"), 0), " ")

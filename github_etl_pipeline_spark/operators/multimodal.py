@@ -333,7 +333,12 @@ def frame_sample(
                     out["channels"].append(ch)
                     out["content"].append(px)
                     out["content_hash"].append(hashlib.md5(px).hexdigest())
-            yield pd.DataFrame(out)
+            # skip all-filtered batches: pd.DataFrame of empty lists
+            # defaults every column to float64, and Arrow refuses
+            # empty-float64 -> binary for `content` (same class of crash
+            # as the _lloyd_refine empty-partition yield, r9)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
 
@@ -552,7 +557,8 @@ def audio_features(
                     out["peak"].append(max((abs(s) for s in w), default=0))
                     out["energy"].append(sum(s * s for s in w))
                     start += hop
-            yield pd.DataFrame(out)
+            if out["media_id"]:  # see frame-sample note on empty batches
+                yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "audio").mapInPandas(
         run, schema=AUDIO_FEATURE_SCHEMA

@@ -329,6 +329,15 @@ def _lloyd_refine(
                 np.add.at(sums, a, M)
                 np.add.at(counts, a, 1)
             hit = np.nonzero(counts)[0]
+            # yield NOTHING for an empty partition: an all-empty yield
+            # builds pd.DataFrame({"s": []}) whose empty column defaults
+            # to float64, and Arrow refuses float64 -> array<double>
+            # ("NumPyConverter doesn't implement list<double>"). Empty
+            # partitions are routine once the scan keeps its native
+            # splits (a single-row-group file splits into
+            # size/defaultParallelism byte ranges, all but one empty).
+            if hit.size == 0:
+                return
             yield pd.DataFrame(
                 {
                     "cell": [cids[i] for i in hit],

@@ -92,6 +92,20 @@ def main() -> int:
     spark = get_spark(app_name="check_correctness", cpus="32")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # session warmup so the FIRST checked queries don't book JVM codegen /
+    # Python-worker / parquet-reader startup into their per-query `sec`
+    # (r8's CHECK_LOCAL showed 6.5s for the prefix head vs ~1s steady;
+    # the r8-verdict 'slowest query' table was partly this artifact)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("double")
+    def _wu(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_wu(_F.col("id").cast("double"))).collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
