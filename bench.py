@@ -111,6 +111,10 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
     waited_for_idle = _wait_for_idle()
+    # capture BEFORE the session boots: JVM startup + warmups push the
+    # 1-min loadavg to ~3 on their own, which previously made
+    # loadavg_start read as (self-inflicted) contention
+    loadavg_start = os.getloadavg()
 
     from github_etl_pipeline_spark.plans import REGISTRY
     from github_etl_pipeline_spark.session import get_spark, sweep_caches
@@ -144,7 +148,6 @@ def main() -> None:
     # number below stays strictly single-shot (it's the baseline
     # comparison and includes page-cache + codegen cost by design).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    loadavg_start = os.getloadavg()
 
     def timed(spec, n: int) -> float:
         best = float("inf")
