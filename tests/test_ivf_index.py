@@ -188,3 +188,25 @@ def test_recall_floor_query(spark):
     total = sum(r.n_in_exact for r in rows)
     assert 0 <= total <= 25
     assert total / 25 >= 0.3, rows
+
+
+def test_build_survives_empty_scan_partitions(spark, tmp_path):
+    """Empty input partitions are routine once the build reads a scan's
+    native splits (a single-row-group file yields one non-empty split
+    out of size/defaultParallelism byte ranges). _lloyd_refine's
+    partial-sum pass previously yielded an all-empty pd.DataFrame for
+    such partitions, whose 's' column defaulted to float64 — Arrow then
+    refused float64 -> array<double> and the whole build crashed
+    (caught at the .sf3 tier, r9). Force empty partitions explicitly
+    and require the build to succeed and index every vector once."""
+    emb = read_table(spark, SF, "embeddings").repartition(64)  # 500 rows
+    # repartition(64) of 500 rows leaves most partitions non-empty, so
+    # ALSO append a filter-to-empty union leg to guarantee empties
+    empty = read_table(spark, SF, "embeddings").where(F.lit(False))
+    emb = emb.unionAll(empty.repartition(8))
+    path = str(tmp_path / "idx_empty")
+    build_ivf_index(emb, path, n_centroids=8, lloyd_iterations=2)
+    cells = spark.read.parquet(f"{path}/cells")
+    n = read_table(spark, SF, "embeddings").count()
+    assert cells.count() == n
+    assert cells.select("vec_id").distinct().count() == n
