@@ -1007,7 +1007,7 @@ SELECT source, rank, term, tf FROM (
   FROM scored
 ) WHERE rank <= 5
 """,
-    doc="tf-idf-style top-5 terms per source (log-free score for cross-engine determinism); explode -> two aggregates -> window",
+    doc="tf-idf-style top-5 terms per source (log-free score for cross-engine determinism); ONE tokenize pass: (term,source,doc_id) pre-agg -> (term,source) agg carrying doc counts -> df as a window sum over term (no second scan, no df join)",
 )
 def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.operators.text import TOKEN_RE as _TRE
@@ -1018,9 +1018,24 @@ def top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", F.explode(F.regexp_extract_all("text", F.lit(_TRE), 0)).alias("term")
     )
     n_docs = docs.select(F.count_distinct("doc_id").alias("n"))
-    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
-    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n_docs)).select(
+    # The document text is tokenized ONCE. A naive tf/df formulation reads
+    # the exploded token relation twice (two regexp passes over every
+    # document — and Catalyst's column pruning diverges the two pre-agg
+    # subtrees, so ReusedExchange does NOT rescue it). Instead: aggregate
+    # to (term, source) carrying BOTH the term frequency and the number of
+    # contributing documents, then recover the per-term document frequency
+    # as a window SUM over term — each doc_id has exactly one source, so
+    # summing per-source doc counts across sources is exactly
+    # COUNT(DISTINCT doc_id) per term. Everything after the first exchange
+    # operates on the skinny (term, source) aggregate.
+    pre = tok.groupBy("term", "source", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = pre.groupBy("term", "source").agg(
+        F.sum("cnt").alias("tf"), F.count(F.lit(1)).alias("docs")
+    )
+    df_w = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.sum("docs").over(df_w)).crossJoin(
+        F.broadcast(n_docs)
+    ).select(
         "source",
         "term",
         "tf",

@@ -26,6 +26,16 @@ Two ledgers, two change models:
     metadata-only (binaryFile schema pruned to path+modificationTime —
     no bytes read); the anti-join against the ledger is O(corpus
     listing), and only CHANGED files' contents are ever read.
+  * ``run_incremental_git`` — the reference's LITERAL change log: one
+    subprocess call to ``git diff --name-only HEAD~1 HEAD``
+    (etl/extract.py:55-80, the pipeline's only process boundary per
+    SURVEY §"Process/thread boundaries"), filtered to .pol files under
+    the scan dir, deleted files skipped, full-scan fallback when the
+    diff is empty or git fails (etl/main.py:79-85). Use when the
+    corpus actually lives in a git work-tree (the reference's CI
+    deployment); the changed-path list is bounded by ONE COMMIT'S
+    CHURN, never corpus size, so the driver round-trip is safe at
+    fleet scale.
 """
 
 from __future__ import annotations
@@ -177,6 +187,82 @@ def run_incremental_mtime(
     pools = pool_kpis(parsed, dim_agg=dim_agg, rounding=rounding)
     upsert_parquet(spark, pools, store_path)
     upsert_parquet(spark, changed, ledger_path, key="path")
+    return n_changed
+
+
+def changed_paths_from_git(repo_root: str | Path) -> list[str] | None:
+    """``git diff --name-only HEAD~1 HEAD`` as a list of repo-relative
+    posix paths, or None when git fails (not a repo, single commit,
+    no git binary) — None means "fall back to a full scan"
+    (etl/extract.py:55-80: errors return [], and an empty changed list
+    triggers the full-scan fallback in etl/main.py:82-85)."""
+    import subprocess
+
+    try:
+        result = subprocess.run(
+            ["git", "diff", "--name-only", "HEAD~1", "HEAD"],
+            cwd=str(repo_root),
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    return [f.strip() for f in result.stdout.splitlines() if f.strip()]
+
+
+def run_incremental_git(
+    spark: SparkSession,
+    repo_root: str | Path,
+    store_path: str | Path,
+    scan_subdir: str = "samples/pools2",
+    dim_agg: DataFrame | None = None,
+    rounding: str = "bankers",
+) -> int:
+    """Git-commit-keyed incremental run: process exactly the .pol files
+    the last commit touched — the reference's change model verbatim
+    (etl/extract.py:160-211). Change detection is ONE subprocess call on
+    the driver; its output is bounded by one commit's churn (never the
+    corpus size), so unlike a listing-based ledger this mode costs no
+    directory walk at all in the steady state. Returns the number of
+    changed files processed, or -1 when it fell back to a full scan
+    (no changed .pol files / git unavailable — etl/main.py:82-85).
+
+    Matches the reference filter chain exactly: ``.pol`` suffix, path
+    under ``scan_subdir`` (posix substring, etl/extract.py:176-180),
+    deleted files skipped (``:192-195``), ``EXCLUDED_DIRS`` path parts
+    skipped (``:197-199``).
+    """
+    repo_root = Path(repo_root)
+    scan_dir = str(repo_root / scan_subdir)
+    changed = changed_paths_from_git(repo_root)
+    sub_posix = scan_subdir.strip("/")
+    paths: list[str] = []
+    if changed:
+        for rel in changed:
+            rel_posix = rel.replace("\\", "/")
+            if not rel_posix.endswith(".pol") or sub_posix not in rel_posix:
+                continue
+            fp = repo_root / rel_posix
+            if not fp.exists():  # deleted in the commit
+                continue
+            if any(part in EXCLUDED_DIRS for part in fp.parts):
+                continue
+            paths.append(str(fp))
+    if paths:
+        # in-place edits: drop stale cached file lengths (see
+        # run_incremental_mtime) before re-reading changed paths
+        spark.catalog.refreshByPath(scan_dir)
+        raw = spark.read.format("text").load(paths)
+        n_changed = len(paths)
+    else:
+        # no changed .pol files (or git failed) -> full-scan fallback
+        raw = _full_scan_text(spark, scan_dir)
+        n_changed = -1
+    lines = _project_lines(raw, scan_dir)
+    parsed = parse_pol_lines(lines, keep_invalid=True)
+    pools = pool_kpis(parsed, dim_agg=dim_agg, rounding=rounding)
+    upsert_parquet(spark, pools, store_path)
     return n_changed
 
 

@@ -131,3 +131,100 @@ def test_incremental_mtime_first_run_is_directory_scan(spark, tmp_path, dim_agg)
     assert run_incremental_mtime(spark, corpus, ledger, store, dim_agg) == 0
     (corpus / "Pool_0201_999.pol").write_text("1\n2\n3\n")
     assert run_incremental_mtime(spark, corpus, ledger, store, dim_agg) == 1
+
+
+def _git(repo, *args):
+    import subprocess
+
+    subprocess.run(
+        ["git", "-C", str(repo), *args],
+        check=True,
+        capture_output=True,
+        env={
+            "PATH": "/usr/bin:/bin:/usr/local/bin",
+            "GIT_AUTHOR_NAME": "t",
+            "GIT_AUTHOR_EMAIL": "t@t",
+            "GIT_COMMITTER_NAME": "t",
+            "GIT_COMMITTER_EMAIL": "t@t",
+            "HOME": str(repo),
+        },
+    )
+
+
+def test_incremental_git_processes_last_commit_churn(spark, tmp_path, dim_agg):
+    """run_incremental_git is the reference's LITERAL change log
+    (etl/extract.py:55-80,160-211): one `git diff --name-only HEAD~1
+    HEAD` call decides the file set — edited files re-processed,
+    deleted files skipped, files outside the scan subdir ignored,
+    full-scan fallback when the diff has no .pol files."""
+    from github_etl_pipeline_spark.streaming.incremental import run_incremental_git
+
+    repo = tmp_path / "repo_g"
+    pools = repo / "samples" / "pools2"
+    pools.mkdir(parents=True)
+    store = tmp_path / "store_g"
+
+    (pools / "Pool_0201_941.pol").write_text("100\n200\n")
+    (pools / "Pool_0201_395.pol").write_text("50\n")
+    (pools / "Pool_0201_777.pol").write_text("1\n2\n3\n")
+    _git(repo, "init", "-q")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c1")
+
+    # single-commit repo: HEAD~1 does not exist -> git fails -> full scan
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == -1
+    got1 = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got1 == {
+        "Pool_0201_941.pol": 2,
+        "Pool_0201_395.pol": 1,
+        "Pool_0201_777.pol": 3,
+    }
+
+    # commit 2: edit one pool, delete one, touch a non-.pol and an
+    # out-of-subdir file -> exactly ONE file is in the processed set
+    (pools / "Pool_0201_941.pol").write_text("100\n200\n300\n400\n")
+    (pools / "Pool_0201_777.pol").unlink()
+    (pools / "notes.txt").write_text("x")
+    (repo / "Pool_0201_888.pol").write_text("9\n")  # outside samples/pools2
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c2")
+
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == 1
+    got2 = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    # edited row upserted in place; untouched + deleted rows preserved
+    # (the reference never deletes store entries: upsert-only JSON)
+    assert got2 == {
+        "Pool_0201_941.pol": 4,
+        "Pool_0201_395.pol": 1,
+        "Pool_0201_777.pol": 3,
+    }
+
+    # commit 3 touches no .pol under the subdir -> full-scan fallback
+    # (etl/main.py:82-85) re-processing what exists on disk now
+    (repo / "README.md").write_text("r")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c3")
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == -1
+    got3 = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got3 == got2  # 777 row survives as history (upsert semantics)
+
+
+def test_incremental_git_outside_repo_falls_back(spark, tmp_path, dim_agg):
+    """No git repo at all -> changed_paths_from_git returns None -> the
+    full-scan fallback still produces a complete store (S3)."""
+    from github_etl_pipeline_spark.streaming.incremental import (
+        changed_paths_from_git,
+        run_incremental_git,
+    )
+
+    root = tmp_path / "plain"
+    pools = root / "samples" / "pools2"
+    pools.mkdir(parents=True)
+    (pools / "Pool_0201_941.pol").write_text("100\n")
+    assert changed_paths_from_git(root) is None
+    assert run_incremental_git(spark, root, tmp_path / "store_p", dim_agg=dim_agg) == -1
+    got = {
+        r.source_file: r.size
+        for r in read_store(spark, tmp_path / "store_p").collect()
+    }
+    assert got == {"Pool_0201_941.pol": 1}
