@@ -163,3 +163,21 @@ def test_pair_mining_heavy_relation_cached(name, spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     spark.catalog.clearCache()
     assert "InMemoryTableScan" in plan, f"{name}: heavy relation not cached"
+
+
+def test_top_terms_single_tokenize_pass(spark):
+    """top_terms_by_source must tokenize the corpus exactly ONCE: the r9
+    rewrite derives document frequency from the (term, source)
+    aggregate via a window SUM instead of a second explode branch
+    (column pruning diverges the two pre-agg subtrees, so ReusedExchange
+    never rescues the naive tf/df formulation — each branch would rerun
+    regexp_extract_all+explode over every document)."""
+    df = REGISTRY["top_terms_by_source"].builder(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the finalized adaptive plan prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — count only the plan that executed
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") == 1, (
+        "document text must be tokenized exactly once:\n" + plan
+    )
