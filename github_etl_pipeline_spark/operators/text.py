@@ -486,10 +486,22 @@ def bigram_logprob(
     groupBys (bigram counts, context counts) plus the unigram relation —
     all hash-shuffled ONCE each and joined back to the doc-bigram
     relation by hash equi-joins (tokens never shuffle as text more than
-    the skinny (doc, bigram) rows). ``lp`` is rounded to 6 decimals (the
-    bm25 rule): float means are libm/summation-order sensitive in final
-    ulps, and rounding makes the (lp, id) ordering — hence rank output —
-    reproducible across engines; callers should still emit ranks, not lp.
+    the skinny (doc, bigram) rows). The (doc, bigram) relation feeds
+    THREE consumers (bigram counts, context counts, the scored join),
+    so it is persisted — without the cache the tokenize + k-gram +
+    explode chain re-runs over every document once per consumer
+    (r9 A/B at the 100x tier: 19.3s recompute vs 15.1s persisted; the
+    two-consumer unigram variant measured the OPPOSITE, so this is the
+    3+-consumer threshold, not a blanket rule). ``lp`` is rounded to
+    6 decimals (the bm25 rule): float means are libm/summation-order
+    sensitive in final ulps, and rounding makes the (lp, id) ordering —
+    hence rank output — reproducible across engines; callers should
+    still emit ranks, not lp.
+
+    Cache contract (ADVICE r8): the returned plan READS that persisted
+    relation and this function never unpersists it. Long-lived sessions
+    must sweep with ``session.sweep_caches(spark)`` after consuming the
+    result — and always before re-running over a rewritten input table.
     """
     from github_etl_pipeline_spark.operators.curation import kgrams_of
 
@@ -498,7 +510,7 @@ def bigram_logprob(
     grams = F.when(n >= 2, kgrams_of(toks, 2)).otherwise(
         F.array().cast("array<string>")
     )
-    bg = df.select(F.col(id_col), F.explode(grams).alias("bg"))
+    bg = df.select(F.col(id_col), F.explode(grams).alias("bg")).persist()
     # tokens contain no whitespace (TOKEN_RE = \S+), so the first space
     # splits the bigram key unambiguously
     w1 = F.substring_index("bg", " ", 1)

@@ -1263,6 +1263,11 @@ SELECT doc_id, n_tokens, rank FROM (
 )
 def unigram_logprob_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
+    # (doc_id, tok) feeds the vocab aggregate and the scoring join; with
+    # only TWO consumers, recomputing the pipelined tokenize+explode is
+    # measured faster at the 100x tier than materializing a 30M-row
+    # cache (r9 A/B: 5.9s recompute vs 6.4s persisted) — contrast
+    # bigram_logprob, whose THREE-consumer gram relation does persist
     toks = docs.select(
         "doc_id",
         F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("tok"),
