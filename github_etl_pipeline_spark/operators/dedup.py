@@ -348,7 +348,28 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: signature -> banded LSH candidates ->
-    exact Jaccard verify >= threshold."""
+    exact Jaccard verify >= threshold.
+
+    The shingle-hash relation is computed ONCE into a persisted
+    (id, array<bigint>) base feeding both the signature stage and the
+    verify join (r9: previously the tokenize + k-gram + md5 chain ran
+    twice over the corpus — once inside minhash_signature, once for the
+    verify relation). When ``text_col`` is already a precomputed hash
+    array the caller owns the base and no extra persist happens.
+
+    Cache contract (ADVICE r8): the returned plan READS that persisted
+    relation and this function never unpersists it — sweep with
+    ``session.sweep_caches(spark)`` in long-lived sessions, always
+    before re-running over a rewritten input table."""
+    pre_hashed = isinstance(text_col, str) and dict(df.dtypes).get(text_col) == "array<bigint>"
+    if not pre_hashed:
+        from pyspark import StorageLevel
+
+        df = df.select(
+            F.col(id_col),
+            shingle_hashes(text_col, k).alias("_hs", metadata={"shingle_k": k}),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        text_col = "_hs"
     sig = minhash_signature(df, text_col, id_col, k)
     cand = lsh_candidate_pairs(sig, id_col, bands)
     return jaccard_pairs(df, text_col, id_col, k, threshold, candidates=cand)
