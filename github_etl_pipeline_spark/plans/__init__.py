@@ -24,73 +24,85 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 #   r8:    the 27 queries whose newest green row was r5 (the
 #          text/curation/sampling/sketch block — VERDICT r7 "What's wrong"
 #          #3), then 23 single-evidence r6 names to fill the ~50 prefix.
-#   r9:    (this list) the 27 queries whose newest green row is r6 —
-#          TPC-H q2/q3/q5-q10/q14/q17/q18/q20/q21 + the session/window/
-#          as-of/range-join/set-ops/pivot/cube block — then 23 fillers
-#          ordered by FEWEST lifetime green rows (the 4 IVF queries have
-#          exactly one green row each, then the 2-green and 3-green r7
-#          names). After r9 registry max staleness becomes r7.
+#   r9:    the 27 queries whose newest green row was r6 — TPC-H
+#          q2/q3/q5-q10/q14/q17/q18/q20/q21 + the session/window/as-of/
+#          range-join/set-ops/pivot/cube block — then 23 fillers ordered
+#          by FEWEST lifetime green rows. After r9 max staleness = r7.
+#   r10:   (this list; VERDICT r9 "Next round" #1/#3) LEAD with the two
+#          r9-re-seeded pair queries — media_dup_pairs_documents' only
+#          driver rows (r6/r8) attest the OLD vacuous 0-row query text, so
+#          it must get a hash-green row with spark_rows > 0 on the new
+#          seeded corpus; embedding_high_sim_pairs pins its new seed a
+#          second time. Then the 27 queries whose newest green row is r7
+#          (recomputed from CORRECTNESS_r01-r09: the TPC-H
+#          q4/q11/q12/q13/q15/q16/q19/q22 + stats/window/profile block),
+#          fewest lifetime greens first. Then the 4 IVF queries to pin the
+#          r9-rewritten native-partitioning build path. Then 17 fillers
+#          (fewest lifetime greens: the 2-green r8 block, alphabetical).
+#          After r10 registry max staleness becomes r8.
 # CHECK_LOCAL.json re-verifies EVERY registered query each round regardless
-# of this order. Recompute for r10 from the committed CORRECTNESS_r*.json:
+# of this order. Recompute for r11 from the committed CORRECTNESS_r*.json:
 # lead with the ~50 names whose newest green row is oldest, tie-break by
 # fewest lifetime green rows.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY = [
-    # --- newest green row is r6 (27 queries) ---
-    "asof_click_before_error",
-    "cube_lineitem",
-    "dedup_latest_events",
-    "hypertable_rollup_events",
-    "multimodal_features_documents",
-    "pivot_user_cohort_events",
-    "pricing_summary",
-    "props_parse_events",
-    "range_join_clicks_after_error",
-    "sessionize_events",
-    "set_ops_users",
-    "stream_join_click_purchase",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q20_dominant_supplier",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_price_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "windowed_event_counts",
-    "zorder_key_events",
-    # --- r7-green fillers, fewest lifetime green rows first ---
-    # 1 green row ever (r7 only):
+    # --- re-seeded pair queries (r9 changed builder + oracle seed) ---
+    "media_dup_pairs_documents",
+    "embedding_high_sim_pairs",
+    # --- newest green row is r7 (27 queries), fewest greens first ---
+    # 3 lifetime greens:
+    "pool_kpis_synth",
+    "simhash_documents",
+    "text_profile_documents",
+    "token_stats_documents",
+    "tpch_q12_late_shipments",
+    # 4 lifetime greens:
+    "dq_expectations_orders",
+    "full_outer_nation_balance",
+    "skew_profile_orders",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_idle_customers",
+    "tpch_q4_order_priority",
+    "window_analytics_events",
+    # 5 lifetime greens:
+    "corr_quantity_price",
+    "first_last_k_events",
+    "pct_of_total_events",
+    "quantiles_lineitem",
+    "region_rollup",
+    "rollup_orders",
+    "semi_anti_customers",
+    "summary_stats_orders",
+    "top_orders",
+    "type_distribution_events",
+    "value_histogram_lineitem",
+    # --- IVF re-pin on the r9-rewritten build path (VERDICT r9 #3) ---
     "ivf_index_build",
     "ann_topk_ivf",
     "ann_topk_ivf_served",
     "ann_ivf_recall_floor",
-    # 2 green rows (r5 + r7):
-    "ann_topk_lsh",
-    "audio_features_documents",
-    "dedup_canonical_documents",
-    "dup_clusters_documents",
-    "pii_profile_documents",
-    "repetition_profile_documents",
-    "simhash_dup_pairs",
-    "source_profile_documents",
-    "winnowing_fingerprints_documents",
-    # 3 green rows:
-    "ann_topk_bruteforce",
-    "embedding_high_sim_pairs",
-    "exact_dedup_documents",
-    "funnel_events",
-    "gapfill_daily_purchases",
-    "gapfill_user_activity",
-    "minhash_dup_pairs_documents",
-    "minhash_signatures_documents",
-    "ngram_jaccard_pairs_documents",
-    "pool_distribution_synth",
+    # --- fillers: 2 lifetime greens (newest r8), alphabetical ---
+    "ann_topk_gemm",
+    "anomaly_zscore_daily",
+    "bigram_lm_outliers",
+    "bm25_search_documents",
+    "boilerplate_ngrams_documents",
+    "bpe_top_pairs_documents",
+    "chunk_documents",
+    "cms_user_purchase_counts",
+    "cohort_retention_events",
+    "curation_pipeline_documents",
+    "decontaminate_documents",
+    "dup_span_documents",
+    "dup_span_keep_first_documents",
+    "embedding_centroid_outliers",
+    "embedding_dup_clusters",
+    "exact_k_sample_documents",
+    "frame_sample_media",
 ]
 
 
