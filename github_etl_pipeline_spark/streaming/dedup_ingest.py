@@ -43,6 +43,7 @@ from github_etl_pipeline_spark.operators.curation import (
     duplicate_spans_against_index,
 )
 from github_etl_pipeline_spark.operators.text import TOKEN_RE
+from github_etl_pipeline_spark.session import managed_caches
 
 
 def clean_with_spans(
@@ -129,9 +130,13 @@ def run_dedup_ingest(
         if marker.exists() and batch_id <= int(marker.read_text()):
             return  # replayed epoch: shard + index already applied
 
-        batch_df = batch_df.persist()
-        cleaned = None
-        try:
+        # managed_caches (VERDICT r9 #6): the batch body persists two
+        # relations over a store it REWRITES below (index promote) —
+        # structural sweep-on-exit guarantees no stale CacheManager
+        # entry can serve pre-promote rows to the next micro-batch,
+        # even when a sink write raises mid-batch.
+        with managed_caches(spark):
+            batch_df = batch_df.persist()
             if index_path.exists():
                 spans = duplicate_spans_against_index(
                     spark, batch_df, index_path, text_col, id_col, k, min_count
@@ -172,10 +177,6 @@ def run_dedup_ingest(
             staging.rename(index_path)
             if old.exists():
                 shutil.rmtree(old)
-        finally:
-            if cleaned is not None:
-                cleaned.unpersist()
-            batch_df.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(sink)

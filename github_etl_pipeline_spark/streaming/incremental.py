@@ -190,17 +190,26 @@ def run_incremental_mtime(
     return n_changed
 
 
-def changed_paths_from_git(repo_root: str | Path) -> list[str] | None:
-    """``git diff --name-only HEAD~1 HEAD`` as a list of repo-relative
+def changed_paths_from_git(
+    repo_root: str | Path, base_ref: str = "HEAD~1"
+) -> list[str] | None:
+    """``git diff --name-only {base_ref} HEAD`` as a list of repo-relative
     posix paths, or None when git fails (not a repo, single commit,
     no git binary) — None means "fall back to a full scan"
     (etl/extract.py:55-80: errors return [], and an empty changed list
-    triggers the full-scan fallback in etl/main.py:82-85)."""
+    triggers the full-scan fallback in etl/main.py:82-85).
+
+    The reference's default ``HEAD~1`` assumes RUN-ONCE-PER-COMMIT cadence
+    (its CI triggers on every push): if several commits land between runs,
+    .pol changes from the earlier commits are silently missed unless the
+    newest commit happens to trigger the fallback. Callers on a slower
+    cadence should pass the last-processed commit as ``base_ref`` so the
+    diff covers the full gap."""
     import subprocess
 
     try:
         result = subprocess.run(
-            ["git", "diff", "--name-only", "HEAD~1", "HEAD"],
+            ["git", "diff", "--name-only", base_ref, "HEAD"],
             cwd=str(repo_root),
             capture_output=True,
             text=True,
@@ -218,6 +227,7 @@ def run_incremental_git(
     scan_subdir: str = "samples/pools2",
     dim_agg: DataFrame | None = None,
     rounding: str = "bankers",
+    base_ref: str = "HEAD~1",
 ) -> int:
     """Git-commit-keyed incremental run: process exactly the .pol files
     the last commit touched — the reference's change model verbatim
@@ -229,13 +239,20 @@ def run_incremental_git(
     (no changed .pol files / git unavailable — etl/main.py:82-85).
 
     Matches the reference filter chain exactly: ``.pol`` suffix, path
-    under ``scan_subdir`` (posix substring, etl/extract.py:176-180),
+    under ``scan_subdir`` (posix substring, etl/extract.py:176-180 —
+    so ``vendor/samples/pools2/x.pol`` matches too; such out-of-subdir
+    matches project ``source_file`` relative to ``repo_root``, mirroring
+    the reference's ``relative_to(repo_root)`` at etl/extract.py:125),
     deleted files skipped (``:192-195``), ``EXCLUDED_DIRS`` path parts
     skipped (``:197-199``).
+
+    Default ``base_ref="HEAD~1"`` carries the reference's implicit
+    run-once-per-commit assumption (see ``changed_paths_from_git``);
+    pass the last-processed commit to diff a multi-commit gap.
     """
     repo_root = Path(repo_root)
     scan_dir = str(repo_root / scan_subdir)
-    changed = changed_paths_from_git(repo_root)
+    changed = changed_paths_from_git(repo_root, base_ref=base_ref)
     sub_posix = scan_subdir.strip("/")
     paths: list[str] = []
     if changed:
@@ -249,17 +266,20 @@ def run_incremental_git(
             if any(part in EXCLUDED_DIRS for part in fp.parts):
                 continue
             paths.append(str(fp))
+    # In-place edits: drop stale cached file lengths (see
+    # run_incremental_mtime) BEFORE either branch reads — the full-scan
+    # fallback re-reads the whole corpus and would otherwise read a
+    # file edited in an earlier commit at its pinned stale length
+    # (FileStatusCache keeps lengths forever, metadataCacheTTLSeconds=-1).
+    spark.catalog.refreshByPath(scan_dir)
     if paths:
-        # in-place edits: drop stale cached file lengths (see
-        # run_incremental_mtime) before re-reading changed paths
-        spark.catalog.refreshByPath(scan_dir)
         raw = spark.read.format("text").load(paths)
         n_changed = len(paths)
     else:
         # no changed .pol files (or git failed) -> full-scan fallback
         raw = _full_scan_text(spark, scan_dir)
         n_changed = -1
-    lines = _project_lines(raw, scan_dir)
+    lines = _project_lines(raw, scan_dir, fallback_root=str(repo_root))
     parsed = parse_pol_lines(lines, keep_invalid=True)
     pools = pool_kpis(parsed, dim_agg=dim_agg, rounding=rounding)
     upsert_parquet(spark, pools, store_path)
@@ -283,13 +303,26 @@ def _full_scan_text(spark: SparkSession, scan_dir: str) -> DataFrame:
     return df
 
 
-def _project_lines(raw: DataFrame, scan_dir: str) -> DataFrame:
-    """Attach the reference's path-derived columns to a raw text read."""
+def _project_lines(
+    raw: DataFrame, scan_dir: str, fallback_root: str | None = None
+) -> DataFrame:
+    """Attach the reference's path-derived columns to a raw text read.
+
+    ``source_file`` strips the ``scan_dir`` prefix; when ``fallback_root``
+    is given, paths OUTSIDE scan_dir (possible in git mode, whose subdir
+    filter is a reference-faithful posix SUBSTRING test) strip that root
+    instead — matching the reference's ``relative_to(repo_root)``
+    projection (etl/extract.py:125) instead of leaking an absolute path.
+    The second replace is a no-op whenever the first one stripped (the
+    stripped relative path no longer contains the root prefix)."""
     import re
 
     scan_posix = scan_dir.rstrip("/").replace("\\", "/")
     fpath = F.col("_metadata.file_path")
     rel = F.regexp_replace(fpath, r"^.*?" + re.escape(scan_posix) + "/", "")
+    if fallback_root:
+        root_posix = fallback_root.rstrip("/").replace("\\", "/")
+        rel = F.regexp_replace(rel, r"^.*?" + re.escape(root_posix) + "/", "")
     folder = F.when(rel.contains("/"), F.regexp_replace(rel, r"/[^/]+$", "")).otherwise(
         F.lit("root")
     )

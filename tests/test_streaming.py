@@ -209,6 +209,130 @@ def test_incremental_git_processes_last_commit_churn(spark, tmp_path, dim_agg):
     assert got3 == got2  # 777 row survives as history (upsert semantics)
 
 
+def test_incremental_git_fallback_sees_in_place_edit(spark, tmp_path, dim_agg):
+    """ADVICE r9 (medium): the FULL-SCAN fallback must also refresh the
+    scan dir's cached file statuses. Sequence: full scan reads the corpus
+    (statuses cached by the session FileStatusCache, TTL=-1), a later
+    commit edits a .pol IN PLACE, the newest commit touches no .pol ->
+    fallback re-reads the whole corpus — which must see the edited file
+    at its NEW length, not the pinned stale one."""
+    from github_etl_pipeline_spark.streaming.incremental import run_incremental_git
+
+    repo = tmp_path / "repo_f"
+    pools = repo / "samples" / "pools2"
+    pools.mkdir(parents=True)
+    store = tmp_path / "store_f"
+
+    f = pools / "Pool_0201_941.pol"
+    f.write_text("100\n200\n")
+    _git(repo, "init", "-q")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c1")
+
+    # run 1: single-commit repo -> full scan; caches the file's status
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == -1
+    assert read_store(spark, store).first().size == 2
+
+    # commit 2 edits the file in place (NOT processed — simulates a
+    # missed run); commit 3 touches no .pol -> the next run falls back
+    f.write_text("100\n200\n300\n400\n500\n")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c2 edit")
+    (repo / "README.md").write_text("r")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c3 no pol")
+
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == -1
+    got = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got == {"Pool_0201_941.pol": 5}, (
+        "fallback must read the edited file at its new length, not the "
+        "FileStatusCache-pinned stale one"
+    )
+
+
+def test_incremental_git_base_ref_covers_multi_commit_gap(spark, tmp_path, dim_agg):
+    """ADVICE r9 (low): the default HEAD~1 diff assumes run-once-per-
+    commit; a caller that missed a commit passes the last-processed ref
+    as base_ref and the diff covers the whole gap."""
+    from github_etl_pipeline_spark.streaming.incremental import run_incremental_git
+
+    repo = tmp_path / "repo_b"
+    pools = repo / "samples" / "pools2"
+    pools.mkdir(parents=True)
+    store = tmp_path / "store_b"
+
+    (pools / "Pool_0201_941.pol").write_text("100\n")
+    _git(repo, "init", "-q")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c1")
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == -1
+
+    # two commits land between runs, each adding one pool
+    (pools / "Pool_0201_395.pol").write_text("50\n60\n")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c2")
+    (pools / "Pool_0201_777.pol").write_text("1\n2\n3\n")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c3")
+
+    # default HEAD~1 sees only c3's churn (the documented reference
+    # cadence assumption) ...
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == 1
+    got = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got == {"Pool_0201_941.pol": 1, "Pool_0201_777.pol": 3}
+
+    # ... while base_ref covering the gap processes BOTH commits' files
+    assert (
+        run_incremental_git(
+            spark, repo, store, dim_agg=dim_agg, base_ref="HEAD~2"
+        )
+        == 2
+    )
+    got2 = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got2 == {
+        "Pool_0201_941.pol": 1,
+        "Pool_0201_395.pol": 2,
+        "Pool_0201_777.pol": 3,
+    }
+
+
+def test_incremental_git_out_of_subdir_match_projects_repo_relative(
+    spark, tmp_path, dim_agg
+):
+    """ADVICE r9 (low): the subdir filter is a reference-faithful posix
+    SUBSTRING test (etl/extract.py:176-180), so vendor/samples/pools2/x.pol
+    matches — its source_file must project relative to repo_root
+    (mirroring the reference's relative_to(repo_root), etl/extract.py:125),
+    never as a leaked absolute path."""
+    from github_etl_pipeline_spark.streaming.incremental import run_incremental_git
+
+    repo = tmp_path / "repo_v"
+    pools = repo / "samples" / "pools2"
+    pools.mkdir(parents=True)
+    vendor = repo / "vendor" / "samples" / "pools2"
+    vendor.mkdir(parents=True)
+    store = tmp_path / "store_v"
+
+    (pools / "Pool_0201_941.pol").write_text("100\n")
+    _git(repo, "init", "-q")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c1")
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == -1
+
+    # commit 2 adds an OUT-OF-SUBDIR file that still matches the
+    # substring filter
+    (vendor / "Pool_0201_395.pol").write_text("50\n60\n")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c2 vendor")
+
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == 1
+    got = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got == {
+        "Pool_0201_941.pol": 1,
+        "vendor/samples/pools2/Pool_0201_395.pol": 2,
+    }
+
+
 def test_incremental_git_outside_repo_falls_back(spark, tmp_path, dim_agg):
     """No git repo at all -> changed_paths_from_git returns None -> the
     full-scan fallback still produces a complete store (S3)."""

@@ -87,7 +87,11 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entry
-    from github_etl_pipeline_spark.session import get_spark, sweep_caches
+    from github_etl_pipeline_spark.session import (
+        get_spark,
+        managed_caches,
+        sweep_caches,
+    )
 
     spark = get_spark(app_name="check_correctness", cpus="32")
     spark.sparkContext.setLogLevel("ERROR")
@@ -115,43 +119,48 @@ def main() -> int:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
-    for name, fn in queries.items():
-        if only and name not in only:
-            continue
-        t0 = time.perf_counter()
-        try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as e:  # noqa: BLE001
-            failures.append((name, f"spark error: {e}"))
-            print(f"ERR  {name}: spark error: {e}")
-            results[name] = {"status": "spark_error", "err": str(e)[:500]}
-            continue
-        sweep_caches(spark)
-        secs = round(time.perf_counter() - t0, 2)
-        if name not in oracles:
-            print(f"rows_only  {name}: {len(sdf)} rows  ({secs}s)")
-            results[name] = {"status": "rows_only", "spark_rows": len(sdf), "sec": secs}
-            continue
-        try:
-            odf = con.execute(oracles[name]).fetchdf()
-        except Exception as e:  # noqa: BLE001
-            failures.append((name, f"oracle error: {e}"))
-            print(f"ERR  {name}: oracle error: {e}")
-            results[name] = {"status": "oracle_error", "err": str(e)[:500]}
-            continue
-        ok, why = _values_match(_normalize(sdf), _normalize(odf))
-        status = "ok" if ok else "MISMATCH"
-        print(f"{status:9s}  {name}: {len(sdf)}/{len(odf)} rows  ({secs}s)")
-        results[name] = {
-            "status": status,
-            "spark_rows": len(sdf),
-            "oracle_rows": len(odf),
-            "sec": secs,
-        }
-        if not ok:
-            failures.append((name, why))
-            results[name]["why"] = why
-            print(f"           -> {why}")
+    # managed_caches: per-query sweeps keep queries independent; the
+    # context guarantees a swept session even when a builder raises
+    with managed_caches(spark):
+        for name, fn in queries.items():
+            if only and name not in only:
+                continue
+            t0 = time.perf_counter()
+            try:
+                sdf = fn(spark, sf_dir).toPandas()
+            except Exception as e:  # noqa: BLE001
+                failures.append((name, f"spark error: {e}"))
+                print(f"ERR  {name}: spark error: {e}")
+                results[name] = {"status": "spark_error", "err": str(e)[:500]}
+                continue
+            sweep_caches(spark)
+            secs = round(time.perf_counter() - t0, 2)
+            if name not in oracles:
+                print(f"rows_only  {name}: {len(sdf)} rows  ({secs}s)")
+                results[name] = {
+                    "status": "rows_only", "spark_rows": len(sdf), "sec": secs
+                }
+                continue
+            try:
+                odf = con.execute(oracles[name]).fetchdf()
+            except Exception as e:  # noqa: BLE001
+                failures.append((name, f"oracle error: {e}"))
+                print(f"ERR  {name}: oracle error: {e}")
+                results[name] = {"status": "oracle_error", "err": str(e)[:500]}
+                continue
+            ok, why = _values_match(_normalize(sdf), _normalize(odf))
+            status = "ok" if ok else "MISMATCH"
+            print(f"{status:9s}  {name}: {len(sdf)}/{len(odf)} rows  ({secs}s)")
+            results[name] = {
+                "status": status,
+                "spark_rows": len(sdf),
+                "oracle_rows": len(odf),
+                "sec": secs,
+            }
+            if not ok:
+                failures.append((name, why))
+                results[name]["why"] = why
+                print(f"           -> {why}")
     if json_out:
         import json
 
