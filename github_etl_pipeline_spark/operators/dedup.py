@@ -203,12 +203,21 @@ def winnowing_fingerprints(
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    with_size: bool = False,
 ) -> DataFrame:
     """doc_id + sig_0..sig_{n-1} MinHash signature columns (pure
     expressions over the shingle-hash array; empty docs get NULL sigs).
     ``text_col`` may instead name a precomputed ``array<bigint>``
-    shingle-hash column (see ``hash_array_or_shingles``)."""
+    shingle-hash column (see ``hash_array_or_shingles``).
+
+    ``with_size=True`` appends a ``_n`` shingle-set-size column (same
+    projection, zero extra passes) so downstream banding can carry sizes
+    to the verify stage for a join-free size-ratio prefilter — see
+    ``lsh_candidate_pairs`` / ``jaccard_pairs`` (VERDICT r9 #5)."""
     sh = hash_array_or_shingles(df, text_col, k)
     out = df.select(F.col(id_col), sh.alias("_sh"))
 
@@ -220,7 +229,8 @@ def minhash_signature(
             F.array_min(F.transform("_sh", lambda h: minhash_perm(h, i))),
         ).alias(f"sig_{i}")
 
-    return out.select(id_col, *[sig(i) for i in range(NUM_MINHASHES)])
+    extra = [F.size("_sh").alias("_n")] if with_size else []
+    return out.select(id_col, *[sig(i) for i in range(NUM_MINHASHES)], *extra)
 
 
 def lsh_candidate_pairs(
@@ -228,19 +238,37 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded-LSH candidate pairs from a signature DataFrame: docs
     agreeing on ALL rows of at least one band. Output (id_a, id_b),
-    id_a < id_b, distinct."""
+    id_a < id_b, distinct.
+
+    When ``sig`` carries the optional ``_n`` size column (see
+    ``minhash_signature(with_size=True)``), the sizes RIDE THROUGH the
+    banding shuffle inside the id struct and come out as ``_na``/``_nb``
+    pair columns — one extra int per exploded band row instead of the
+    two candidate-sized shuffle joins a post-hoc size lookup would cost.
+    ``_n`` is functionally dependent on the id, so the distinct's
+    cardinality is unchanged."""
     rows_per_band = NUM_MINHASHES // bands
+    with_sizes = "_n" in sig.columns
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
         )
-    exploded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    # sort_array over structs orders by the FIRST field, so the id leads
+    # the struct and pair orientation (id_a < id_b) is preserved
+    key = (
+        F.struct(F.col(id_col).alias("_pid"), F.col("_n").alias("_pn"))
+        if with_sizes
+        else F.col(id_col)
     )
-    grouped = exploded.groupBy("band", "bh").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-    pairs = (
+    exploded = sig.select(key.alias("_key"), F.explode(F.array(*band_cols)).alias("bk")).select(
+        "_key", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    grouped = exploded.groupBy("band", "bh").agg(
+        F.sort_array(F.collect_list("_key")).alias("ids")
+    )
+    expanded = (
         grouped.where(F.size("ids") > 1)
         .select(
             F.explode(
@@ -248,16 +276,24 @@ def lsh_candidate_pairs(
                     F.transform(
                         "ids",
                         lambda a, i: F.transform(
-                            F.slice("ids", i + 2, F.size("ids")), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                            F.slice("ids", i + 2, F.size("ids")),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .select("p.id_a", "p.id_b")
-        .distinct()
     )
-    return pairs
+    if with_sizes:
+        return expanded.select(
+            F.col("p.a._pid").alias("id_a"),
+            F.col("p.b._pid").alias("id_b"),
+            F.col("p.a._pn").alias("_na"),
+            F.col("p.b._pn").alias("_nb"),
+        ).distinct()
+    return expanded.select(
+        F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+    ).distinct()
 
 
 #: hard cap for the brute-force (all-pairs) paths: they are quadratic by
@@ -319,19 +355,38 @@ def jaccard_pairs(
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     if candidates is not None:
+        # Lossless size-ratio prefilter BEFORE the array joins (VERDICT
+        # r9 #5): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose
+        # sizes already violate the threshold can never survive the exact
+        # verify. Applied ONLY when the candidate relation already
+        # carries _na/_nb (sizes ride the banding shuffle — see
+        # lsh_candidate_pairs): measured at sf10, a post-hoc size lookup
+        # via two candidate-sized shuffle joins costs more than it saves
+        # at low thresholds (th=0.2 prunes 3% of candidates, -4% net;
+        # th=0.5 prunes 27%, +9% net), while the ride-along is free at
+        # any threshold. The pruned pairs never get a shingle array
+        # attached — the verify join's real cost is each candidate row
+        # carrying BOTH full arrays through an Exchange.
+        if threshold > 0 and {"_na", "_nb"}.issubset(candidates.columns):
+            candidates = candidates.where(
+                F.least("_na", "_nb") >= F.lit(threshold) * F.greatest("_na", "_nb")
+            )
+        candidates = candidates.select("id_a", "id_b")
         joined = candidates.join(a, "id_a").join(b, "id_b")
     else:
         _assert_brute_force_ok(df, "jaccard_pairs", max_brute_rows)
-        # lossless size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
-        # so pairs failing least/greatest >= threshold can never reach it —
-        # prunes most of the quadratic candidate space before set ops
+        # same lossless size-ratio prefilter — here it prunes most of the
+        # quadratic candidate space before set ops
         sa, sb = F.size("sh_a"), F.size("sh_b")
         joined = a.crossJoin(b).where(
             (F.col("id_a") < F.col("id_b"))
             & (F.least(sa, sb) >= F.lit(threshold) * F.greatest(sa, sb))
         )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    # |A u B| = |A| + |B| - |A n B| EXACTLY, because shingle_hashes
+    # array_distincts after hashing — saves building the union array
+    # (the second full hash-set pass per pair)
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
         joined.where(jac >= threshold)
@@ -370,7 +425,9 @@ def minhash_dedup_pairs(
             shingle_hashes(text_col, k).alias("_hs", metadata={"shingle_k": k}),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         text_col = "_hs"
-    sig = minhash_signature(df, text_col, id_col, k)
+    # with_size threads shingle-set sizes through the banding so the
+    # verify stage can size-prune candidates without extra joins
+    sig = minhash_signature(df, text_col, id_col, k, with_size=True)
     cand = lsh_candidate_pairs(sig, id_col, bands)
     return jaccard_pairs(df, text_col, id_col, k, threshold, candidates=cand)
 
