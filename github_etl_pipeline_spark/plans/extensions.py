@@ -526,6 +526,7 @@ def _hyperplane_pairs_ctes(
     bands: int = 8,
     dim: int = 64,
     corpus_sql: str = _EMB_CORPUS_SQL,
+    target_bucket: int | None = None,
 ) -> str:
     """CTE body of the embedding_dup_pairs_lsh mirror (shared by the
     pairs oracle and the recursive clusters oracle in plans/curation.py):
@@ -533,11 +534,27 @@ def _hyperplane_pairs_ctes(
     band buckets, the same exact-cosine verify — so Spark and the oracle
     agree pair-for-pair. Ends with a ``verified(id_a, id_b)`` CTE.
     ``corpus_sql`` lets the seeded pairs query swap in a corpus with
-    known duplicates (must yield (vec_id, v DOUBLE[]))."""
+    known duplicates (must yield (vec_id, v DOUBLE[])).
+
+    ``target_bucket`` mirrors the operator's ADAPTIVE DEPTH (r10 scale
+    fix): the bucket is the first B = ceil(log2(ceil(n/target))) chars
+    of the sign string, B computed by a scalar subquery over the same
+    corpus the Spark side counts — integer-exact cross-engine (see
+    ``operators.dedup.adaptive_lsh_depth``)."""
     from github_etl_pipeline_spark.operators.similarity import _hyperplanes
 
     rows = n_planes // bands
     planes = _hyperplanes(dim, n_planes)
+    depth_cte = ""
+    bh_wrap = "{bits}"
+    if target_bucket is not None:
+        # integer ceil-div keeps m bit-identical to the Python side
+        depth_cte = (
+            f"dpt AS (SELECT GREATEST(1, LEAST({rows}, CAST(ceil(log2(GREATEST(1, "
+            f"(COUNT(*) + {target_bucket} - 1) // {target_bucket}))) "
+            f"AS INT))) AS b FROM e),\n"
+        )
+        bh_wrap = "substr({bits}, 1, (SELECT b FROM dpt))"
     band_selects = []
     for b in range(bands):
         bits = []
@@ -546,12 +563,11 @@ def _hyperplane_pairs_ctes(
             bits.append(
                 f"(CASE WHEN list_dot_product(v, [{lits}]) >= 0 THEN '1' ELSE '0' END)"
             )
-        band_selects.append(
-            f"SELECT vec_id, {b} AS band, " + " || ".join(bits) + " AS bh FROM e"
-        )
+        bh = bh_wrap.format(bits=" || ".join(bits))
+        band_selects.append(f"SELECT vec_id, {b} AS band, {bh} AS bh FROM e")
     union = " UNION ALL ".join(band_selects)
     return f"""e AS ({corpus_sql}),
-bk AS ({union}),
+{depth_cte}bk AS ({union}),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bk a JOIN bk b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
@@ -569,9 +585,10 @@ def _hyperplane_pairs_oracle(
     bands: int = 8,
     dim: int = 64,
     corpus_sql: str = _EMB_CORPUS_SQL,
+    target_bucket: int | None = None,
 ) -> str:
     return (
-        f"WITH {_hyperplane_pairs_ctes(threshold, n_planes, bands, dim, corpus_sql)}\n"
+        f"WITH {_hyperplane_pairs_ctes(threshold, n_planes, bands, dim, corpus_sql, target_bucket)}\n"
         "SELECT id_a, id_b FROM verified"
     )
 
@@ -599,13 +616,27 @@ def _seeded_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionAll(dups)
 
 
+# r10 scale fix (VERDICT r9 #4): fixed 8-bit buckets made candidates
+# quadratic-with-small-constant — the sf10 probe (200k vectors) spilled
+# >78 GB and exhausted the disk. The registered queries now use ADAPTIVE
+# depth (target bucket multiplicity 8, up to 16 bits/band from 128
+# planes), pinning candidates-per-row constant across tiers; the oracle
+# computes the same depth via a scalar subquery. Seeded exact dups are
+# depth-invariant, so the driver-checked signal is unchanged.
+_EMB_PAIR_LSH = dict(n_planes=128, bands=8, target_bucket=8)
+
+
 @register(
     "embedding_high_sim_pairs",
-    oracle=_hyperplane_pairs_oracle(0.45, corpus_sql=_EMB_SEED_SQL),
-    doc="embedding-cosine near-dup pairs >= 0.45 via hyperplane-LSH banding + exact verify (linear-time; oracle mirrors the banding; recall at this near-random threshold is regime-limited — see operator docstring). Both engines seed a duplicate of every 97th vector under a shifted id so the check asserts known cosine-1.0 positives, not just the corpus's near-absent organic pairs",
+    oracle=_hyperplane_pairs_oracle(
+        0.45, n_planes=128, bands=8, corpus_sql=_EMB_SEED_SQL, target_bucket=8
+    ),
+    doc="embedding-cosine near-dup pairs >= 0.45 via depth-adaptive hyperplane-LSH banding + exact verify (bucket bits grow with log(n) so candidate volume stays linear; oracle mirrors banding AND depth; recall at this near-random threshold is regime-limited — see operator docstring). Both engines seed a duplicate of every 97th vector under a shifted id so the check asserts known cosine-1.0 positives, not just the corpus's near-absent organic pairs",
 )
 def embedding_high_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.embedding_dup_pairs_lsh(_seeded_emb(spark, sf_dir), threshold=0.45)
+    return D.embedding_dup_pairs_lsh(
+        _seeded_emb(spark, sf_dir), threshold=0.45, **_EMB_PAIR_LSH
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -261,6 +261,67 @@ def test_embedding_lsh_pairs_near_dup_regime_recall(spark):
     assert recall >= 0.8, f"near-dup regime recall {recall}"
 
 
+def test_adaptive_lsh_depth_formula_and_oracle_parity():
+    """r10 scale fix: the adaptive bucket depth B = ceil(log2(ceil(n/t)))
+    must be integer-exact AND bit-identical to the DuckDB scalar-subquery
+    form the oracles embed."""
+    import duckdb
+
+    assert D.adaptive_lsh_depth(1, 8, 16) == 1
+    assert D.adaptive_lsh_depth(8, 8, 16) == 1
+    assert D.adaptive_lsh_depth(9, 8, 16) == 1  # m=2 -> 1 bit
+    assert D.adaptive_lsh_depth(506, 8, 16) == 6  # m=64 -> 6 bits
+    assert D.adaptive_lsh_depth(202_062, 8, 16) == 15
+    assert D.adaptive_lsh_depth(10**9, 8, 16) == 16  # clamped to rows
+    for n in (1, 7, 8, 9, 16, 17, 63, 64, 65, 500, 506, 4096, 4097, 202_062, 10**9):
+        sql = (
+            f"SELECT GREATEST(1, LEAST(16, CAST(ceil(log2(GREATEST(1, "
+            f"({n} + 8 - 1) // 8))) AS INT)))"
+        )
+        assert duckdb.sql(sql).fetchone()[0] == D.adaptive_lsh_depth(n, 8, 16), n
+
+
+def test_embedding_lsh_adaptive_depth_is_superset(spark):
+    """Adaptive depth truncates the bucket key to a PREFIX, so its
+    candidate set — and after exact verify, its pair set — is a superset
+    of the fixed-depth result; exact duplicates are always found."""
+    import hashlib
+    import struct as _struct
+
+    def detvec(seed: str, dim: int = 64) -> list[float]:
+        vals: list[float] = []
+        counter = 0
+        while len(vals) < dim:
+            digest = hashlib.md5(f"{seed}:{counter}".encode()).digest()
+            for off in range(0, 16, 4):
+                (u,) = _struct.unpack(">I", digest[off : off + 4])
+                vals.append((u / 2**32) * 2.0 - 1.0)
+            counter += 1
+        return vals[:dim]
+
+    rows = [(2 * i, detvec(f"v{i}")) for i in range(60)]
+    rows += [(2 * i + 1, rows[i][1]) for i in range(10)]  # exact dups
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    fixed = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_dup_pairs_lsh(
+            emb, threshold=0.9, n_planes=128, bands=8
+        ).collect()
+    }
+    adaptive = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_dup_pairs_lsh(
+            emb, threshold=0.9, n_planes=128, bands=8, target_bucket=8
+        ).collect()
+    }
+    # n=70, t=8 -> m=9 -> B=4 < 16: coarser buckets, never fewer pairs
+    assert D.adaptive_lsh_depth(70, 8, 16) == 4
+    assert fixed <= adaptive
+    for i in range(10):
+        assert (2 * i, 2 * i + 1) in adaptive, "exact dup must be depth-invariant"
+
+
 def test_brute_force_paths_are_capped(spark):
     big = spark.range(25_000).select(
         F.col("id").alias("doc_id"), F.lit("some text here").alias("text")
@@ -280,6 +341,44 @@ def test_jaccard_size_prefilter_lossless(spark, docs_with_dups):
         (r.id_a, r.id_b) for r in D.jaccard_pairs(docs_with_dups, threshold=0.5).collect()
     }
     assert (1, 4) in pairs
+
+
+def test_sizes_ride_banding_to_verify(spark, docs_with_dups):
+    """VERDICT r9 #5: the verify stage's size-ratio prefilter gets its
+    sizes THROUGH the banding shuffle (minhash_signature with_size=True
+    -> lsh_candidate_pairs emits _na/_nb), not via extra joins — and the
+    prune is lossless: the pipeline's output is identical to verifying
+    every unpruned candidate."""
+    sig = D.minhash_signature(docs_with_dups, with_size=True)
+    assert "_n" in sig.columns
+    cand = D.lsh_candidate_pairs(sig)
+    assert {"id_a", "id_b", "_na", "_nb"}.issubset(cand.columns)
+    # _n is the doc's shingle-set size, functionally dependent on the id
+    rows = {(r.id_a, r.id_b): (r._na, r._nb) for r in cand.collect()}
+    assert rows, "planted dups must produce candidates"
+    sizes = {r.doc_id: r._n for r in sig.select("doc_id", "_n").collect()}
+    for (ia, ib), (na, nb) in rows.items():
+        assert (na, nb) == (sizes[ia], sizes[ib])
+
+    # lossless: full pipeline == exact verify over ALL candidates
+    pruned = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_dedup_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    unpruned = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.jaccard_pairs(
+            docs_with_dups,
+            threshold=0.5,
+            candidates=cand.select("id_a", "id_b"),
+        ).collect()
+    }
+    assert pruned == unpruned
+
+    # size-only plumbing never changes the no-size shape
+    bare = D.lsh_candidate_pairs(D.minhash_signature(docs_with_dups))
+    assert set(bare.columns) == {"id_a", "id_b"}
+    assert {(r.id_a, r.id_b) for r in bare.collect()} == set(rows)
 
 
 def test_no_registered_corpus_cartesian(spark):
