@@ -485,7 +485,7 @@ SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
 @register(
     "embedding_dup_clusters",
     oracle=_embedding_clusters_oracle(),
-    doc="embedding near-dup connected components: hyperplane-LSH pair mining -> min-label propagation -> (vec_id, cluster_id); oracle is a recursive-CTE closure over the mirrored pair set",
+    doc="embedding near-dup connected components: depth-adaptive hyperplane-LSH pair mining -> min-label propagation -> (vec_id, cluster_id); oracle is a recursive-CTE closure over the mirrored (banding AND depth) pair set",
 )
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
