@@ -100,6 +100,16 @@ FLAGSHIPS = {
         "segments) short rows, never O(n^2) — then one exact levenshtein "
         "verify per distinct candidate."
     ),
+    "embedding_high_sim_pairs": (
+        "Depth-adaptive hyperplane-LSH pair mining (r10): one Arrow-batched "
+        "matmul produces all band sign-strings, bucket = substring(bits, 1, "
+        "B) with B = ceil(log2(n/target)) a plan literal from one bounded "
+        "count — expected bucket multiplicity, hence candidates PER ROW, is "
+        "constant at every tier (fixed-depth buckets measured >78 GB of "
+        "spill at the 100x tier). Self-join shuffles (band, bucket, id) "
+        "tuples only; vectors attach to the deduped candidates for the "
+        "exact-cosine verify."
+    ),
     "weighted_sample_documents": (
         "Weighted sampling WOR: the empty-partition rank<=k collapses to "
         "TakeOrderedAndProject(limit=k) — each task forwards its k smallest "
