@@ -483,20 +483,23 @@ def bigram_logprob(
 
     Shape at 100 TB: bigram construction is the O(n) chained-zip_with
     k-gram expression inside the scan; the model is two vocab-sized
-    groupBys (bigram counts, context counts) plus the unigram relation —
-    all hash-shuffled ONCE each and joined back to the doc-bigram
-    relation by hash equi-joins (tokens never shuffle as text more than
-    the skinny (doc, bigram) rows). The (doc, bigram) relation feeds
-    THREE consumers (bigram counts, context counts, the scored join),
-    so it is persisted — without the cache the tokenize + k-gram +
-    explode chain re-runs over every document once per consumer
-    (r9 A/B at the 100x tier: 19.3s recompute vs 15.1s persisted; the
-    two-consumer unigram variant measured the OPPOSITE, so this is the
-    3+-consumer threshold, not a blanket rule). ``lp`` is rounded to
-    6 decimals (the bm25 rule): float means are libm/summation-order
-    sensitive in final ulps, and rounding makes the (lp, id) ordering —
-    hence rank output — reproducible across engines; callers should
-    still emit ranks, not lp.
+    groupBys (bigram counts, context counts) plus the unigram relation.
+    p(w2|w1) depends ONLY on the bigram string, so the three model
+    relations join each other at DISTINCT-BIGRAM size into a per-bigram
+    ``log p`` table, and the corpus-sized (doc, bigram) relation joins
+    the model exactly ONCE (r10: the previous shape joined bg three
+    times — three corpus-sized Exchanges; sf10 A/B 17.5s -> see commit).
+    The (doc, bigram) relation still feeds THREE consumers (bigram
+    counts, context counts, the scored join), so it is persisted —
+    without the cache the tokenize + k-gram + explode chain re-runs
+    over every document once per consumer (r9 A/B at the 100x tier:
+    19.3s recompute vs 15.1s persisted; the two-consumer unigram
+    variant measured the OPPOSITE, so this is the 3+-consumer
+    threshold, not a blanket rule). ``lp`` is rounded to 6 decimals
+    (the bm25 rule): float means are libm/summation-order sensitive in
+    final ulps, and rounding makes the (lp, id) ordering — hence rank
+    output — reproducible across engines; callers should still emit
+    ranks, not lp.
 
     Cache contract (ADVICE r8): the returned plan READS that persisted
     relation and this function never unpersists it. Long-lived sessions
@@ -525,17 +528,31 @@ def bigram_logprob(
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
-    scored = (
-        bg.join(model2, "bg")
-        .select(F.col(id_col), F.col("bg"), w1.alias("w1"), w2.alias("w2"), "c2")
-        .join(model1, "w1")
-        .join(uni.withColumnRenamed("tok", "w2"), "w2")
-        .crossJoin(F.broadcast(tot))
-    )
+    # assemble the model at DISTINCT-bigram size: w1/w2 re-derive from
+    # the bigram string, so context and unigram mass attach here — the
+    # corpus-sized bg relation never rides these joins
     p = (F.col("c2") + F.lit(alpha) * F.col("cu").cast("double") / F.col("s")) / (
         F.col("c1") + F.lit(alpha)
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg(F.log(p)), 6).alias("lp"),
+    model = (
+        model2.select(
+            "bg",
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+            "c2",
+        )
+        .join(model1, "w1")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("bg", F.log(p).alias("_lpb"))
+    )
+    # ONE corpus-sized join: each bigram occurrence picks up its
+    # precomputed log-prob, then one doc-keyed aggregate
+    return (
+        bg.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("_lpb"), 6).alias("lp"),
+        )
     )

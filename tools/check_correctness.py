@@ -109,6 +109,16 @@ def main() -> int:
 
     spark.range(1000).select(_wu(_F.col("id").cast("double"))).collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # one full throwaway registry query (same as bench.py): without it
+    # the FIRST checked query absorbs whole-stage-codegen / shuffle
+    # warmup — r10's CHECK_LOCAL read 5.8s for the prefix head vs 1.6s
+    # steady for the same query
+    from github_etl_pipeline_spark.plans import REGISTRY as _REG
+
+    next(iter(_REG.values())).builder(spark, sf_dir).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    sweep_caches(spark)
 
     con = duckdb.connect()
     for t in TABLES:
