@@ -64,8 +64,6 @@ def run_pipeline(
         )
         from github_etl_pipeline_spark.sinks.upsert import write_consolidated_json
 
-        from github_etl_pipeline_spark.session import managed_caches
-
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         consolidated = output_dir / "all_pools_data.json"
@@ -73,9 +71,14 @@ def run_pipeline(
         # counter agg, CSV export) — persist the pool-cardinality aggregate
         # so the corpus-sized scan+shuffle below it runs once, not three
         # times (pools is one row per file: tiny at any corpus size).
-        # managed_caches guarantees the sweep even when a sink raises —
-        # no stale CacheManager entry survives this block (VERDICT r9 #6).
-        with managed_caches(spark):
+        # TARGETED release in the finally (ADVICE r10, revising the r9
+        # session-wide sweep): pools is the ONLY relation this block
+        # persists, and unpersisting the handle removes its CacheManager
+        # entry and storage even when a sink raises. A session-wide sweep
+        # here would also clear caches owned by the CALLER (e.g. a
+        # persisted dim passed in), forcing recomputes the caller paid to
+        # avoid — session-wide sweeps belong to harness entry points.
+        try:
             pools.persist()
             write_consolidated_json(pools, consolidated)
 
@@ -98,5 +101,7 @@ def run_pipeline(
             )
             generate_index_file(consolidated, output_dir / "_index.json")
             save_as_csv(pools, output_dir / "_all_files_summary.csv")
+        finally:
+            pools.unpersist()
 
     return pools, summary

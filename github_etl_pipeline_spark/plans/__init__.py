@@ -40,69 +40,80 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 #          r9-rewritten native-partitioning build path. Then 17 fillers
 #          (fewest lifetime greens: the 2-green r8 block, alphabetical).
 #          After r10 registry max staleness becomes r8.
+#   r11:   (this list; VERDICT r10 "Next round" #1/#2/#4) LEAD with the
+#          two queries REGISTERED this round (never driver-checked):
+#          embedding_lsh_recall_floor + ivf_index_append. Then the 32
+#          queries whose newest green row is r8 (recomputed from
+#          CORRECTNESS_r01-r10: the 31 two-green r8 fillers +
+#          top_terms_by_source), then fillers ordered by fewest lifetime
+#          greens (zorder_key_events, the 3-green r9 block, first four
+#          4-green r9 names). After r11 registry max staleness becomes r9.
 # CHECK_LOCAL.json re-verifies EVERY registered query each round regardless
-# of this order. Recompute for r11 from the committed CORRECTNESS_r*.json:
+# of this order. Recompute for r12 from the committed CORRECTNESS_r*.json:
 # lead with the ~50 names whose newest green row is oldest, tie-break by
 # fewest lifetime green rows.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY = [
-    # --- re-seeded pair queries (r9 changed builder + oracle seed) ---
-    "media_dup_pairs_documents",
-    "embedding_high_sim_pairs",
-    # --- newest green row is r7 (27 queries), fewest greens first ---
+    # --- never driver-checked: the two queries registered this round ---
+    # (VERDICT r10 #2: the depth-adaptive miner's recall on cos~=0.85
+    # seeded near-dups; VERDICT r10 #4: the steady-state index append)
+    "embedding_lsh_recall_floor",
+    "ivf_index_append",
+    # --- newest green row is r8 (32 queries), fewest greens first ---
+    # 2 lifetime greens (alphabetical):
+    "fuzzy_pairs_documents",
+    "grouping_sets_orders",
+    "hll_registers_events",
+    "kmv_distinct_users_events",
+    "latency_percentiles_events",
+    "media_ahash_documents",
+    "overlap_click_purchase_windows",
+    "pack_sequences_documents",
+    "profile_columns_orders",
+    "props_variant_events",
+    "quality_filter_documents",
+    "quality_percentile_gate_documents",
+    "quantile_sketch_lineitem",
+    "quantize_embeddings_int8",
+    "remove_dup_spans_documents",
+    "rolling_7d_revenue",
+    "session_window_events",
+    "shuffle_documents_shards",
+    "sliding_event_counts",
+    "snapshot_diff_orders",
+    "source_overlap_documents",
+    "split_documents_hash",
+    "stratified_sample_documents",
+    "temperature_sample_documents",
+    "top3_orders_per_priority",
+    "unigram_logprob_outliers",
+    "unpivot_order_status_counts",
+    "user_value_trend_events",
+    "vocabulary_documents",
+    "weighted_sample_documents",
+    "window_rank_extras_events",
     # 3 lifetime greens:
-    "pool_kpis_synth",
-    "simhash_documents",
-    "text_profile_documents",
-    "token_stats_documents",
-    "tpch_q12_late_shipments",
-    # 4 lifetime greens:
-    "dq_expectations_orders",
-    "full_outer_nation_balance",
-    "skew_profile_orders",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_idle_customers",
-    "tpch_q4_order_priority",
-    "window_analytics_events",
-    # 5 lifetime greens:
-    "corr_quantity_price",
-    "first_last_k_events",
-    "pct_of_total_events",
-    "quantiles_lineitem",
-    "region_rollup",
-    "rollup_orders",
-    "semi_anti_customers",
-    "summary_stats_orders",
-    "top_orders",
-    "type_distribution_events",
-    "value_histogram_lineitem",
-    # --- IVF re-pin on the r9-rewritten build path (VERDICT r9 #3) ---
-    "ivf_index_build",
-    "ann_topk_ivf",
-    "ann_topk_ivf_served",
-    "ann_ivf_recall_floor",
-    # --- fillers: 2 lifetime greens (newest r8), alphabetical ---
-    "ann_topk_gemm",
-    "anomaly_zscore_daily",
-    "bigram_lm_outliers",
-    "bm25_search_documents",
-    "boilerplate_ngrams_documents",
-    "bpe_top_pairs_documents",
-    "chunk_documents",
-    "cms_user_purchase_counts",
-    "cohort_retention_events",
-    "curation_pipeline_documents",
-    "decontaminate_documents",
-    "dup_span_documents",
-    "dup_span_keep_first_documents",
-    "embedding_centroid_outliers",
-    "embedding_dup_clusters",
-    "exact_k_sample_documents",
-    "frame_sample_media",
+    "top_terms_by_source",
+    # --- fillers: newest green r9, fewest lifetime greens first ---
+    # 2 lifetime greens:
+    "zorder_key_events",
+    # 3 lifetime greens (alphabetical):
+    "ann_topk_lsh",
+    "audio_features_documents",
+    "dedup_canonical_documents",
+    "dup_clusters_documents",
+    "multimodal_features_documents",
+    "pii_profile_documents",
+    "props_parse_events",
+    "repetition_profile_documents",
+    "simhash_dup_pairs",
+    "source_profile_documents",
+    "winnowing_fingerprints_documents",
+    # 4 lifetime greens (alphabetical, to fill the ~50 prefix):
+    "ann_topk_bruteforce",
+    "exact_dedup_documents",
+    "funnel_events",
+    "gapfill_daily_purchases",
 ]
 
 

@@ -640,6 +640,134 @@ def embedding_high_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH recall floor as a CHECKED query (VERDICT r10 #2): the adaptive-depth
+# fix bounded candidate volume by trading recall at moderate cosine, and
+# the only driver-checked positives were seeded cos=1.0 exact duplicates —
+# depth-INVARIANT by construction, so they could never witness the decay.
+# This query seeds near-dups at cos ~= 0.85 (a deterministic in-plane
+# rotation of every 29th vector, NOT a copy), runs the production miner at
+# the depth the corpus size selects, and emits found/not-found per seed
+# pair vs the constructed ground truth. The oracle mirrors the seed
+# construction, the banding, the adaptive depth, and the verify, so the
+# driver hash check pins the measured recall cross-engine;
+# tests/test_embedding_lsh_recall.py asserts the floor and the
+# bands_for_recall scale mode that restores it at deeper depths.
+# ---------------------------------------------------------------------------
+_RECALL_SEED_MOD = 29
+_RECALL_SEED_OFFSET = 2_000_000_000
+_RECALL_COS = 0.85
+_RECALL_SIN = 0.526782687642637  # sqrt(1 - 0.85^2), repr-exact both engines
+
+# rotate v by acos(0.85) in the plane spanned by v and e_1: with
+# u = e_1 - (v_1/|v|^2) v (Gram-Schmidt), the rotated vector
+# v' = a*v + beta*e_1 where beta = sin*|v|/|u| and a = cos - beta*v_1/|v|^2
+# has EXACTLY cos(v, v') = 0.85 and |v'| = |v|. Every arithmetic step is
+# written in the same order in both engines (IEEE-identical doubles).
+_RECALL_SEED_SQL = f"""SELECT vec_id, v FROM (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_RECALL_SEED_OFFSET} AS vec_id,
+         list_transform(range(1, 65),
+           i -> CASE WHEN i = 1 THEN aa * v[i] + beta ELSE aa * v[i] END) AS v
+  FROM (
+    SELECT vec_id, v, beta, {_RECALL_COS!r} - beta * v0 / nv2 AS aa FROM (
+      SELECT vec_id, v, nv2, v0,
+             {_RECALL_SIN!r} * sqrt(nv2) / sqrt(1.0 - v0 * v0 / nv2) AS beta
+      FROM (
+        SELECT vec_id, v, list_dot_product(v, v) AS nv2, v[1] AS v0
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+              WHERE vec_id % {_RECALL_SEED_MOD} = 0)
+      )
+    )
+  )
+)"""
+
+
+def recall_seed_union(emb: DataFrame) -> DataFrame:
+    """Spark mirror of _RECALL_SEED_SQL's seeding over an arbitrary
+    (vec_id, embedding array<double>) corpus: union cos-0.85 rotated
+    copies of every 29th vector under shifted ids. Shared by the
+    registered recall-floor query, the scaled-tier recall tests, and the
+    SCALING recall probe (which feed it the replicated .sf3/.sf10
+    corpora)."""
+    base = emb.where(F.col("vec_id") % _RECALL_SEED_MOD == 0).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    sc = base.select(
+        "vec_id",
+        "v",
+        S.dot_expr(F.col("v"), F.col("v")).alias("nv2"),
+        F.element_at("v", 1).alias("v0"),
+    )
+    sc = sc.select(
+        "vec_id",
+        "v",
+        "nv2",
+        "v0",
+        (
+            F.lit(_RECALL_SIN)
+            * F.sqrt("nv2")
+            / F.sqrt(F.lit(1.0) - F.col("v0") * F.col("v0") / F.col("nv2"))
+        ).alias("beta"),
+    )
+    sc = sc.select(
+        "vec_id",
+        "v",
+        "beta",
+        (F.lit(_RECALL_COS) - F.col("beta") * F.col("v0") / F.col("nv2")).alias("aa"),
+    )
+    seeds = sc.select(
+        (F.col("vec_id") + F.lit(_RECALL_SEED_OFFSET)).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: F.when(
+                i == 0, F.col("aa") * x + F.col("beta")
+            ).otherwise(F.col("aa") * x),
+        ).alias("embedding"),
+    )
+    return emb.unionAll(seeds)
+
+
+def _recall_seed_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return recall_seed_union(
+        _emb(spark, sf_dir).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+
+
+@register(
+    "embedding_lsh_recall_floor",
+    oracle=f"""
+WITH {_hyperplane_pairs_ctes(0.45, n_planes=128, bands=8, corpus_sql=_RECALL_SEED_SQL, target_bucket=8)},
+expected AS (
+  SELECT vec_id AS id_a, vec_id + {_RECALL_SEED_OFFSET} AS id_b
+  FROM embeddings WHERE vec_id % {_RECALL_SEED_MOD} = 0
+)
+SELECT x.id_a, x.id_b,
+       CAST(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS found
+FROM expected x LEFT JOIN verified v ON v.id_a = x.id_a AND v.id_b = x.id_b
+""",
+    doc="LSH recall gate as a query: seed cos=0.85 near-dups (deterministic in-plane rotation, not copies) of every 29th vector, mine with the production depth-adaptive miner, emit found/not-found per seed pair vs constructed ground truth — the recall the adaptive-depth tradeoff is graded on, hash-checked cross-engine (oracle mirrors seed construction + banding + depth + verify); tests assert the floor and the bands_for_recall restoration at deeper depths",
+)
+def embedding_lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _recall_seed_emb(spark, sf_dir)
+    pairs = D.embedding_dup_pairs_lsh(corpus, threshold=0.45, **_EMB_PAIR_LSH)
+    expected = _emb(spark, sf_dir).where(
+        F.col("vec_id") % _RECALL_SEED_MOD == 0
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(_RECALL_SEED_OFFSET)).alias("id_b"),
+    )
+    hits = pairs.withColumn("_hit", F.lit(1))
+    return expected.join(hits, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("found"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (Pandas-UDF path with a real oracle via the
 # deterministic fake decoder)
 # ---------------------------------------------------------------------------
@@ -734,7 +862,12 @@ def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=100)
 
 
-def _ivf_ctes(n_centroids: int = 16, lloyd: int = 2, dim: int = 64) -> str:
+def _ivf_ctes(
+    n_centroids: int = 16,
+    lloyd: int = 2,
+    dim: int = 64,
+    build_filter: str | None = None,
+) -> str:
     """CTE chain replicating the ENTIRE deterministic IVF build in DuckDB
     (VERDICT r5 #3 option a): md5-ordered centroid sample, ``lloyd``
     unrolled spherical-k-means iterations, final cell assignment. The
@@ -742,31 +875,42 @@ def _ivf_ctes(n_centroids: int = 16, lloyd: int = 2, dim: int = 64) -> str:
     cosines rounded to 9dp (ties -> lower centroid id), refined means
     rounded to 6dp, sampled centroids = the raw float32->double vectors.
     Ends with ``cfin(cid, cv)`` (final centroids) and ``afin(vec_id,
-    cell)`` (final assignment)."""
+    cell)`` (final assignment).
+
+    ``build_filter`` (VERDICT r10 #4) models the build/append lifecycle:
+    sample + Lloyd refinement run over ONLY the rows matching the filter
+    (the build half), while the final assignment covers the FULL corpus
+    with those frozen centroids — exactly ``build_ivf_index(build_half)``
+    followed by ``ann_ivf_append(rest)``, because per-vector frozen-
+    centroid assignment is independent row-by-row (the one shared
+    ``_assign_cells`` path on the Spark side)."""
+    build_src = "en" if build_filter is None else "enb"
     ctes = [
         "en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
         "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nv "
         "FROM embeddings)",
-        f"""c0 AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v AS cv
-  FROM en ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
-)""",
     ]
+    if build_filter is not None:
+        ctes.append(f"enb AS (SELECT * FROM en WHERE {build_filter})")
+    ctes.append(f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v AS cv
+  FROM {build_src} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+)""")
 
-    def assign(i: int) -> str:
+    def assign(i: int, src: str) -> str:
         return f"""a{i} AS (
   SELECT vec_id, cid AS cell FROM (
-    SELECT en.vec_id, c{i - 1}.cid,
-           ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
-             round(list_dot_product(en.v, c{i - 1}.cv)
-               / (en.nv * sqrt(list_dot_product(c{i - 1}.cv, c{i - 1}.cv))), 9) DESC,
+    SELECT {src}.vec_id, c{i - 1}.cid,
+           ROW_NUMBER() OVER (PARTITION BY {src}.vec_id ORDER BY
+             round(list_dot_product({src}.v, c{i - 1}.cv)
+               / ({src}.nv * sqrt(list_dot_product(c{i - 1}.cv, c{i - 1}.cv))), 9) DESC,
              c{i - 1}.cid ASC) AS rn
-    FROM en CROSS JOIN c{i - 1}
+    FROM {src} CROSS JOIN c{i - 1}
   ) WHERE rn = 1
 )"""
 
     for i in range(1, lloyd + 1):
-        ctes.append(assign(i))
+        ctes.append(assign(i, build_src))
         ctes.append(f"""m{i} AS (
   SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
     SELECT a{i}.cell AS cell, d.i AS i, round(avg(en.v[d.i]), 6) AS m
@@ -779,7 +923,7 @@ def _ivf_ctes(n_centroids: int = 16, lloyd: int = 2, dim: int = 64) -> str:
             f"c{i} AS (SELECT c{i - 1}.cid, COALESCE(m{i}.cv, c{i - 1}.cv) AS cv "
             f"FROM c{i - 1} LEFT JOIN m{i} ON m{i}.cid = c{i - 1}.cid)"
         )
-    ctes.append(assign(lloyd + 1))
+    ctes.append(assign(lloyd + 1, "en"))
     ctes.append(f"cfin AS (SELECT cid, cv FROM c{lloyd})")
     ctes.append(f"afin AS (SELECT vec_id, cell FROM a{lloyd + 1})")
     return ",\n".join(ctes)
@@ -910,6 +1054,34 @@ def ann_topk_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.ann_ivf_search(spark, path, queries, k=5, n_probe=4)
+
+
+@register(
+    "ivf_index_append",
+    # hash-exact like ivf_index_build: the build over the even-id half is
+    # deterministic, and frozen-centroid assignment of the appended odd-id
+    # half is the same row-independent 9dp-rounded rule — the oracle
+    # builds centroids over the half and assigns the full corpus
+    oracle=f"""
+WITH {_ivf_ctes(build_filter="vec_id % 2 = 0")}
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM afin GROUP BY cell ORDER BY cell
+""",
+    doc="IVF index APPEND (the steady-state ingest half of the lifecycle — VERDICT r10 #4): build centroids + cells over the even-id half, ann_ivf_append the odd-id half with frozen centroids (historical cells never re-read or rewritten), return the cell histogram over the union; oracle unrolls the half-corpus build and full-corpus assignment",
+)
+def ivf_index_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_raw(spark, sf_dir)
+    path = _ivf_index_path(sf_dir) + "_append"
+    S.build_ivf_index(
+        emb.where(F.col("vec_id") % 2 == 0), path, n_centroids=16, lloyd_iterations=2
+    )
+    S.ann_ivf_append(spark, path, emb.where(F.col("vec_id") % 2 == 1))
+    return (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )
 
 
 # ---------------------------------------------------------------------------

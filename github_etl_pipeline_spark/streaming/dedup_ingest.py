@@ -43,7 +43,6 @@ from github_etl_pipeline_spark.operators.curation import (
     duplicate_spans_against_index,
 )
 from github_etl_pipeline_spark.operators.text import TOKEN_RE
-from github_etl_pipeline_spark.session import managed_caches
 
 
 def clean_with_spans(
@@ -130,12 +129,21 @@ def run_dedup_ingest(
         if marker.exists() and batch_id <= int(marker.read_text()):
             return  # replayed epoch: shard + index already applied
 
-        # managed_caches (VERDICT r9 #6): the batch body persists two
-        # relations over a store it REWRITES below (index promote) —
-        # structural sweep-on-exit guarantees no stale CacheManager
-        # entry can serve pre-promote rows to the next micro-batch,
-        # even when a sink write raises mid-batch.
-        with managed_caches(spark):
+        # TARGETED unpersist (ADVICE r10, revising the r9 session-wide
+        # sweep): the batch body persists exactly two relations it owns
+        # (batch_df, cleaned) — both derived from this epoch's stream
+        # batch, so releasing those two handles in the finally block
+        # removes their CacheManager entries AND storage even when a
+        # sink write raises mid-batch. The span operators persist
+        # nothing internally, and the index parquet this batch rewrites
+        # is never cached, so nothing stale can survive into the next
+        # micro-batch. A session-wide sweep here would also clear caches
+        # OWNED BY THE CALLER of a shared session (e.g. a persisted
+        # static dim joined into the stream), forcing a recompute every
+        # batch — session-wide sweeps belong to harness entry points
+        # that own the session (bench/probe/check), not to a sink body.
+        cleaned = None
+        try:
             batch_df = batch_df.persist()
             if index_path.exists():
                 spans = duplicate_spans_against_index(
@@ -177,6 +185,10 @@ def run_dedup_ingest(
             staging.rename(index_path)
             if old.exists():
                 shutil.rmtree(old)
+        finally:
+            batch_df.unpersist()
+            if cleaned is not None:
+                cleaned.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(sink)

@@ -271,7 +271,15 @@ def run_incremental_git(
     # fallback re-reads the whole corpus and would otherwise read a
     # file edited in an earlier commit at its pinned stale length
     # (FileStatusCache keeps lengths forever, metadataCacheTTLSeconds=-1).
+    # scan_dir covers the fallback branch; OUT-OF-SUBDIR matches (e.g.
+    # vendor/samples/pools2/x.pol — first-class since r10) live outside
+    # that prefix, so each gets its own refresh or an in-place edit
+    # could still be read at its stale pinned length (ADVICE r10).
     spark.catalog.refreshByPath(scan_dir)
+    scan_prefix = scan_dir.rstrip("/") + "/"
+    for p in paths:
+        if not p.startswith(scan_prefix):
+            spark.catalog.refreshByPath(p)
     if paths:
         raw = spark.read.format("text").load(paths)
         n_changed = len(paths)

@@ -567,3 +567,46 @@ def test_precomputed_shingle_k_metadata_contract(spark):
     bare = df.select("doc_id", shingle_hashes("text", 2).alias("_hs"))
     with pytest.raises(ValueError, match="shingle_k"):
         hash_array_or_shingles(bare, "_hs", 2)  # undeclared k refused
+
+
+def test_precomputed_shingles_distinctness_contract(spark):
+    """ADVICE r10 (low): jaccard's inclusion-exclusion union
+    (|a| + |b| - |a∩b|) equals the SET union only when each precomputed
+    array is distinct. The producer (shingle_hashes) guarantees it via
+    array_distinct; this pins (a) that guarantee even on repetitive
+    text, and (b) the exact deflation a hand-built NON-distinct array
+    causes — the false-negative mode the documented contract rules out."""
+    from pyspark.sql import functions as F
+
+    from github_etl_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        shingle_hashes,
+    )
+
+    # (a) producer distinctness on maximally repetitive text
+    rep = spark.createDataFrame(
+        [(1, "a b a b a b a b")], "doc_id long, text string"
+    )
+    arr = rep.select(shingle_hashes("text", 2).alias("h")).first().h
+    assert len(arr) == len(set(arr))
+
+    # (b) identical shingle SETS: distinct arrays -> jaccard 1.0;
+    # duplicating one side's array deflates it to 0.5 (|a∩b| stays 3,
+    # inclusion-exclusion union inflates to 3 + 6 - 3 = 6)
+    base = spark.createDataFrame(
+        [(1, "x y z w"), (2, "x y z w")], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        shingle_hashes("text", 2).alias("_hs", metadata={"shingle_k": 2}),
+    )
+    ok = jaccard_pairs(base, "_hs", k=2, threshold=0.0).first()
+    assert ok.jaccard == 1.0
+
+    broken = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 2, F.concat("_hs", "_hs"))
+        .otherwise(F.col("_hs"))
+        .alias("_hs", metadata={"shingle_k": 2}),
+    )
+    deflated = jaccard_pairs(broken, "_hs", k=2, threshold=0.0).first()
+    assert deflated.jaccard == 0.5

@@ -333,6 +333,50 @@ def test_incremental_git_out_of_subdir_match_projects_repo_relative(
     }
 
 
+def test_incremental_git_out_of_subdir_in_place_edit_not_stale(
+    spark, tmp_path, dim_agg
+):
+    """ADVICE r10 (low): refreshByPath(scan_dir) only drops cached file
+    statuses UNDER the scan subdir, but out-of-subdir substring matches
+    (vendor/samples/pools2/x.pol) are read from outside that prefix —
+    an in-place edit of one must not be read at its stale
+    FileStatusCache-pinned length on the next run."""
+    from github_etl_pipeline_spark.streaming.incremental import run_incremental_git
+
+    repo = tmp_path / "repo_vs"
+    pools = repo / "samples" / "pools2"
+    pools.mkdir(parents=True)
+    vendor = repo / "vendor" / "samples" / "pools2"
+    vendor.mkdir(parents=True)
+    store = tmp_path / "store_vs"
+
+    (pools / "Pool_0201_941.pol").write_text("100\n")
+    _git(repo, "init", "-q")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c1")
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == -1
+
+    # commit 2 adds the vendor pool; processing it caches its status
+    vf = vendor / "Pool_0201_395.pol"
+    vf.write_text("50\n60\n")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c2 vendor add")
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == 1
+    got = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got["vendor/samples/pools2/Pool_0201_395.pol"] == 2
+
+    # commit 3 edits it IN PLACE (longer) — the next run re-reads it and
+    # must see the new length, not the pinned one
+    vf.write_text("50\n60\n70\n80\n90\n")
+    _git(repo, "add", "-A")
+    _git(repo, "commit", "-qm", "c3 vendor edit")
+    assert run_incremental_git(spark, repo, store, dim_agg=dim_agg) == 1
+    got = {r.source_file: r.size for r in read_store(spark, store).collect()}
+    assert got["vendor/samples/pools2/Pool_0201_395.pol"] == 5, (
+        "out-of-subdir in-place edit read at stale cached length"
+    )
+
+
 def test_incremental_git_outside_repo_falls_back(spark, tmp_path, dim_agg):
     """No git repo at all -> changed_paths_from_git returns None -> the
     full-scan fallback still produces a complete store (S3)."""
