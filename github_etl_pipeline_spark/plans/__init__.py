@@ -40,9 +40,10 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 #          r9-rewritten native-partitioning build path. Then 17 fillers
 #          (fewest lifetime greens: the 2-green r8 block, alphabetical).
 #          After r10 registry max staleness becomes r8.
-#   r11:   (this list; VERDICT r10 "Next round" #1/#2/#4) LEAD with the
-#          two queries REGISTERED this round (never driver-checked):
-#          embedding_lsh_recall_floor + ivf_index_append. Then the 32
+#   r11:   (this list; VERDICT r10 "Next round" #1-#4) LEAD with the
+#          three queries REGISTERED this round (never driver-checked):
+#          embedding_lsh_recall_floor + embedding_lsh_recall_tuned +
+#          ivf_index_append. Then the 32
 #          queries whose newest green row is r8 (recomputed from
 #          CORRECTNESS_r01-r10: the 31 two-green r8 fillers +
 #          top_terms_by_source), then fillers ordered by fewest lifetime
@@ -54,10 +55,12 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 # fewest lifetime green rows.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY = [
-    # --- never driver-checked: the two queries registered this round ---
+    # --- never driver-checked: the three queries registered this round ---
     # (VERDICT r10 #2: the depth-adaptive miner's recall on cos~=0.85
-    # seeded near-dups; VERDICT r10 #4: the steady-state index append)
+    # seeded near-dups; #3: the bands_for_recall scale-sibling; #4: the
+    # steady-state index append)
     "embedding_lsh_recall_floor",
+    "embedding_lsh_recall_tuned",
     "ivf_index_append",
     # --- newest green row is r8 (32 queries), fewest greens first ---
     # 2 lifetime greens (alphabetical):

@@ -736,6 +736,23 @@ def _recall_seed_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_found_flags(spark: SparkSession, sf_dir: str, lsh_kw: dict) -> DataFrame:
+    corpus = _recall_seed_emb(spark, sf_dir)
+    pairs = D.embedding_dup_pairs_lsh(corpus, threshold=0.45, **lsh_kw)
+    expected = _emb(spark, sf_dir).where(
+        F.col("vec_id") % _RECALL_SEED_MOD == 0
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(_RECALL_SEED_OFFSET)).alias("id_b"),
+    )
+    hits = pairs.withColumn("_hit", F.lit(1))
+    return expected.join(hits, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("found"),
+    )
+
+
 @register(
     "embedding_lsh_recall_floor",
     oracle=f"""
@@ -751,20 +768,37 @@ FROM expected x LEFT JOIN verified v ON v.id_a = x.id_a AND v.id_b = x.id_b
     doc="LSH recall gate as a query: seed cos=0.85 near-dups (deterministic in-plane rotation, not copies) of every 29th vector, mine with the production depth-adaptive miner, emit found/not-found per seed pair vs constructed ground truth — the recall the adaptive-depth tradeoff is graded on, hash-checked cross-engine (oracle mirrors seed construction + banding + depth + verify); tests assert the floor and the bands_for_recall restoration at deeper depths",
 )
 def embedding_lsh_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _recall_seed_emb(spark, sf_dir)
-    pairs = D.embedding_dup_pairs_lsh(corpus, threshold=0.45, **_EMB_PAIR_LSH)
-    expected = _emb(spark, sf_dir).where(
-        F.col("vec_id") % _RECALL_SEED_MOD == 0
-    ).select(
-        F.col("vec_id").alias("id_a"),
-        (F.col("vec_id") + F.lit(_RECALL_SEED_OFFSET)).alias("id_b"),
-    )
-    hits = pairs.withColumn("_hit", F.lit(1))
-    return expected.join(hits, ["id_a", "id_b"], "left").select(
-        "id_a",
-        "id_b",
-        F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("found"),
-    )
+    return _recall_found_flags(spark, sf_dir, _EMB_PAIR_LSH)
+
+
+# The bands_for_recall scale mode as a CHECKED query (VERDICT r10 #3's
+# "registered scale-sibling"): the FIXED literals below are exactly
+# bands_for_recall(518, target_recall=0.95, cos_threshold=0.85,
+# target_bucket=8) for the driver tier's seeded corpus size — pinned by
+# tests/test_embedding_lsh_recall.py::test_tuned_query_params_match_helper
+# so the linkage to the helper can't drift silently. Literals (not a
+# runtime bands_for_recall call) because the oracle's band CTEs are a
+# fixed string: a corpus-size change must surface in the pytest pin, not
+# as a cross-engine config divergence.
+_EMB_RECALL_TUNED = dict(n_planes=77, bands=11, target_bucket=8)
+
+
+@register(
+    "embedding_lsh_recall_tuned",
+    oracle=f"""
+WITH {_hyperplane_pairs_ctes(0.45, n_planes=77, bands=11, corpus_sql=_RECALL_SEED_SQL, target_bucket=8)},
+expected AS (
+  SELECT vec_id AS id_a, vec_id + {_RECALL_SEED_OFFSET} AS id_b
+  FROM embeddings WHERE vec_id % {_RECALL_SEED_MOD} = 0
+)
+SELECT x.id_a, x.id_b,
+       CAST(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS found
+FROM expected x LEFT JOIN verified v ON v.id_a = x.id_a AND v.id_b = x.id_b
+""",
+    doc="the bands_for_recall scale mode as a query: same cos=0.85 seeded ground truth as embedding_lsh_recall_floor, mined with the recall-tuned band count the helper selects for this corpus size (11 bands x depth 7 vs production's 8 x 16) — measured 18/18 found at sf0.01 vs the fixed config's 16/18; at the 100x tier the same mode holds 0.88 recall where fixed bands decay to 0.33 (SCALING.md recall tiers)",
+)
+def embedding_lsh_recall_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_found_flags(spark, sf_dir, _EMB_RECALL_TUNED)
 
 
 # ---------------------------------------------------------------------------

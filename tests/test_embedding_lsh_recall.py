@@ -164,6 +164,26 @@ def test_bands_for_recall_math():
     assert kw["capped"] and kw["bands"] == 16
 
 
+def test_tuned_query_params_match_helper(spark):
+    """The registered embedding_lsh_recall_tuned query's FIXED literals
+    must equal what bands_for_recall selects for the driver tier's
+    seeded corpus size (518 = 500 embeddings + 18 seeds at sf0.01) —
+    the literals exist only because the oracle's band CTEs are a fixed
+    string; this pin is where a corpus-size change must surface."""
+    from github_etl_pipeline_spark.plans.extensions import _EMB_RECALL_TUNED
+
+    emb = read_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = recall_seed_union(emb).count()
+    kw = bands_for_recall(
+        n, target_recall=0.95, cos_threshold=0.85,
+        target_bucket=_EMB_RECALL_TUNED["target_bucket"],
+    )
+    kw.pop("capped")
+    assert kw == _EMB_RECALL_TUNED, (n, kw)
+
+
 def test_seeded_pairs_sit_at_constructed_cosine(spark):
     """The rotation construction actually lands cos(v, v') = 0.85 (to
     fp rounding) and preserves the norm — the ground truth the recall
