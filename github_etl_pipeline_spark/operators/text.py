@@ -464,6 +464,71 @@ def bm25_topk(
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(topk)
 
 
+def dsir_importance(
+    df: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = 20,
+) -> DataFrame:
+    """DSIR-style importance resampling scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): rank raw
+    documents by how much more likely they are under a TARGET unigram
+    LM than under the raw-corpus unigram LM — the data-selection
+    primitive for steering a 100-TB crawl toward a small high-quality
+    target distribution. ``target_filter`` marks the target rows (they
+    score too, as the natural top of the ranking). Returns the top
+    ``topk`` as (id, n_tokens, rank); the per-doc score is the
+    length-normalized mean token log-ratio
+        avg_w ln( p_target(w) / p_raw(w) )
+    with add-1 smoothing over the raw-corpus vocabulary, rounded to 9dp
+    BEFORE ordering so the (score, id) tie-break is reproducible across
+    engines and float summation orders (the bm25_topk convention).
+
+    Shape at 100 TB: ONE corpus tokenize feeds ONE vocabulary-sized
+    model aggregate — target and raw counts come out of the same
+    groupBy(token) via a conditional count, so the target pass is free
+    (the distinct-bigram-model lesson from bigram_logprob applied at
+    design time). Scoring is the single corpus-sized (doc, token) join
+    against that model relation; totals broadcast as a 1-row aggregate;
+    the final top-k is a TakeOrderedAndProject, never a global sort."""
+    toks = df.select(
+        F.col(id_col),
+        target_filter.alias("_tgt"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).alias(
+            "tok"
+        ),
+    )
+    model = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count_if(F.col("_tgt")).alias("ct"),
+    )
+    tot = model.agg(
+        F.sum("cr").cast("double").alias("tr"),
+        F.sum("ct").cast("double").alias("tt"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ratio = (
+        (F.col("ct").cast("double") + F.lit(1.0)) / (F.col("tt") + F.col("v"))
+    ) / ((F.col("cr").cast("double") + F.lit(1.0)) / (F.col("tr") + F.col("v")))
+    scored = (
+        toks.join(model, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(ratio)), 9).alias("iw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.col("iw").desc(), F.col(id_col).asc()).limit(topk)
+    w = Window.orderBy(F.col("iw").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "n_tokens", "rank"
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -41,9 +41,9 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 #          (fewest lifetime greens: the 2-green r8 block, alphabetical).
 #          After r10 registry max staleness becomes r8.
 #   r11:   (this list; VERDICT r10 "Next round" #1-#4) LEAD with the
-#          three queries REGISTERED this round (never driver-checked):
+#          four queries REGISTERED this round (never driver-checked):
 #          embedding_lsh_recall_floor + embedding_lsh_recall_tuned +
-#          ivf_index_append. Then the 32
+#          ivf_index_append + dsir_importance_documents. Then the 32
 #          queries whose newest green row is r8 (recomputed from
 #          CORRECTNESS_r01-r10: the 31 two-green r8 fillers +
 #          top_terms_by_source), then fillers ordered by fewest lifetime
@@ -62,6 +62,7 @@ DRIVER_SAMPLE_PRIORITY = [
     "embedding_lsh_recall_floor",
     "embedding_lsh_recall_tuned",
     "ivf_index_append",
+    "dsir_importance_documents",
     # --- newest green row is r8 (32 queries), fewest greens first ---
     # 2 lifetime greens (alphabetical):
     "fuzzy_pairs_documents",

@@ -1530,6 +1530,51 @@ def unigram_logprob_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023): rank raw docs by the
+# target-vs-raw unigram LM log-ratio — the data-selection primitive for
+# steering a crawl toward a target distribution (extension block; no
+# reference-repo counterpart)
+# ---------------------------------------------------------------------------
+@register(
+    "dsir_importance_documents",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source = 'src0' AS tgt,
+         unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS tok
+  FROM documents
+),
+m AS (
+  SELECT tok, COUNT(*) AS cr, COUNT(*) FILTER (WHERE tgt) AS ct
+  FROM t GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(cr) AS DOUBLE) AS tr, CAST(SUM(ct) AS DOUBLE) AS tt,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM m
+),
+d AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         round(AVG(ln(((CAST(ct AS DOUBLE) + 1.0) / (tt + v))
+                      / ((CAST(cr AS DOUBLE) + 1.0) / (tr + v)))), 9) AS iw
+  FROM t JOIN m USING (tok) CROSS JOIN tot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, rank FROM (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY iw DESC, doc_id ASC) AS rank
+  FROM d
+) WHERE rank <= 20
+""",
+    doc="DSIR-style importance resampling: per-doc mean token log-ratio of the src0-target unigram LM vs the raw-corpus LM (add-1 smoothing over the corpus vocab), top-20 by importance — target and raw counts come out of ONE vocabulary-sized groupBy(token) (conditional count), one corpus-sized scoring join, TakeOrderedAndProject; score rounded to 9dp before ordering for a cross-engine-stable tie-break (ranks only)",
+)
+def dsir_importance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.text import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    return dsir_importance(docs, F.col("source") == "src0", topk=20)
+
+
 @register(
     "bigram_lm_outliers",
     oracle=f"""

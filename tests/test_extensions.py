@@ -584,3 +584,61 @@ def test_bigram_lm_outliers_independent_math(spark):
         assert got[i].n_bigrams == len(bgs[i])
         assert got[i].lp == pytest.approx(expect, abs=1e-6), i
     assert got[3].lp < got[1].lp and got[3].lp < got[2].lp
+
+
+def test_dsir_importance_independent_math(spark):
+    """dsir_importance vs an independent pure-Python implementation of
+    the add-1-smoothed target/raw unigram log-ratio on a tiny corpus; a
+    raw doc written in the target's vocabulary must outrank a raw doc
+    written in off-target vocabulary."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from github_etl_pipeline_spark.operators.text import dsir_importance
+
+    rows = [
+        (1, "tgt", "alpha beta alpha beta gamma"),
+        (2, "tgt", "alpha gamma beta alpha"),
+        (3, "raw", "alpha beta gamma alpha"),   # on-target vocabulary
+        (4, "raw", "delta epsilon zeta delta"),  # off-target vocabulary
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.doc_id: r
+        for r in dsir_importance(
+            docs, F.col("source") == "tgt", topk=10
+        ).collect()
+    }
+
+    toks = {i: t.split() for i, _, t in rows}
+    raw = Counter(w for ws in toks.values() for w in ws)
+    tgt = Counter(w for i, ws in toks.items() if i in (1, 2) for w in ws)
+    tr, tt, v = sum(raw.values()), sum(tgt.values()), len(raw)
+    expect = {}
+    for i, ws in toks.items():
+        lr = [
+            math.log(((tgt[w] + 1.0) / (tt + v)) / ((raw[w] + 1.0) / (tr + v)))
+            for w in ws
+        ]
+        expect[i] = sum(lr) / len(lr)
+    order = sorted(expect, key=lambda i: (-round(expect[i], 9), i))
+    assert [got[i].rank for i in order] == [1, 2, 3, 4]
+    assert all(got[i].n_tokens == len(toks[i]) for i in got)
+    # the on-target raw doc outranks the off-target raw doc
+    assert got[3].rank < got[4].rank
+
+
+def test_dsir_importance_single_tokenize_and_no_global_sort(spark):
+    """Plan shape: the registered DSIR query tokenizes the corpus in the
+    scan stages only (regexp_extract_all appears, and the top-k is a
+    TakeOrderedAndProject — never a global Sort+Exchange over scored
+    docs)."""
+    from github_etl_pipeline_spark.plans import REGISTRY
+
+    df = REGISTRY["dsir_importance_documents"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

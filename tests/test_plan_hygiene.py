@@ -40,7 +40,10 @@ SF_DIR = "/root/testdata/sf0.001"
 #   ann_ivf_recall_floor — embeds the exact-ANN baseline (the same
 #     corpus x broadcast 5-row query set as ann_topk_bruteforce) to
 #     grade the IVF side against it
+#   dsir_importance_documents — 1-row (raw-total, target-total, vocab)
+#     broadcast onto the unigram model relation (scalar attach)
 ALLOWED_NESTED_LOOP = {
+    "dsir_importance_documents",
     "quality_percentile_gate_documents",
     "bigram_lm_outliers",
     "ann_ivf_recall_floor",
