@@ -144,3 +144,28 @@ def test_ingest_recovers_crashed_promote(spark, tmp_path):
     assert got == exp and set(healthy) <= set(got)
     assert not idx.with_name(idx.name + "._old").exists()
     assert not idx.with_name(idx.name + "._staging").exists()
+
+
+def test_ingest_batch_releases_only_its_own_caches(spark, tmp_path):
+    """ADVICE r10 (low): the batch body must release exactly the two
+    relations it persists — a CALLER-owned cached relation in the same
+    session (e.g. a persisted static dim) must still be cached after
+    the ingest runs, and the batch's own relations must not leak."""
+    caller_dim = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).persist()
+    caller_dim.count()  # materialize
+    assert caller_dim.storageLevel.useMemory
+
+    srcdir = tmp_path / "src"
+    _feed(spark, srcdir, [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4")])
+    _run(spark, srcdir, tmp_path / "out", tmp_path / "idx", tmp_path / "ckpt")
+
+    # caller-owned cache survived the batch (the r9 session-wide sweep
+    # would have cleared it, forcing a recompute every micro-batch)
+    assert caller_dim.storageLevel.useMemory
+    # and the batch-owned persists were released (no leaked RDD storage
+    # beyond the caller's one cached relation)
+    jsc = spark.sparkContext._jsc
+    assert len(jsc.getPersistentRDDs()) == 1
+    caller_dim.unpersist()
