@@ -621,6 +621,162 @@ def ann_ivf_search(
     )
 
 
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+    lloyd_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    cluster the corpus with the deterministic IVF k-means, compare
+    vectors ONLY within their cluster, and flag every vector that has a
+    lower-id cluster-mate at cosine >= ``threshold``. Output one row per
+    vector: ``(id, cell, is_dup)`` — ``is_dup = 0`` is the keep mask.
+
+    Dedup rule: a vector is removed iff SOME lower-id vector in the same
+    cell matches it (the order-independent superset of the paper's
+    keep-one-exemplar greedy — exact-duplicate groups keep precisely
+    their minimum id; near-dup chains may remove both endpoints of a
+    path, which for training-data curation errs toward MORE dedup, never
+    less). Cosines are rounded to 9dp before the threshold compare (the
+    repo-wide cross-engine determinism rule), so a DuckDB oracle that
+    unrolls the same k-means lands on the identical flag set.
+
+    Scale shape (the reason SemDeDup beats all-pairs LSH at 100 TB for
+    this job): candidates are sum(|cell|^2)/2, so with ``n_centroids``
+    grown proportionally to corpus size (constant target cell size) the
+    compare volume is LINEAR in rows. One corpus-wide shuffle keyed on
+    ``cell`` feeds both sides of the within-cell join; the assignment
+    itself is a literal-centroid Arrow UDF projection with no shuffle.
+    The cells relation is persisted once and read by both join sides and
+    the final flag projection."""
+    if lloyd_iterations > 0:
+        emb = emb.persist()
+    centroids = _sample_centroids(emb, id_col, vec_col, n_centroids)
+    if lloyd_iterations > 0:
+        centroids = _lloyd_refine(emb, vec_col, centroids, lloyd_iterations)
+    cells = _assign_cells(emb, centroids, id_col, vec_col).persist()
+    a = cells.select(
+        F.col("cell"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("_ne").alias("_na"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_ne").alias("_nb"),
+    )
+    removed = (
+        a.join(b, "cell")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(
+            F.round(
+                dot_expr(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 9
+            )
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return cells.join(
+        removed.withColumn("_dup", F.lit(1)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("is_dup"),
+    )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cell: int = 8,
+    n_centroids: int = 16,
+    lloyd_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced diversity sample: assign every vector to its
+    deterministic k-means cell, then keep the ``per_cell`` vectors whose
+    ``md5(id)`` digests sort lowest within each cell — an equal quota
+    from every region of embedding space, the diversity-preserving
+    selection a training-data mix needs where a uniform Bernoulli sample
+    over-represents the dense clusters. Output (cell, cell_rank, id).
+
+    Determinism: md5-of-id is the repo's engine-reproducible uniform
+    shuffle (the ``_sample_centroids`` / exact-k device), so the picked
+    set is identical across runs and engines — no RNG state.
+
+    Scale shape: assignment is a literal-centroid Arrow UDF projection
+    (no shuffle); the quota filter is ONE shuffle keyed on cell whose
+    window rank collapses to a per-partition partial top-k
+    (WindowGroupLimit), so only ~per_cell rows per cell survive each
+    map task. Output volume is n_centroids x per_cell regardless of
+    corpus size; grow n_centroids with the corpus for a fixed sampling
+    rate."""
+    if lloyd_iterations > 0:
+        emb = emb.persist()
+    centroids = _sample_centroids(emb, id_col, vec_col, n_centroids)
+    if lloyd_iterations > 0:
+        centroids = _lloyd_refine(emb, vec_col, centroids, lloyd_iterations)
+    cells = _assign_cells(emb, centroids, id_col, vec_col)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        cells.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= per_cell)
+        .select("cell", "cell_rank", F.col(id_col))
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k_const: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009): combine
+    ranked retrieval lists by summing ``1 / (k_const + rank)`` per id —
+    the standard hybrid-retrieval merge (BM25 keyword list + ANN dense
+    list) that needs no score calibration between the systems. Output
+    (fused_rank, id, rrf_score, n_lists), top ``topk`` by fused score
+    (ties -> lower id).
+
+    Input lists are small by contract (each is a top-k retrieval
+    result), so the union/agg/window all run at lists x topk scale —
+    the single-partition window is bounded, never corpus-sized.
+
+    Cross-engine exactness: with <= 2 input lists the per-id sum is one
+    IEEE addition (commutative), so the 9dp-rounded score is identical
+    regardless of aggregation order; beyond 2 lists a tie at the 9dp
+    boundary could in principle depend on summation order — callers
+    fusing 3+ lists should treat fused_rank near score ties as
+    engine-approximate."""
+    u: DataFrame | None = None
+    for df in ranked:
+        part = df.select(F.col(id_col), F.col(rank_col).cast("long").alias("_r"))
+        u = part if u is None else u.unionAll(part)
+    assert u is not None, "rrf_fuse needs at least one ranked list"
+    scored = u.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k_const)) + F.col("_r"))), 9
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= topk)
+        .select("fused_rank", id_col, "rrf_score", "n_lists")
+    )
+
+
 def group_centroids(
     emb: DataFrame, group_col: str, vec_col: str = "embedding", dim: int = 64
 ) -> DataFrame:

@@ -55,7 +55,7 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 # fewest lifetime green rows.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY = [
-    # --- never driver-checked: the three queries registered this round ---
+    # --- never driver-checked: the queries registered this round ---
     # (VERDICT r10 #2: the depth-adaptive miner's recall on cos~=0.85
     # seeded near-dups; #3: the bands_for_recall scale-sibling; #4: the
     # steady-state index append)
@@ -63,6 +63,12 @@ DRIVER_SAMPLE_PRIORITY = [
     "embedding_lsh_recall_tuned",
     "ivf_index_append",
     "dsir_importance_documents",
+    # (also registered this round, second batch: the semantic-curation
+    # block — SemDeDup cluster-then-cosine dedup, cluster-balanced
+    # diversity sampling, BM25+dense hybrid retrieval via RRF)
+    "semdedup_embeddings",
+    "cluster_balanced_sample_embeddings",
+    "hybrid_rrf_search_documents",
     # --- newest green row is r8 (32 queries), fewest greens first ---
     # 2 lifetime greens (alphabetical):
     "fuzzy_pairs_documents",

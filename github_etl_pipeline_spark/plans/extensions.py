@@ -608,12 +608,26 @@ _EMB_SEED_SQL = (
 )
 
 
-def _seeded_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+def _seed_union(emb: DataFrame) -> DataFrame:
+    """Union the deterministic exact-duplicate seeds (every 97th vector
+    re-unioned under id + 1e9) onto any (vec_id, embedding) corpus —
+    the Spark mirror of _EMB_SEED_SQL."""
     dups = emb.where(F.col("vec_id") % _MEDIA_SEED_MOD == 0).select(
         (F.col("vec_id") + F.lit(_MEDIA_SEED_OFFSET)).alias("vec_id"), "embedding"
     )
     return emb.unionAll(dups)
+
+
+def _seeded_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _seed_union(_emb(spark, sf_dir).select("vec_id", "embedding"))
+
+
+def _seeded_emb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded corpus at the scan's NATIVE partitioning (see _emb_raw):
+    the IVF-build family's fixed-overhead argument applies to the
+    cluster-based semdedup too — its Lloyd passes and assignment UDF are
+    Python-stage fixed cost, not per-row JVM compute."""
+    return _seed_union(_emb_raw(spark, sf_dir).select("vec_id", "embedding"))
 
 
 # r10 scale fix (VERDICT r9 #4): fixed 8-bit buckets made candidates
@@ -901,6 +915,7 @@ def _ivf_ctes(
     lloyd: int = 2,
     dim: int = 64,
     build_filter: str | None = None,
+    corpus_sql: str | None = None,
 ) -> str:
     """CTE chain replicating the ENTIRE deterministic IVF build in DuckDB
     (VERDICT r5 #3 option a): md5-ordered centroid sample, ``lloyd``
@@ -917,13 +932,23 @@ def _ivf_ctes(
     with those frozen centroids — exactly ``build_ivf_index(build_half)``
     followed by ``ann_ivf_append(rest)``, because per-vector frozen-
     centroid assignment is independent row-by-row (the one shared
-    ``_assign_cells`` path on the Spark side)."""
+    ``_assign_cells`` path on the Spark side).
+
+    ``corpus_sql`` swaps the raw embeddings scan for any subquery
+    yielding ``(vec_id, v DOUBLE[])`` — e.g. the seeded-duplicate unions
+    — so cluster-based operators over seeded corpora (semdedup) reuse
+    the same unrolled deterministic build."""
     build_src = "en" if build_filter is None else "enb"
-    ctes = [
-        "en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
-        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nv "
-        "FROM embeddings)",
-    ]
+    if corpus_sql is None:
+        ctes = [
+            "en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+            "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nv "
+            "FROM embeddings)",
+        ]
+    else:
+        ctes = [
+            f"en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM ({corpus_sql}))",
+        ]
     if build_filter is not None:
         ctes.append(f"enb AS (SELECT * FROM en WHERE {build_filter})")
     ctes.append(f"""c0 AS (
@@ -1115,6 +1140,65 @@ def ivf_index_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-cosine semantic dedup (Abbas et al. 2023) — the
+# scale path for embedding dedup: vectors are compared ONLY within their
+# k-means cell, so compare volume is sum(|cell|^2)/2 — linear in rows at a
+# constant target cell size — instead of the all-pairs LSH banding shuffle.
+# The corpus is seeded with exact duplicates (cos 1.0, identical vectors ->
+# identical cell by construction) so the keep-mask is provably non-vacuous;
+# the oracle unrolls the same deterministic k-means over the seeded corpus.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_THRESHOLD = 0.45
+
+
+@register(
+    "semdedup_embeddings",
+    oracle=f"""
+WITH {_ivf_ctes(corpus_sql=_EMB_SEED_SQL)},
+cv AS (SELECT afin.vec_id, afin.cell, en.v, en.nv FROM afin JOIN en USING (vec_id)),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM cv a JOIN cv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v) / (a.nv * b.nv), 9) >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT cv.vec_id, cv.cell,
+       CAST(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM cv LEFT JOIN removed r ON r.vec_id = cv.vec_id
+""",
+    doc=f"SemDeDup cluster-then-cosine semantic dedup: deterministic IVF k-means assignment (literal-centroid Arrow UDF, no shuffle), within-cell pairs only (ONE shuffle keyed on cell; compare volume linear in rows at constant cell size), flag vectors with a lower-id cell-mate at 9dp-rounded cosine >= {_SEMDEDUP_THRESHOLD}; seeded exact duplicates land in their source's cell by construction so is_dup=1 rows are guaranteed; oracle unrolls the identical k-means + within-cell compare over the seeded corpus",
+)
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.semdedup(_seeded_emb_raw(spark, sf_dir), threshold=_SEMDEDUP_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced diversity sampling: equal md5-deterministic quotas from
+# every k-means cell — the diversity-preserving selection for a training
+# mix (uniform Bernoulli over-represents dense regions of embedding space).
+# ---------------------------------------------------------------------------
+_CBS_PER_CELL = 8
+
+
+@register(
+    "cluster_balanced_sample_embeddings",
+    oracle=f"""
+WITH {_ivf_ctes()}
+SELECT cell, cell_rank, vec_id FROM (
+  SELECT cell, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY cell
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell_rank
+  FROM afin
+) WHERE cell_rank <= {_CBS_PER_CELL}
+""",
+    doc=f"cluster-balanced diversity sample: deterministic k-means assignment (literal-centroid Arrow UDF, no shuffle) + md5-ranked quota of {_CBS_PER_CELL} per cell (ONE shuffle on cell, WindowGroupLimit partial top-k before the exchange); output volume n_centroids x per_cell regardless of corpus size; oracle unrolls the identical k-means and ranks by the same md5 order",
+)
+def cluster_balanced_sample_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cluster_balanced_sample(
+        _emb_raw(spark, sf_dir), per_cell=_CBS_PER_CELL
     )
 
 
@@ -1409,10 +1493,11 @@ _BM25_TERMS = ("join", "stream", "filter")
 _BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
 
 
-@register(
-    "bm25_search_documents",
-    oracle=f"""
-WITH base AS (
+def _bm25_scored_ctes() -> str:
+    """CTE chain ending in ``scored(doc_id, bm25)`` — the full Okapi BM25
+    scoring over the documents table; shared by the bm25_search oracle
+    and the hybrid-RRF oracle (which ranks the same top-k list)."""
+    return f"""base AS (
   SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS w FROM documents
 ),
 dls AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS dl, w FROM base),
@@ -1434,7 +1519,13 @@ scored AS (
          ), 6) AS bm25
   FROM posting p JOIN dfreq d USING (term) CROSS JOIN stats s
   GROUP BY 1
-)
+)"""
+
+
+@register(
+    "bm25_search_documents",
+    oracle=f"""
+WITH {_bm25_scored_ctes()}
 SELECT doc_id, bm25 FROM scored
 ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK}
 """,
@@ -1446,6 +1537,73 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _docs(spark, sf_dir), _BM25_TERMS,
         k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 keyword list + exact dense list fused by
+# reciprocal-rank fusion — the RAG-curation merge that needs no score
+# calibration between the two systems. doc_id and vec_id share an id space
+# in this corpus (vec_id domain ⊆ doc_id domain at every tier), so the
+# dense list's neighbor ids are valid document ids.
+# ---------------------------------------------------------------------------
+_RRF_K, _RRF_QUERY_ID, _RRF_TOPK = 60, 0, 20
+
+
+@register(
+    "hybrid_rrf_search_documents",
+    oracle=f"""
+WITH {_bm25_scored_ctes()},
+bm25r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+  FROM (SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {_BM25_TOPK})
+),
+en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS nq FROM en WHERE vec_id = {_RRF_QUERY_ID}),
+ann AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS rank FROM (
+    SELECT e.vec_id AS doc_id,
+           list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * q.nq) AS cos
+    FROM en e CROSS JOIN q WHERE e.vec_id != {_RRF_QUERY_ID}
+    ORDER BY cos DESC, e.vec_id ASC LIMIT {_RRF_TOPK}
+  )
+),
+u AS (SELECT doc_id, rank FROM bm25r UNION ALL SELECT doc_id, rank FROM ann),
+fused AS (
+  SELECT doc_id, round(SUM(1.0 / ({_RRF_K} + rank)), 9) AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM u GROUP BY doc_id
+)
+SELECT fused_rank, doc_id, rrf_score, n_lists FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank,
+         doc_id, rrf_score, n_lists
+  FROM fused
+) WHERE fused_rank <= {_RRF_TOPK}
+""",
+    doc=f"hybrid retrieval via reciprocal-rank fusion: BM25 top-{_BM25_TOPK} keyword list + exact dense top-{_RRF_TOPK} for query vector {_RRF_QUERY_ID}, fused by sum(1/({_RRF_K}+rank)) rounded 9dp (with 2 lists the per-id sum is one commutative IEEE addition — order-exact cross-engine); every stage runs at topk scale after the two retrievals, both of which keep their own bounded plans",
+)
+def hybrid_rrf_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.text import bm25_topk
+
+    bm25 = bm25_topk(
+        _docs(spark, sf_dir), _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK
+    )
+    bm25_ranked = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") == _RRF_QUERY_ID).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ann_ranked = S.cosine_topk(emb, queries, k=_RRF_TOPK).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return S.rrf_fuse(
+        [bm25_ranked, ann_ranked], k_const=_RRF_K, topk=_RRF_TOPK
     )
 
 
