@@ -1,0 +1,217 @@
+"""Product quantization (Jégou/Douze/Schmid 2011, "Product Quantization
+for Nearest Neighbor Search") — the compression half of IVF-PQ, the
+standard web-scale ANN layout: split each vector into ``m`` subvectors,
+learn a small L2 k-means codebook per subspace, store each vector as
+``m`` one-byte codes. A 64-dim float32 corpus (256 B/row) becomes 8
+code bytes/row — a 32x scan-volume cut — and queries scan CODES with an
+asymmetric-distance (ADC) lookup table instead of touching raw vectors.
+
+Beyond-reference extension surface (SURVEY §8); the reference has no
+vector columns at all.
+
+Determinism contract (the repo-wide cross-engine rules, mirrored by the
+``_pq_ctes`` oracle in plans/extensions.py):
+  * codebook seeds = the subvectors of the ``k`` corpus rows whose
+    ``md5(id)`` digests sort lowest (the ``_sample_centroids`` device —
+    distributed TakeOrderedAndProject, never a corpus collect);
+  * L2 assignment distances ``|s|^2 + |c|^2 - 2<s,c>`` are rounded to
+    9dp BEFORE the argmin (ties -> lower code), so BLAS-vs-sequential
+    summation ulps (~1e-15 at unit norms) cannot flip a code;
+  * Lloyd means are rounded to 6dp (engine difference is summation-order
+    ulps, far inside the grid); empty cells keep their previous centroid.
+
+Scale shape: the codebook build is ``lloyd_iterations`` fused
+assignment+partial-mean ``mapInPandas`` passes (each partition emits at
+most m x k rows — no shuffle, the tiny partials merge on the driver);
+encoding is ONE Arrow-batched projection; the ADC scan is a pure JVM
+projection over the codes relation (the per-subspace lookup tables are
+m x k literals), so the hot path never reads a raw vector.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.operators.similarity import _sample_centroids
+
+Codebooks = list[list[list[float]]]  # [m][k][dsub]
+
+
+def build_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    lloyd_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> Codebooks:
+    """Learn ``m`` per-subspace L2 k-means codebooks of ``k`` centroids.
+
+    The seed sample is ONE md5-ordered distributed top-k (the same rows
+    seed every subspace — their subvector slices); each Lloyd iteration
+    is ONE corpus scan that assigns and partial-aggregates ALL subspaces
+    fused in a single ``mapInPandas`` pass."""
+    import numpy as np
+
+    dsub = dim // m
+    if lloyd_iterations > 0:
+        emb = emb.persist()
+    sampled = _sample_centroids(emb, id_col, vec_col, k)
+    books: Codebooks = [
+        [[float(x) for x in vec[ms * dsub : (ms + 1) * dsub]] for _, vec in sampled]
+        for ms in range(m)
+    ]
+    for _ in range(lloyd_iterations):
+        bk = [[list(map(float, c)) for c in book] for book in books]
+        mm, kk, dd = m, k, dsub
+
+        def partials(batches):
+            C = [np.asarray(bk[ms], dtype=np.float64) for ms in range(mm)]
+            cn = [(c * c).sum(axis=1) for c in C]
+            sums = [np.zeros((kk, dd)) for _ in range(mm)]
+            counts = [np.zeros(kk, dtype=np.int64) for _ in range(mm)]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+                for ms in range(mm):
+                    S = M[:, ms * dd : (ms + 1) * dd]
+                    d2 = np.round(
+                        (S * S).sum(axis=1)[:, None] + cn[ms][None, :] - 2 * (S @ C[ms].T),
+                        9,
+                    )
+                    a = np.argmin(d2, axis=1)  # first min -> lower code
+                    np.add.at(sums[ms], a, S)
+                    np.add.at(counts[ms], a, 1)
+            rows = {"ms": [], "cell": [], "cnt": [], "s": []}
+            for ms in range(mm):
+                hit = np.nonzero(counts[ms])[0]
+                for i in hit:
+                    rows["ms"].append(ms)
+                    rows["cell"].append(int(i))
+                    rows["cnt"].append(int(counts[ms][i]))
+                    rows["s"].append(sums[ms][i].tolist())
+            # yield NOTHING for an all-empty partition (the empty-column
+            # Arrow dtype trap — see similarity._lloyd_refine)
+            if not rows["ms"]:
+                return
+            yield pd.DataFrame(rows)
+
+        collected = emb.select(vec_col).mapInPandas(
+            partials, "ms int, cell int, cnt long, s array<double>"
+        ).collect()
+        acc: dict[tuple[int, int], tuple[int, "np.ndarray"]] = {}
+        for r in collected:
+            key = (r["ms"], r["cell"])
+            n0, s0 = acc.get(key, (0, np.zeros(dsub)))
+            acc[key] = (n0 + r["cnt"], s0 + np.asarray(r["s"]))
+        books = [
+            [
+                np.round(acc[(ms, c)][1] / acc[(ms, c)][0], 6).tolist()
+                if (ms, c) in acc
+                else old
+                for c, old in enumerate(books[ms])
+            ]
+            for ms in range(m)
+        ]
+    if lloyd_iterations > 0:
+        emb.unpersist()
+    return books
+
+
+def _encode_udf(books: Codebooks):
+    """Arrow-batched m-code assignment: one numpy pass computes every
+    subspace's rounded L2 distances and argmins — constant-size plan,
+    O(batch) work, first-min tie-break matching the oracle's
+    (distance, code) ordering."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    bk = [[list(map(float, c)) for c in book] for book in books]
+    mm = len(bk)
+    dd = len(bk[0][0])
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _codes(v: pd.Series) -> pd.Series:
+        C = [np.asarray(bk[ms], dtype=np.float64) for ms in range(mm)]
+        cn = [(c * c).sum(axis=1) for c in C]
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.empty((len(M), mm), dtype=np.int32)
+        for ms in range(mm):
+            S = M[:, ms * dd : (ms + 1) * dd]
+            d2 = np.round(
+                (S * S).sum(axis=1)[:, None] + cn[ms][None, :] - 2 * (S @ C[ms].T), 9
+            )
+            out[:, ms] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return _codes
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to its m codebook
+    codes. One Arrow-batched projection; no shuffle."""
+    codes = _encode_udf(books)
+    return emb.select(F.col(id_col), codes(F.col(vec_col)).alias("codes"))
+
+
+def adc_lookup_tables(
+    books: Codebooks, query_vec: list[float]
+) -> list[list[float]]:
+    """Per-subspace ADC lookup tables: lut[ms][c] = 9dp-rounded L2
+    distance between the query's ms-th subvector and codebook entry c —
+    m x k doubles, computed driver-side, shipped as plan literals."""
+    dd = len(books[0][0])
+    luts = []
+    for ms, book in enumerate(books):
+        qs = [float(x) for x in query_vec[ms * dd : (ms + 1) * dd]]
+        nq = sum(x * x for x in qs)
+        row = []
+        for cv in book:
+            nc = sum(x * x for x in cv)
+            dot = sum(a * b for a, b in zip(qs, cv))
+            row.append(round(nq + nc - 2 * dot, 9))
+        luts.append(row)
+    return luts
+
+
+def ann_topk_pq(
+    codes_df: DataFrame,
+    books: Codebooks,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC approximate top-k over the CODES relation: approx distance =
+    sum over subspaces of lut[ms][code_ms], a pure JVM projection (the
+    lookup is ``element_at`` into an m x k literal array stack — raw
+    vectors are never read). Output (rank, neighbor_id), ranked by
+    (9dp-rounded approx distance asc, id asc). At 100 TB this scan reads
+    ~3% of the bytes of the raw-vector GEMM baseline; rerank the top
+    candidates against raw vectors where exactness matters."""
+    luts = adc_lookup_tables(books, query_vec)
+    dist = None
+    for ms, row in enumerate(luts):
+        lut_arr = F.array(*[F.lit(float(x)) for x in row])
+        term = F.element_at(lut_arr, F.element_at(F.col("codes"), ms + 1) + F.lit(1))
+        dist = term if dist is None else dist + term
+    scored = codes_df.select(
+        F.col(id_col).alias("neighbor_id"), F.round(dist, 9).alias("_ad")
+    )
+    if exclude_id is not None:
+        scored = scored.where(F.col("neighbor_id") != exclude_id)
+    w = Window.orderBy(F.col("_ad").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "neighbor_id")
+    )

@@ -69,6 +69,9 @@ DRIVER_SAMPLE_PRIORITY = [
     "semdedup_embeddings",
     "cluster_balanced_sample_embeddings",
     "hybrid_rrf_search_documents",
+    # (third batch: product quantization — the compression half of IVF-PQ)
+    "pq_codes_embeddings",
+    "ann_topk_pq",
     # --- newest green row is r8 (32 queries), fewest greens first ---
     # 2 lifetime greens (alphabetical):
     "fuzzy_pairs_documents",

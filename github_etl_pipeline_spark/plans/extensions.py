@@ -1176,6 +1176,146 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): per-subspace L2 k-means
+# codebooks + m-byte codes + ADC top-k — the compression half of IVF-PQ,
+# the standard web-scale ANN layout. The oracle unrolls the full build:
+# one md5-ordered seed sample shared by all subspaces, per-subspace Lloyd
+# iterations with 9dp-rounded L2 assignment (ties -> lower code) and
+# 6dp-rounded means, exactly operators/pq.py's contract.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_LLOYD, _PQ_DIM = 8, 16, 2, 64
+
+
+def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, lloyd: int = _PQ_LLOYD, dim: int = _PQ_DIM) -> str:
+    """CTE chain replicating the deterministic PQ codebook build in
+    DuckDB: per subspace ms, ``pc{ms}_{lloyd}(cid, cv)`` is the final
+    codebook and ``cd(vec_id, c0..c{m-1})`` the encoded corpus."""
+    dsub = dim // m
+    ctes = ["en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+
+    def assign(ms: int, name: str, book: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT t.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+             round(t.ns + list_dot_product(c.cv, c.cv)
+               - 2 * list_dot_product(t.s, c.cv), 9) ASC,
+             c.cid ASC) AS rn
+    FROM sub{ms} t CROSS JOIN {book} c
+  ) WHERE rn = 1
+)"""
+
+    for ms in range(m):
+        lo, hi = ms * dsub + 1, (ms + 1) * dsub
+        ctes.append(
+            f"sub{ms} AS (SELECT vec_id, v[{lo}:{hi}] AS s, "
+            f"list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}]) AS ns FROM en)"
+        )
+        ctes.append(f"""pc{ms}_0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, s AS cv
+  FROM sub{ms} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+)""")
+        for i in range(1, lloyd + 1):
+            ctes.append(assign(ms, f"pa{ms}_{i}", f"pc{ms}_{i - 1}"))
+            ctes.append(f"""pm{ms}_{i} AS (
+  SELECT cell AS cid, list(mv ORDER BY i) AS cv FROM (
+    SELECT a.cell AS cell, d.i AS i, round(avg(t.s[d.i]), 6) AS mv
+    FROM pa{ms}_{i} a JOIN sub{ms} t USING (vec_id)
+    CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(1, {dsub + 1})) d
+    GROUP BY a.cell, d.i
+  ) GROUP BY cell
+)""")
+            ctes.append(
+                f"pc{ms}_{i} AS (SELECT pc{ms}_{i - 1}.cid, COALESCE(pm{ms}_{i}.cv, pc{ms}_{i - 1}.cv) AS cv "
+                f"FROM pc{ms}_{i - 1} LEFT JOIN pm{ms}_{i} ON pm{ms}_{i}.cid = pc{ms}_{i - 1}.cid)"
+            )
+        ctes.append(assign(ms, f"paf{ms}", f"pc{ms}_{lloyd}"))
+    joins = " ".join(f"JOIN paf{ms} USING (vec_id)" for ms in range(1, m))
+    cols = ", ".join(f"paf{ms}.cell AS c{ms}" for ms in range(m))
+    ctes.append(f"cd AS (SELECT paf0.vec_id, {cols} FROM paf0 {joins})")
+    return ",\n".join(ctes)
+
+
+@register(
+    "pq_codes_embeddings",
+    oracle=f"""
+WITH {_pq_ctes()}
+SELECT vec_id,
+       array_to_string([{", ".join(f"c{ms}" for ms in range(_PQ_M))}], ',') AS codes_csv
+FROM cd
+""",
+    doc=f"product-quantization encode: {_PQ_M} per-subspace L2 k-means codebooks ({_PQ_K} centroids each, {_PQ_LLOYD} Lloyd iterations fused into one mapInPandas partial pass per iteration), corpus compressed to {_PQ_M} one-byte codes per vector in ONE Arrow-batched projection (32x scan-volume cut vs raw float32); oracle unrolls the per-subspace build with the shared md5-ordered seed sample",
+)
+def pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators import pq as PQ
+
+    emb = _emb_raw(spark, sf_dir)
+    books = PQ.build_pq_codebooks(emb, m=_PQ_M, k=_PQ_K, lloyd_iterations=_PQ_LLOYD)
+    codes = PQ.pq_encode(emb, books)
+    return codes.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
+_PQ_QUERY_ID, _PQ_TOPK = 0, 5
+
+
+def _pq_adc_oracle() -> str:
+    m, dsub = _PQ_M, _PQ_DIM // _PQ_M
+    luts = []
+    for ms in range(m):
+        lo, hi = ms * dsub + 1, (ms + 1) * dsub
+        luts.append(f"""lut{ms} AS (
+  SELECT cid, round(list_dot_product(q.v[{lo}:{hi}], q.v[{lo}:{hi}])
+           + list_dot_product(cv, cv)
+           - 2 * list_dot_product(q.v[{lo}:{hi}], cv), 9) AS d
+  FROM pc{ms}_{_PQ_LLOYD} CROSS JOIN q
+)""")
+    lut_joins = " ".join(f"JOIN lut{ms} l{ms} ON l{ms}.cid = cd.c{ms}" for ms in range(m))
+    dist_sum = " + ".join(f"l{ms}.d" for ms in range(m))
+    return f"""
+WITH {_pq_ctes()},
+q AS (SELECT v FROM en WHERE vec_id = {_PQ_QUERY_ID}),
+{",".join(luts)},
+scored AS (
+  SELECT cd.vec_id AS neighbor_id, round({dist_sum}, 9) AS ad
+  FROM cd {lut_joins}
+  WHERE cd.vec_id != {_PQ_QUERY_ID}
+)
+SELECT rank, neighbor_id FROM (
+  SELECT neighbor_id,
+         ROW_NUMBER() OVER (ORDER BY ad ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {_PQ_TOPK}
+"""
+
+
+@register(
+    "ann_topk_pq",
+    oracle=_pq_adc_oracle(),
+    doc=f"PQ asymmetric-distance top-{_PQ_TOPK}: the query's m x k lookup tables ship as plan literals and the scan is a pure JVM projection over the CODES relation (element_at into literal arrays — raw vectors never read on the hot path, ~3% of the GEMM baseline's scan bytes); approx distance = sum of per-subspace 9dp-rounded table entries in fixed subspace order (cross-engine exact); oracle unrolls the same build + tables",
+)
+def ann_topk_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators import pq as PQ
+
+    emb = _emb_raw(spark, sf_dir)
+    books = PQ.build_pq_codebooks(emb, m=_PQ_M, k=_PQ_K, lloyd_iterations=_PQ_LLOYD)
+    codes = PQ.pq_encode(emb, books)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == _PQ_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return PQ.ann_topk_pq(
+        codes, books, qvec, k=_PQ_TOPK, exclude_id=_PQ_QUERY_ID
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cluster-balanced diversity sampling: equal md5-deterministic quotas from
 # every k-means cell — the diversity-preserving selection for a training
 # mix (uniform Bernoulli over-represents dense regions of embedding space).

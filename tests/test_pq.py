@@ -1,0 +1,98 @@
+"""Product quantization: deterministic codebook build, encode math
+against an independent numpy derivation, ADC top-k optimality on a
+seeded exact duplicate, and the pure-JVM ADC plan shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.operators.pq import (
+    adc_lookup_tables,
+    ann_topk_pq,
+    build_pq_codebooks,
+    pq_encode,
+)
+from github_etl_pipeline_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.001"
+M, K, DSUB = 8, 16, 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return build_pq_codebooks(emb, m=M, k=K, lloyd_iterations=2)
+
+
+def test_codebook_shape_and_determinism(emb, books):
+    assert len(books) == M
+    assert all(len(b) == K for b in books)
+    assert all(len(c) == DSUB for b in books for c in b)
+    again = build_pq_codebooks(emb, m=M, k=K, lloyd_iterations=2)
+    assert again == books
+
+
+def test_encode_matches_numpy_assignment(emb, books):
+    """Independent math: every code must be the argmin of the 9dp-rounded
+    L2 distance to its subspace codebook (ties -> lower code)."""
+    got = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    vecs = {
+        r["vec_id"]: np.asarray([float(x) for x in r["embedding"]])
+        for r in emb.collect()
+    }
+    assert set(got) == set(vecs)
+    C = [np.asarray(b) for b in books]
+    for vid, v in vecs.items():
+        for ms in range(M):
+            s = v[ms * DSUB : (ms + 1) * DSUB]
+            d2 = np.round(
+                (s @ s) + (C[ms] * C[ms]).sum(axis=1) - 2 * (C[ms] @ s), 9
+            )
+            assert got[vid][ms] == int(np.argmin(d2))
+            assert 0 <= got[vid][ms] < K
+
+
+def test_adc_duplicate_achieves_minimum_distance(spark, emb, books):
+    """A seeded exact duplicate of the query gets the query's own codes,
+    and the query's code per subspace is the argmin of that subspace's
+    lookup table — so the duplicate's ADC distance is the global minimum."""
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    dup = emb.where(F.col("vec_id") == 0).select(
+        F.lit(888_888_888).cast("long").alias("vec_id"), "embedding"
+    )
+    codes = pq_encode(emb.unionAll(dup), books)
+    top = ann_topk_pq(codes, books, q, k=5, exclude_id=0).collect()
+    ids = [r["neighbor_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert 888_888_888 in ids
+    luts = adc_lookup_tables(books, q)
+    min_ad = round(sum(min(row) for row in luts), 9)
+    # recompute the duplicate's ad from its codes
+    dup_codes = {r["vec_id"]: r["codes"] for r in codes.collect()}[888_888_888]
+    dup_ad = round(sum(luts[ms][c] for ms, c in enumerate(dup_codes)), 9)
+    assert dup_ad == min_ad
+
+
+def test_adc_scan_is_pure_jvm(spark, emb, books):
+    """The ADC hot path must be a plain projection over the codes
+    relation — no Python/Arrow eval node anywhere in its plan."""
+    rows = [(r["vec_id"], r["codes"]) for r in pq_encode(emb, books).collect()]
+    codes = spark.createDataFrame(rows, "vec_id long, codes array<int>")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = ann_topk_pq(codes, books, q, k=5, exclude_id=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # neither BatchEvalPython nor ArrowEvalPython
+    assert out.count() == 5
+
+
+def test_lookup_tables_match_brute_force(books):
+    q = [0.1] * 64
+    luts = adc_lookup_tables(books, q)
+    C0 = np.asarray(books[3])
+    s = np.asarray(q[3 * DSUB : 4 * DSUB])
+    for c in range(K):
+        expect = round(float(s @ s + C0[c] @ C0[c] - 2 * (s @ C0[c])), 9)
+        assert abs(luts[3][c] - expect) < 1e-9
