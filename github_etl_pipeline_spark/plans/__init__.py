@@ -72,6 +72,7 @@ DRIVER_SAMPLE_PRIORITY = [
     # (third batch: product quantization — the compression half of IVF-PQ)
     "pq_codes_embeddings",
     "ann_topk_pq",
+    "ann_topk_ivfpq_served",
     # --- newest green row is r8 (32 queries), fewest greens first ---
     # 2 lifetime greens (alphabetical):
     "fuzzy_pairs_documents",

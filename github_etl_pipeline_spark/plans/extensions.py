@@ -1186,12 +1186,24 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_LLOYD, _PQ_DIM = 8, 16, 2, 64
 
 
-def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, lloyd: int = _PQ_LLOYD, dim: int = _PQ_DIM) -> str:
+def _pq_ctes(
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    lloyd: int = _PQ_LLOYD,
+    dim: int = _PQ_DIM,
+    with_en: bool = True,
+) -> str:
     """CTE chain replicating the deterministic PQ codebook build in
     DuckDB: per subspace ms, ``pc{ms}_{lloyd}(cid, cv)`` is the final
-    codebook and ``cd(vec_id, c0..c{m-1})`` the encoded corpus."""
+    codebook and ``cd(vec_id, c0..c{m-1})`` the encoded corpus.
+    ``with_en=False`` omits the ``en`` base CTE so the chain can compose
+    with ``_ivf_ctes`` (whose ``en`` is a superset) in one WITH block."""
     dsub = dim // m
-    ctes = ["en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    ctes = (
+        ["en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+        if with_en
+        else []
+    )
 
     def assign(ms: int, name: str, book: str) -> str:
         return f"""{name} AS (
@@ -1208,10 +1220,10 @@ def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, lloyd: int = _PQ_LLOYD, dim: int = 
     for ms in range(m):
         lo, hi = ms * dsub + 1, (ms + 1) * dsub
         ctes.append(
-            f"sub{ms} AS (SELECT vec_id, v[{lo}:{hi}] AS s, "
+            f"sub{ms} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS s, "
             f"list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}]) AS ns FROM en)"
         )
-        ctes.append(f"""pc{ms}_0 AS (
+        ctes.append(f"""pc{ms}_0 AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, s AS cv
   FROM sub{ms} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
 )""")
@@ -1226,13 +1238,13 @@ def _pq_ctes(m: int = _PQ_M, k: int = _PQ_K, lloyd: int = _PQ_LLOYD, dim: int = 
   ) GROUP BY cell
 )""")
             ctes.append(
-                f"pc{ms}_{i} AS (SELECT pc{ms}_{i - 1}.cid, COALESCE(pm{ms}_{i}.cv, pc{ms}_{i - 1}.cv) AS cv "
+                f"pc{ms}_{i} AS MATERIALIZED (SELECT pc{ms}_{i - 1}.cid, COALESCE(pm{ms}_{i}.cv, pc{ms}_{i - 1}.cv) AS cv "
                 f"FROM pc{ms}_{i - 1} LEFT JOIN pm{ms}_{i} ON pm{ms}_{i}.cid = pc{ms}_{i - 1}.cid)"
             )
         ctes.append(assign(ms, f"paf{ms}", f"pc{ms}_{lloyd}"))
     joins = " ".join(f"JOIN paf{ms} USING (vec_id)" for ms in range(1, m))
     cols = ", ".join(f"paf{ms}.cell AS c{ms}" for ms in range(m))
-    ctes.append(f"cd AS (SELECT paf0.vec_id, {cols} FROM paf0 {joins})")
+    ctes.append(f"cd AS MATERIALIZED (SELECT paf0.vec_id, {cols} FROM paf0 {joins})")
     return ",\n".join(ctes)
 
 
@@ -1313,6 +1325,92 @@ def ann_topk_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.ann_topk_pq(
         codes, books, qvec, k=_PQ_TOPK, exclude_id=_PQ_QUERY_ID
     )
+
+
+def _ivfpq_adc_oracle(n_probe: int = 4, topk: int = 5) -> str:
+    """Composed IVF + PQ oracle: coarse probe from the unrolled spherical
+    k-means (_ivf_ctes), ADC tables + codes from the unrolled PQ build
+    (_pq_ctes with the shared ``en``), scored only inside probed cells."""
+    m, dsub = _PQ_M, _PQ_DIM // _PQ_M
+    luts = []
+    for ms in range(m):
+        lo, hi = ms * dsub + 1, (ms + 1) * dsub
+        luts.append(f"""lut{ms} AS (
+  SELECT q.vec_id AS query_id, cid,
+         round(list_dot_product(q.v[{lo}:{hi}], q.v[{lo}:{hi}])
+           + list_dot_product(cv, cv)
+           - 2 * list_dot_product(q.v[{lo}:{hi}], cv), 9) AS d
+  FROM pc{ms}_{_PQ_LLOYD} CROSS JOIN (SELECT vec_id, v FROM en WHERE vec_id < 5) q
+)""")
+    lut_joins = " ".join(
+        f"JOIN lut{ms} l{ms} ON l{ms}.query_id = qp.query_id AND l{ms}.cid = cd.c{ms}"
+        for ms in range(m)
+    )
+    dist_sum = " + ".join(f"l{ms}.d" for ms in range(m))
+    return f"""
+WITH {_ivf_ctes()},
+{_pq_ctes(with_en=False)},
+qp AS (
+  SELECT query_id, cell FROM (
+    SELECT en.vec_id AS query_id, cfin.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+             round(list_dot_product(en.v, cfin.cv)
+               / (en.nv * sqrt(list_dot_product(cfin.cv, cfin.cv))), 9) DESC,
+             cfin.cid ASC) AS rn
+    FROM en CROSS JOIN cfin WHERE en.vec_id < 5
+  ) WHERE rn <= {n_probe}
+),
+{",".join(luts)},
+scored AS (
+  SELECT qp.query_id, cd.vec_id AS neighbor_id, round({dist_sum}, 9) AS ad
+  FROM qp JOIN afin ON afin.cell = qp.cell
+  JOIN cd ON cd.vec_id = afin.vec_id
+  {lut_joins}
+  WHERE cd.vec_id != qp.query_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY ad ASC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {topk}
+"""
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    return f"{tempfile.gettempdir()}/spark_graft_ivfpq_v1_{tag}"
+
+
+@register(
+    "ann_topk_ivfpq_served",
+    oracle=_ivfpq_adc_oracle(),
+    doc="served IVF-PQ approximate top-5 (the FAISS IndexIVFPQ layout, by_residual=False): coarse-cell partition pruning (reads only the n_probe probed cell directories) COMPOUNDS with PQ compression (scan reads m-byte codes, never raw vectors) — ~0.1% of the raw-corpus scan bytes at 16 cells / 4 probes / 32x code compression; per-query ADC tables ship as plan literals via a chained-when pure-JVM projection; oracle composes the unrolled IVF and PQ builds over the shared en relation",
+)
+def ann_topk_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from github_etl_pipeline_spark.operators import pq as PQ
+
+    emb = _emb_raw(spark, sf_dir)
+    path = _ivfpq_index_path(sf_dir)
+    codes = f"{path}/codes"
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    stale = not os.path.isdir(codes) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(codes)
+    )
+    if stale:
+        PQ.build_ivfpq_index(
+            emb, path, n_centroids=16, m=_PQ_M, k=_PQ_K,
+            lloyd_iterations=_PQ_LLOYD,
+        )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return PQ.ann_ivfpq_search(spark, path, queries, k=_PQ_TOPK, n_probe=4)
 
 
 # ---------------------------------------------------------------------------

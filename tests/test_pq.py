@@ -88,6 +88,62 @@ def test_adc_scan_is_pure_jvm(spark, emb, books):
     assert out.count() == 5
 
 
+@pytest.fixture(scope="module")
+def ivfpq_index(spark, emb, tmp_path_factory):
+    from github_etl_pipeline_spark.operators.pq import build_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    build_ivfpq_index(emb, path, n_centroids=16, m=M, k=K, lloyd_iterations=2)
+    return path
+
+
+def _ivfpq_queries(spark, emb):
+    return emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivfpq_serve_is_partition_pruned_and_jvm(spark, emb, ivfpq_index):
+    from github_etl_pipeline_spark.operators.pq import ann_ivfpq_search
+
+    out = ann_ivfpq_search(
+        spark, ivfpq_index, _ivfpq_queries(spark, emb), k=5, n_probe=4
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:300]
+    assert "EvalPython" not in plan  # serve path is pure JVM
+    assert "embedding" not in plan  # raw vectors never read while serving
+    assert out.count() == 25
+
+
+def test_ivfpq_full_probe_equals_flat_adc(spark, emb, ivfpq_index):
+    """With every cell probed, served IVF-PQ must return exactly the
+    flat ADC ranking (same codebooks by deterministic construction) —
+    pins that partitioning/pruning only SKIPS work, never changes it."""
+    from github_etl_pipeline_spark.operators.pq import (
+        ann_ivfpq_search,
+        ann_topk_pq,
+        build_pq_codebooks,
+        pq_encode,
+    )
+
+    books = build_pq_codebooks(emb, m=M, k=K, lloyd_iterations=2)
+    codes = pq_encode(emb, books)
+    served = ann_ivfpq_search(
+        spark, ivfpq_index, _ivfpq_queries(spark, emb), k=5, n_probe=16
+    ).collect()
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in served}
+    for qid in range(5):
+        q = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == qid).collect()[0]["embedding"]
+        ]
+        flat = ann_topk_pq(codes, books, q, k=5, exclude_id=qid).collect()
+        for r in flat:
+            assert got[(qid, r["rank"])] == r["neighbor_id"]
+
+
 def test_lookup_tables_match_brute_force(books):
     q = [0.1] * 64
     luts = adc_lookup_tables(books, q)
