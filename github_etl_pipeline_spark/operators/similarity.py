@@ -621,10 +621,34 @@ def ann_ivf_search(
     )
 
 
+def cells_for_corpus(n: int, target_cell: int = 64) -> int:
+    """Adaptive k-means cell count for the cluster-then-compare
+    operators: ``max(16, ceil(n / target_cell))`` pins the EXPECTED cell
+    size at ``target_cell``, so the within-cell pair volume is exactly
+    linear in rows (n x target_cell / 2 compares). The floor keeps tiny
+    corpora on the driver-scale config the oracles pin.
+
+    The arithmetic is mirrored verbatim by the DuckDB oracles
+    (``GREATEST(16, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT))``): one float
+    divide + ceil, exact in IEEE for any corpus below 2^53 rows —
+    ``tests/test_semdedup.py`` sweeps the parity.
+
+    Cost honesty: growing cells with n makes the ASSIGNMENT term
+    n x K x dim ~ n^2 x dim / target_cell FLOPs — a tiny-constant BLAS
+    matmul (sub-second per million rows at K=16k), but quadratic
+    asymptotically. At fleet scale train centroids on a sample and cap K
+    (the SemDeDup paper runs fixed K at fixed corpus), or switch the
+    pair stage to the LSH-banded miner (embedding_dup_pairs_lsh) whose
+    candidate volume is depth-bounded instead of cell-bounded."""
+    import math
+
+    return max(16, math.ceil(n / float(target_cell)))
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.45,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     lloyd_iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -652,9 +676,15 @@ def semdedup(
     ``cell`` feeds both sides of the within-cell join; the assignment
     itself is a literal-centroid Arrow UDF projection with no shuffle.
     The cells relation is persisted once and read by both join sides and
-    the final flag projection."""
-    if lloyd_iterations > 0:
-        emb = emb.persist()
+    the final flag projection.
+
+    ``n_centroids=None`` (the default) selects ``cells_for_corpus(n)``
+    from one column-pruned count — cell count grows with the corpus so
+    the compare volume stays linear at every tier (a fixed cell count
+    goes quadratic the way the r10 fixed-depth LSH banding did)."""
+    emb = emb.persist()
+    if n_centroids is None:
+        n_centroids = cells_for_corpus(emb.count())
     centroids = _sample_centroids(emb, id_col, vec_col, n_centroids)
     if lloyd_iterations > 0:
         centroids = _lloyd_refine(emb, vec_col, centroids, lloyd_iterations)

@@ -916,6 +916,7 @@ def _ivf_ctes(
     dim: int = 64,
     build_filter: str | None = None,
     corpus_sql: str | None = None,
+    n_centroids_sql: str | None = None,
 ) -> str:
     """CTE chain replicating the ENTIRE deterministic IVF build in DuckDB
     (VERDICT r5 #3 option a): md5-ordered centroid sample, ``lloyd``
@@ -937,8 +938,14 @@ def _ivf_ctes(
     ``corpus_sql`` swaps the raw embeddings scan for any subquery
     yielding ``(vec_id, v DOUBLE[])`` — e.g. the seeded-duplicate unions
     — so cluster-based operators over seeded corpora (semdedup) reuse
-    the same unrolled deterministic build."""
+    the same unrolled deterministic build.
+
+    ``n_centroids_sql`` replaces the literal sample LIMIT with a scalar
+    subquery (DuckDB supports expression LIMITs) — the adaptive-cell
+    mirror of ``similarity.cells_for_corpus``, so a corpus-size change
+    moves BOTH engines' cell count together."""
     build_src = "en" if build_filter is None else "enb"
+    limit_sql = str(n_centroids) if n_centroids_sql is None else n_centroids_sql
     if corpus_sql is None:
         ctes = [
             "en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
@@ -953,7 +960,7 @@ def _ivf_ctes(
         ctes.append(f"enb AS (SELECT * FROM en WHERE {build_filter})")
     ctes.append(f"""c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, v AS cv
-  FROM {build_src} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+  FROM {build_src} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {limit_sql}
 )""")
 
     def assign(i: int, src: str) -> str:
@@ -1155,10 +1162,13 @@ def ivf_index_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_THRESHOLD = 0.45
 
 
+_SEMDEDUP_CELLS_SQL = "(SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) FROM en)"
+
+
 @register(
     "semdedup_embeddings",
     oracle=f"""
-WITH {_ivf_ctes(corpus_sql=_EMB_SEED_SQL)},
+WITH {_ivf_ctes(corpus_sql=_EMB_SEED_SQL, n_centroids_sql=_SEMDEDUP_CELLS_SQL)},
 cv AS (SELECT afin.vec_id, afin.cell, en.v, en.nv FROM afin JOIN en USING (vec_id)),
 removed AS (
   SELECT DISTINCT b.vec_id

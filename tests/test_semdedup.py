@@ -86,6 +86,32 @@ def test_plan_persists_cells_and_avoids_cartesian(flags):
     assert "InMemoryTableScan" in plan
 
 
+def test_cells_for_corpus_parity_with_oracle_formula():
+    """The adaptive cell count must be bit-identical between
+    similarity.cells_for_corpus and the oracle's
+    GREATEST(16, CEIL(n / 64.0)) — swept over sizes spanning the driver
+    tier through the 100x probe tier and beyond."""
+    import duckdb
+
+    from github_etl_pipeline_spark.operators.similarity import cells_for_corpus
+
+    con = duckdb.connect()
+    for n in [1, 15, 16, 63, 64, 65, 506, 1024, 1025, 5050, 20_200,
+              202_000, 2_020_000, 123_456_789]:
+        sql = con.execute(
+            f"SELECT GREATEST(16, CAST(CEIL({n} / 64.0) AS BIGINT))"
+        ).fetchone()[0]
+        assert cells_for_corpus(n) == sql, n
+
+
+def test_auto_cell_count_used_when_unset(spark, corpus):
+    """Default n_centroids=None derives the cell count from the corpus:
+    at this size the floor (16) applies, so cells stay within 0..15."""
+    out = semdedup(corpus, threshold=THRESHOLD)
+    cells = {r["cell"] for r in out.select("cell").distinct().collect()}
+    assert cells <= set(range(16))
+
+
 def test_threshold_one_keeps_only_exact_groups(spark, corpus):
     """At threshold 1.0 only the seeded exact duplicate is removable."""
     out = semdedup(corpus, threshold=1.0, n_centroids=8)
