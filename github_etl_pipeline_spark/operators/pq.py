@@ -79,10 +79,12 @@ def build_pq_codebooks(
                 M = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
                 for ms in range(mm):
                     S = M[:, ms * dd : (ms + 1) * dd]
-                    d2 = np.round(
-                        (S * S).sum(axis=1)[:, None] + cn[ms][None, :] - 2 * (S @ C[ms].T),
-                        9,
-                    )
+                    # in-place rint rounding == np.round(d2, 9), ~20x
+                    # faster (see similarity._nearest_cells_udf)
+                    d2 = (S * S).sum(axis=1)[:, None] + cn[ms][None, :] - 2 * (S @ C[ms].T)
+                    np.multiply(d2, 1e9, out=d2)
+                    np.rint(d2, out=d2)
+                    np.divide(d2, 1e9, out=d2)
                     a = np.argmin(d2, axis=1)  # first min -> lower code
                     np.add.at(sums[ms], a, S)
                     np.add.at(counts[ms], a, 1)
@@ -142,9 +144,11 @@ def _encode_udf(books: Codebooks):
         out = np.empty((len(M), mm), dtype=np.int32)
         for ms in range(mm):
             S = M[:, ms * dd : (ms + 1) * dd]
-            d2 = np.round(
-                (S * S).sum(axis=1)[:, None] + cn[ms][None, :] - 2 * (S @ C[ms].T), 9
-            )
+            # in-place rint rounding == np.round(d2, 9), ~20x faster
+            d2 = (S * S).sum(axis=1)[:, None] + cn[ms][None, :] - 2 * (S @ C[ms].T)
+            np.multiply(d2, 1e9, out=d2)
+            np.rint(d2, out=d2)
+            np.divide(d2, 1e9, out=d2)
             out[:, ms] = np.argmin(d2, axis=1)
         return pd.Series([row.tolist() for row in out])
 
@@ -181,6 +185,44 @@ def adc_lookup_tables(
             row.append(round(nq + nc - 2 * dot, 9))
         luts.append(row)
     return luts
+
+
+def pq_reconstruction_error(
+    emb: DataFrame,
+    books: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, err2) — per-vector product-quantization distortion: the sum
+    over subspaces of the 9dp-rounded L2 distance between the subvector
+    and its assigned codeword, itself rounded 9dp (fixed subspace
+    order). The PQ analogue of the int8 reconstruction-error gate: the
+    measured-quality signal that decides whether m/k are adequate for a
+    corpus before the codes replace raw vectors in a 100-TB scan path.
+
+    Pure JVM: codes come from the one Arrow encode pass; the codeword
+    lookup is ``element_at`` into an m x k x dsub literal, and each
+    distance term re-derives ``|s|^2 + |c|^2 - 2<s,c>`` with the same
+    left-to-right fold the oracle uses — no extra Python stage."""
+    dd = len(books[0][0])
+    codes = _encode_udf(books)
+    t = emb.select(
+        F.col(id_col), F.col(vec_col), codes(F.col(vec_col)).alias("codes")
+    )
+    from github_etl_pipeline_spark.operators.similarity import dot_expr
+
+    err = None
+    for ms, book in enumerate(books):
+        cw = F.element_at(
+            F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in book]),
+            F.element_at(F.col("codes"), ms + 1) + F.lit(1),
+        )
+        s = F.slice(F.col(vec_col), ms * dd + 1, dd)
+        term = F.round(
+            dot_expr(s, s) + dot_expr(cw, cw) - F.lit(2.0) * dot_expr(s, cw), 9
+        )
+        err = term if err is None else err + term
+    return t.select(F.col(id_col), F.round(err, 9).alias("err2"))
 
 
 def _adc_dist_expr(luts_by_query: dict[int, list[list[float]]], qid_col: str):

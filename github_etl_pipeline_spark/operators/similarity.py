@@ -275,9 +275,33 @@ def _nearest_cells_udf(centroids: list[tuple[int, list[float]]], n: int):
         M = np.stack(v.to_numpy())
         vn = np.linalg.norm(M, axis=1)
         vn[vn == 0] = 1.0
-        S = np.round((M @ C.T) / (vn[:, None] * cn[None, :]), 9)
-        order = np.argsort(-S, axis=1, kind="stable")[:, :nn]
-        return pd.Series([ids[row].tolist() for row in order])
+        out: list = []
+        # row-chunked scoring: at thousands of adaptive cells a whole-
+        # batch score matrix is ~160 MB/task — 32 concurrent tasks put
+        # ~5 GB of short-lived allocations in flight and the kernel's
+        # compaction/reclaim daemons stall identical 1.5s passes to
+        # 30-40s intermittently. 1024-row chunks cap it at ~26 MB/task;
+        # per-row results are independent, so output is unchanged.
+        for lo in range(0, len(M), 1024):
+            Mc, vc = M[lo : lo + 1024], vn[lo : lo + 1024]
+            S = (Mc @ C.T) / (vc[:, None] * cn[None, :])
+            # in-place 9dp rounding: bit-identical to np.round(S, 9)
+            # (same multiply/rint/divide algorithm) but ~20x faster —
+            # np.round was the dominant assignment cost at scale
+            # (self-contained in the closure: module refs don't ship to
+            # Python workers when the driver cwd isn't the repo root)
+            np.multiply(S, 1e9, out=S)
+            np.rint(S, out=S)
+            np.divide(S, 1e9, out=S)
+            if nn == 1:
+                # argmax = first (lowest-id) max — identical to the
+                # stable argsort's row head, without sorting all
+                # |centroids| scores per row
+                out.extend([[int(ids[i])] for i in np.argmax(S, axis=1)])
+            else:
+                order = np.argsort(-S, axis=1, kind="stable")[:, :nn]
+                out.extend(ids[row].tolist() for row in order)
+        return pd.Series(out)
 
     return _cells
 
@@ -324,10 +348,18 @@ def _lloyd_refine(
                 M = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
                 vn = np.linalg.norm(M, axis=1)
                 vn[vn == 0] = 1.0
-                S = np.round((M @ C.T) / (vn[:, None] * cn[None, :]), 9)
-                a = np.argmax(S, axis=1)  # first max -> lower centroid id
-                np.add.at(sums, a, M)
-                np.add.at(counts, a, 1)
+                # row-chunked + in-place rint rounding — same output as
+                # the whole-batch np.round form; see _nearest_cells_udf
+                # for both rationales (reclaim-stall cap, 20x rounding)
+                for lo in range(0, len(M), 1024):
+                    Mc, vc = M[lo : lo + 1024], vn[lo : lo + 1024]
+                    S = (Mc @ C.T) / (vc[:, None] * cn[None, :])
+                    np.multiply(S, 1e9, out=S)
+                    np.rint(S, out=S)
+                    np.divide(S, 1e9, out=S)
+                    a = np.argmax(S, axis=1)  # first max -> lower cid
+                    np.add.at(sums, a, Mc)
+                    np.add.at(counts, a, 1)
             hit = np.nonzero(counts)[0]
             # yield NOTHING for an empty partition: an all-empty yield
             # builds pd.DataFrame({"s": []}) whose empty column defaults
@@ -346,15 +378,31 @@ def _lloyd_refine(
                 }
             )
 
-        rows = emb.select(vec_col).mapInPandas(
+        # Arrow toPandas + one vectorized scatter-add instead of a
+        # row-wise collect loop: the partials relation is partitions x
+        # distinct-cells rows (~90k at the 100x tier once the adaptive
+        # cell count reached thousands) and the py4j Row collect + dict
+        # merge was the dominant per-iteration cost there (~2/3 of a
+        # 20s pass). np.add.at accumulates in the same partition-major
+        # row order the collect loop used, and the means round to 6dp,
+        # so refined centroids are unchanged.
+        pdf = emb.select(vec_col).mapInPandas(
             partials, "cell int, cnt long, s array<double>"
-        ).collect()
-        acc: dict[int, tuple[int, np.ndarray]] = {}
-        for r in rows:
-            n0, s0 = acc.get(r["cell"], (0, np.zeros(dim)))
-            acc[r["cell"]] = (n0 + r["cnt"], s0 + np.asarray(r["s"]))
+        ).toPandas()
+        kmax = 1 + max((int(c) for c, _ in centroids), default=-1)
+        sums = np.zeros((kmax, dim))
+        counts = np.zeros(kmax, dtype=np.int64)
+        if len(pdf):
+            idx = pdf["cell"].to_numpy()
+            np.add.at(sums, idx, np.stack(pdf["s"].to_numpy()))
+            np.add.at(counts, idx, pdf["cnt"].to_numpy())
         centroids = [
-            (cid, np.round(acc[cid][1] / acc[cid][0], 6).tolist() if cid in acc else old)
+            (
+                cid,
+                np.round(sums[cid] / counts[cid], 6).tolist()
+                if counts[cid] > 0
+                else old,
+            )
             for cid, old in centroids
         ]
     return centroids
@@ -621,6 +669,12 @@ def ann_ivf_search(
     )
 
 
+# corpora at or above this row count fan out to machine parallelism
+# before the multi-pass cluster build (see semdedup) — well above every
+# driver-check tier, well below the scaled probe tiers
+_FAN_OUT_ROWS = 50_000
+
+
 def cells_for_corpus(n: int, target_cell: int = 64) -> int:
     """Adaptive k-means cell count for the cluster-then-compare
     operators: ``max(16, ceil(n / target_cell))`` pins the EXPECTED cell
@@ -681,10 +735,29 @@ def semdedup(
     ``n_centroids=None`` (the default) selects ``cells_for_corpus(n)``
     from one column-pruned count — cell count grows with the corpus so
     the compare volume stays linear at every tier (a fixed cell count
-    goes quadratic the way the r10 fixed-depth LSH banding did)."""
-    emb = emb.persist()
+    goes quadratic the way the r10 fixed-depth LSH banding did). At that
+    point the n x K assignment matmul is the dominant FLOP term, and a
+    single-file scan would run it on one or two cores (the scaled tiers
+    are one parquet file): corpora past ``_FAN_OUT_ROWS`` are
+    repartitioned to machine parallelism BEFORE the persisted scan the
+    sample/Lloyd/assignment passes share; tiny corpora keep the native
+    partitioning (the IVF-family fixed-overhead argument: 32
+    Python-worker handoffs cost more than they parallelize at driver
+    scale). The 100x-tier probe walked 218s -> 8.4s across three fixes:
+    this fan-out (serial numpy was the first wall), rint-in-place
+    rounding (np.round was ~20x the matmul cost), and row-chunked
+    scoring (whole-batch n x K score matrices put ~5 GB of short-lived
+    allocations in flight across workers and kernel reclaim stalled
+    identical passes 1.5s -> 30-40s intermittently) — final
+    alpha(3->10) = 0.56, SCALING.md."""
+    n = emb.count()
     if n_centroids is None:
-        n_centroids = cells_for_corpus(emb.count())
+        n_centroids = cells_for_corpus(n)
+    spark = emb.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    if n >= _FAN_OUT_ROWS and emb.rdd.getNumPartitions() < parallelism:
+        emb = emb.repartition(parallelism)
+    emb = emb.persist()
     centroids = _sample_centroids(emb, id_col, vec_col, n_centroids)
     if lloyd_iterations > 0:
         centroids = _lloyd_refine(emb, vec_col, centroids, lloyd_iterations)

@@ -69,10 +69,13 @@ DRIVER_SAMPLE_PRIORITY = [
     "semdedup_embeddings",
     "cluster_balanced_sample_embeddings",
     "hybrid_rrf_search_documents",
-    # (third batch: product quantization — the compression half of IVF-PQ)
+    # (third batch: product quantization — the compression half of IVF-PQ,
+    # its served IVF-PQ composition, and its two measured-quality gates)
     "pq_codes_embeddings",
     "ann_topk_pq",
     "ann_topk_ivfpq_served",
+    "pq_reconstruction_error",
+    "ann_pq_recall_floor",
     # --- newest green row is r8 (32 queries), fewest greens first ---
     # 2 lifetime greens (alphabetical):
     "fuzzy_pairs_documents",

@@ -1337,6 +1337,143 @@ def ann_topk_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_recon_oracle() -> str:
+    m = _PQ_M
+    joins = " ".join(
+        f"JOIN sub{ms} s{ms} ON s{ms}.vec_id = cd.vec_id "
+        f"JOIN pc{ms}_{_PQ_LLOYD} b{ms} ON b{ms}.cid = cd.c{ms}"
+        for ms in range(m)
+    )
+    terms = " + ".join(
+        f"round(s{ms}.ns + list_dot_product(b{ms}.cv, b{ms}.cv)"
+        f" - 2 * list_dot_product(s{ms}.s, b{ms}.cv), 9)"
+        for ms in range(m)
+    )
+    return f"""
+WITH {_pq_ctes()}
+SELECT cd.vec_id, round({terms}, 9) AS err2
+FROM cd {joins}
+"""
+
+
+@register(
+    "pq_reconstruction_error",
+    oracle=_pq_recon_oracle(),
+    doc="per-vector PQ distortion gate (the quality signal that decides whether m/k suffice before codes replace raw vectors in the scan path — the PQ analogue of the int8 reconstruction-error gate): sum over subspaces of the 9dp-rounded L2 distance to the assigned codeword, pure JVM after the one Arrow encode pass (codeword lookup = element_at into an m x k x dsub literal)",
+)
+def pq_reconstruction_error_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators import pq as PQ
+
+    emb = _emb_raw(spark, sf_dir)
+    books = PQ.build_pq_codebooks(emb, m=_PQ_M, k=_PQ_K, lloyd_iterations=_PQ_LLOYD)
+    return PQ.pq_reconstruction_error(emb, books)
+
+
+def _pq_recall_oracle(topk: int = 10) -> str:
+    """ADC top-k overlap with the exact cosine top-k, per query — the
+    measured PQ quality floor (the IVF/LSH recall-floor pattern)."""
+    m, dsub = _PQ_M, _PQ_DIM // _PQ_M
+    luts = []
+    for ms in range(m):
+        lo, hi = ms * dsub + 1, (ms + 1) * dsub
+        luts.append(f"""lut{ms} AS (
+  SELECT q.vec_id AS query_id, cid,
+         round(list_dot_product(q.v[{lo}:{hi}], q.v[{lo}:{hi}])
+           + list_dot_product(cv, cv)
+           - 2 * list_dot_product(q.v[{lo}:{hi}], cv), 9) AS d
+  FROM pc{ms}_{_PQ_LLOYD} CROSS JOIN (SELECT vec_id, v FROM en WHERE vec_id < 5) q
+)""")
+    lut_joins = " ".join(
+        f"JOIN lut{ms} l{ms} ON l{ms}.query_id = l0.query_id AND l{ms}.cid = cd.c{ms}"
+        for ms in range(1, m)
+    )
+    dist_sum = " + ".join(f"l{ms}.d" for ms in range(m))
+    return f"""
+WITH {_pq_ctes()},
+nq AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM en),
+q5 AS (SELECT vec_id AS query_id, v AS qv, nv AS nqv FROM nq WHERE vec_id < 5),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q5.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q5.query_id ORDER BY
+             list_dot_product(e.v, q5.qv) / (e.nv * q5.nqv) DESC, e.vec_id ASC) AS rank
+    FROM nq e CROSS JOIN q5 WHERE e.vec_id != q5.query_id
+  ) WHERE rank <= {topk}
+),
+{",".join(luts)},
+adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT l0.query_id, cd.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY l0.query_id ORDER BY
+             round({dist_sum}, 9) ASC, cd.vec_id ASC) AS rank
+    FROM cd JOIN lut0 l0 ON l0.cid = cd.c0 {lut_joins}
+    WHERE cd.vec_id != l0.query_id
+  ) WHERE rank <= {topk}
+)
+SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits_at_{topk}
+FROM exact e LEFT JOIN adc a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+_PQ_RECALL_TOPK = 10
+
+
+@register(
+    "ann_pq_recall_floor",
+    oracle=_pq_recall_oracle(_PQ_RECALL_TOPK),
+    doc=f"PQ quality floor as a CHECKED query (the IVF/LSH recall-floor pattern): per query, how many of the exact cosine top-{_PQ_RECALL_TOPK} survive in the ADC top-{_PQ_RECALL_TOPK} — the measured compression/recall tradeoff at the registered m/k; oracle unrolls the build and mirrors both rankings. Regime note (same caveat as the LSH near-random threshold): this corpus is near-orthogonal random unit vectors, so exact-top-{_PQ_RECALL_TOPK} gaps are ~0.01 cosine and the 8x16 codebook's distortion (mean err2 ~0.57/unit vector, see pq_reconstruction_error) scrambles them — measured 1-4/{_PQ_RECALL_TOPK} here vs ~0.2 random baseline; clustered real embeddings sit far above this floor, and that is exactly what the query measures per-corpus",
+)
+def ann_pq_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators import pq as PQ
+
+    emb = _emb_raw(spark, sf_dir)
+    books = PQ.build_pq_codebooks(emb, m=_PQ_M, k=_PQ_K, lloyd_iterations=_PQ_LLOYD)
+    codes = PQ.pq_encode(emb, books)
+    qrows = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    luts_by_query = {
+        int(r["vec_id"]): PQ.adc_lookup_tables(books, [float(x) for x in r["embedding"]])
+        for r in qrows
+    }
+    qids = spark.createDataFrame(
+        spark.sparkContext.parallelize([(int(r["vec_id"]),) for r in qrows], 1),
+        "query_id long",
+    )
+    cand = codes.crossJoin(F.broadcast(qids)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        PQ._adc_dist_expr(luts_by_query, "query_id").alias("_ad"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_ad").asc(), F.col("neighbor_id").asc()
+    )
+    adc = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _PQ_RECALL_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = S.cosine_topk(emb, queries, k=_PQ_RECALL_TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    hit = adc.withColumn("_hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias(f"hits_at_{_PQ_RECALL_TOPK}")
+        )
+    )
+
+
 def _ivfpq_adc_oracle(n_probe: int = 4, topk: int = 5) -> str:
     """Composed IVF + PQ oracle: coarse probe from the unrolled spherical
     k-means (_ivf_ctes), ADC tables + codes from the unrolled PQ build

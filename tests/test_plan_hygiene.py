@@ -42,7 +42,15 @@ SF_DIR = "/root/testdata/sf0.001"
 #     grade the IVF side against it
 #   dsir_importance_documents — 1-row (raw-total, target-total, vocab)
 #     broadcast onto the unigram model relation (scalar attach)
+#   hybrid_rrf_search_documents — embeds BOTH declared-linear shapes:
+#     the exact dense top-k (corpus x broadcast 1-row query vector) and
+#     bm25's 1-row corpus-stats attach; fusion itself runs at topk scale
+#   ann_pq_recall_floor — embeds the exact-ANN baseline (corpus x
+#     broadcast 5-row query set) to grade the ADC side against it, plus
+#     the codes x broadcast 5-row query-id attach for the ADC scan
 ALLOWED_NESTED_LOOP = {
+    "hybrid_rrf_search_documents",
+    "ann_pq_recall_floor",
     "dsir_importance_documents",
     "quality_percentile_gate_documents",
     "bigram_lm_outliers",

@@ -144,6 +144,37 @@ def test_ivfpq_full_probe_equals_flat_adc(spark, emb, ivfpq_index):
             assert got[(qid, r["rank"])] == r["neighbor_id"]
 
 
+def test_reconstruction_error_properties(spark, emb, books):
+    """err2 is a true squared distance: nonnegative everywhere, and an
+    exact duplicate reproduces its source's error bit-for-bit (same
+    codes, same subvectors)."""
+    from github_etl_pipeline_spark.operators.pq import pq_reconstruction_error
+
+    dup = emb.where(F.col("vec_id") == 0).select(
+        F.lit(777_777_777).cast("long").alias("vec_id"), "embedding"
+    )
+    errs = {
+        r["vec_id"]: r["err2"]
+        for r in pq_reconstruction_error(emb.unionAll(dup), books).collect()
+    }
+    assert len(errs) == emb.count() + 1
+    assert all(v >= 0 for v in errs.values())
+    assert errs[777_777_777] == errs[0]
+
+
+def test_adc_recall_floor_pinned_at_driver_scale(spark):
+    """The registered PQ recall query is deterministic end-to-end (exact
+    oracle), so its sf0.001 values are pinned: well above the ~0.2
+    random-overlap baseline even on this near-orthogonal corpus."""
+    from github_etl_pipeline_spark.plans import REGISTRY
+
+    rows = {
+        r["query_id"]: r["hits_at_10"]
+        for r in REGISTRY["ann_pq_recall_floor"].builder(spark, SF).collect()
+    }
+    assert rows == {0: 1, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
 def test_lookup_tables_match_brute_force(books):
     q = [0.1] * 64
     luts = adc_lookup_tables(books, q)

@@ -56,6 +56,23 @@ FLAGSHIPS = {
         "exact rerank window. No Lloyd pass, no corpus-wide assignment, no "
         "Python workers in the serving path."
     ),
+    "ann_topk_ivfpq_served": (
+        "Served IVF-PQ (FAISS IndexIVFPQ layout): the CODES scan carries "
+        "PartitionFilters on the probed cells AND reads only (vec_id, "
+        "codes) — m bytes of codes per row, never a raw vector — then a "
+        "BroadcastHashJoin against the query-cell relation and a pure-JVM "
+        "chained-when ADC projection (the per-query lookup tables are plan "
+        "literals; no EvalPython node anywhere). Partition pruning and "
+        "32x code compression compound to ~0.1% of the raw scan bytes."
+    ),
+    "semdedup_embeddings": (
+        "SemDeDup cluster-then-cosine dedup: the literal-centroid Arrow "
+        "assignment is a shuffle-free projection feeding ONE persisted "
+        "cells relation (InMemoryTableScan on both self-join sides and the "
+        "final flag projection); the within-cell SortMergeJoin keys on "
+        "`cell` only, so compare volume is cells x target_cell^2 — linear "
+        "in rows at the adaptive cell count max(16, ceil(n/64))."
+    ),
     "tpch_q5_local_supplier": (
         "The spark.sql entry path plans like the DataFrame one: 6-way join "
         "resolved to a BroadcastHashJoin chain over the dim tables, region "
