@@ -314,6 +314,55 @@ def build_ivfpq_index(
     emb.unpersist()
 
 
+def ann_ivfpq_append(
+    spark,
+    index_path,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append delta vectors to a persisted IVF-PQ index WITHOUT a
+    rebuild — the steady-state ingest half of the index lifecycle
+    (mirrors ``ann_ivf_append``): assign each new vector to its coarse
+    cell with the PERSISTED centroids and encode it with the PERSISTED
+    codebooks, then append cell-partitioned code rows. The historical
+    index is never read or rewritten; only the delta scans (one
+    assignment + encode projection).
+
+    Centroids AND codebooks are frozen by design: ADC distances for the
+    appended rows come from the same tables a rebuild would use, so a
+    served search over old+new is exactly the search over a frozen-
+    codebook full build (pinned by tests/test_pq.py). Under heavy
+    distribution drift the frozen codebooks' DISTORTION grows (recall
+    per probe decays, correctness doesn't) — watch
+    ``pq_reconstruction_error`` on the delta and rebuild on the corpus
+    refresh cadence when it drifts above the build-time gate."""
+    from pathlib import Path
+
+    from github_etl_pipeline_spark.operators.similarity import _assign_cells
+
+    index_path = Path(str(index_path))
+    centroids = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(str(index_path / "centroids")).collect()
+    )
+    brows = spark.read.parquet(str(index_path / "codebooks")).collect()
+    mm = 1 + max(r["ms"] for r in brows)
+    kk = 1 + max(r["cid"] for r in brows)
+    books: Codebooks = [[None] * kk for _ in range(mm)]  # type: ignore[list-item]
+    for r in brows:
+        books[r["ms"]][r["cid"]] = [float(x) for x in r["cv"]]
+    codes = _encode_udf(books)
+    (
+        _assign_cells(new_emb, centroids, id_col, vec_col)
+        .select(F.col(id_col), F.col("cell"), codes(F.col(vec_col)).alias("codes"))
+        .repartition(len(centroids), F.col("cell"))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(str(index_path / "codes"))
+    )
+
+
 def ann_ivfpq_search(
     spark,
     index_path,

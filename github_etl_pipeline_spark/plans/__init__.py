@@ -76,6 +76,7 @@ DRIVER_SAMPLE_PRIORITY = [
     "ann_topk_ivfpq_served",
     "pq_reconstruction_error",
     "ann_pq_recall_floor",
+    "ivfpq_index_append",
     # --- newest green row is r8 (32 queries), fewest greens first ---
     # 2 lifetime greens (alphabetical):
     "fuzzy_pairs_documents",

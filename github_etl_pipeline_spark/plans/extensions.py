@@ -1202,20 +1202,28 @@ def _pq_ctes(
     lloyd: int = _PQ_LLOYD,
     dim: int = _PQ_DIM,
     with_en: bool = True,
+    build_filter: str | None = None,
 ) -> str:
     """CTE chain replicating the deterministic PQ codebook build in
     DuckDB: per subspace ms, ``pc{ms}_{lloyd}(cid, cv)`` is the final
     codebook and ``cd(vec_id, c0..c{m-1})`` the encoded corpus.
     ``with_en=False`` omits the ``en`` base CTE so the chain can compose
-    with ``_ivf_ctes`` (whose ``en`` is a superset) in one WITH block."""
+    with ``_ivf_ctes`` (whose ``en`` is a superset) in one WITH block.
+    ``build_filter`` models the build/append lifecycle exactly like
+    ``_ivf_ctes``: seed sample + Lloyd refinement run over ONLY the
+    matching rows (the build half) while the final encode covers the
+    FULL corpus with those frozen codebooks — per-vector frozen-codebook
+    encoding is independent row-by-row."""
     dsub = dim // m
     ctes = (
         ["en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
         if with_en
         else []
     )
+    if build_filter is not None:
+        ctes.append(f"enpqb AS (SELECT * FROM en WHERE {build_filter})")
 
-    def assign(ms: int, name: str, book: str) -> str:
+    def assign(ms: int, name: str, book: str, src: str) -> str:
         return f"""{name} AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT t.vec_id, c.cid,
@@ -1223,7 +1231,7 @@ def _pq_ctes(
              round(t.ns + list_dot_product(c.cv, c.cv)
                - 2 * list_dot_product(t.s, c.cv), 9) ASC,
              c.cid ASC) AS rn
-    FROM sub{ms} t CROSS JOIN {book} c
+    FROM {src} t CROSS JOIN {book} c
   ) WHERE rn = 1
 )"""
 
@@ -1233,16 +1241,23 @@ def _pq_ctes(
             f"sub{ms} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS s, "
             f"list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}]) AS ns FROM en)"
         )
+        build_sub = f"sub{ms}"
+        if build_filter is not None:
+            build_sub = f"subb{ms}"
+            ctes.append(
+                f"subb{ms} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS s, "
+                f"list_dot_product(v[{lo}:{hi}], v[{lo}:{hi}]) AS ns FROM enpqb)"
+            )
         ctes.append(f"""pc{ms}_0 AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid, s AS cv
-  FROM sub{ms} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+  FROM {build_sub} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
 )""")
         for i in range(1, lloyd + 1):
-            ctes.append(assign(ms, f"pa{ms}_{i}", f"pc{ms}_{i - 1}"))
+            ctes.append(assign(ms, f"pa{ms}_{i}", f"pc{ms}_{i - 1}", build_sub))
             ctes.append(f"""pm{ms}_{i} AS (
   SELECT cell AS cid, list(mv ORDER BY i) AS cv FROM (
     SELECT a.cell AS cell, d.i AS i, round(avg(t.s[d.i]), 6) AS mv
-    FROM pa{ms}_{i} a JOIN sub{ms} t USING (vec_id)
+    FROM pa{ms}_{i} a JOIN {build_sub} t USING (vec_id)
     CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(1, {dsub + 1})) d
     GROUP BY a.cell, d.i
   ) GROUP BY cell
@@ -1251,7 +1266,7 @@ def _pq_ctes(
                 f"pc{ms}_{i} AS MATERIALIZED (SELECT pc{ms}_{i - 1}.cid, COALESCE(pm{ms}_{i}.cv, pc{ms}_{i - 1}.cv) AS cv "
                 f"FROM pc{ms}_{i - 1} LEFT JOIN pm{ms}_{i} ON pm{ms}_{i}.cid = pc{ms}_{i - 1}.cid)"
             )
-        ctes.append(assign(ms, f"paf{ms}", f"pc{ms}_{lloyd}"))
+        ctes.append(assign(ms, f"paf{ms}", f"pc{ms}_{lloyd}", f"sub{ms}"))
     joins = " ".join(f"JOIN paf{ms} USING (vec_id)" for ms in range(1, m))
     cols = ", ".join(f"paf{ms}.cell AS c{ms}" for ms in range(m))
     ctes.append(f"cd AS MATERIALIZED (SELECT paf0.vec_id, {cols} FROM paf0 {joins})")
@@ -1530,6 +1545,55 @@ def _ivfpq_index_path(sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
     return f"{tempfile.gettempdir()}/spark_graft_ivfpq_v1_{tag}"
+
+
+_IVFPQ_CODE_SUM = " + ".join(f"c{ms}" for ms in range(_PQ_M))
+
+
+@register(
+    "ivfpq_index_append",
+    # hash-exact like ivf_index_append: coarse centroids AND codebooks
+    # are built over the even-id half; the full corpus is then assigned
+    # and encoded with both FROZEN — per-vector frozen-centroid
+    # assignment and frozen-codebook encoding are independent
+    # row-by-row, so build(even) + append(odd) == the oracle's
+    # half-trained full-corpus layout. The per-cell code_sum checksum
+    # pins every appended code, not just the cell routing.
+    oracle=f"""
+WITH {_ivf_ctes(build_filter="vec_id % 2 = 0")},
+{_pq_ctes(with_en=False, build_filter="vec_id % 2 = 0")}
+SELECT afin.cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM({_IVFPQ_CODE_SUM}) AS BIGINT) AS code_sum
+FROM afin JOIN cd USING (vec_id)
+GROUP BY afin.cell ORDER BY afin.cell
+""",
+    doc="IVF-PQ index APPEND — the steady-state ingest half of the compressed-index lifecycle: build coarse centroids + PQ codebooks over the even-id half, ann_ivfpq_append the odd-id half with BOTH frozen (historical cells never re-read; only the delta pays one assignment+encode projection); returns the per-cell vector count and code checksum over the union, pinning every appended code cross-engine",
+)
+def ivfpq_index_append_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators import pq as PQ
+
+    emb = _emb_raw(spark, sf_dir)
+    path = _ivfpq_index_path(sf_dir) + "_append"
+    PQ.build_ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 0), path,
+        n_centroids=16, m=_PQ_M, k=_PQ_K, lloyd_iterations=_PQ_LLOYD,
+    )
+    PQ.ann_ivfpq_append(spark, path, emb.where(F.col("vec_id") % 2 == 1))
+    codes = spark.read.parquet(f"{path}/codes")
+    return (
+        codes.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(
+                F.aggregate(
+                    "codes", F.lit(0).cast("long"), lambda a, v: a + v
+                )
+            )
+            .cast("long")
+            .alias("code_sum"),
+        )
+        .orderBy("cell")
+    )
 
 
 @register(

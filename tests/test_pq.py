@@ -175,6 +175,46 @@ def test_adc_recall_floor_pinned_at_driver_scale(spark):
     assert rows == {0: 1, 1: 1, 2: 2, 3: 3, 4: 4}
 
 
+def test_ivfpq_append_equals_frozen_rebuild(spark, emb, tmp_path):
+    """build(half) + append(rest) must equal assigning and encoding the
+    FULL corpus with the same frozen centroids + codebooks — the
+    steady-state ingest path changes nothing a rebuild-with-frozen-state
+    wouldn't produce (codes compared row-by-row, not just counts)."""
+    from github_etl_pipeline_spark.operators.pq import (
+        ann_ivfpq_append,
+        build_ivfpq_index,
+        pq_encode,
+    )
+    from github_etl_pipeline_spark.operators.similarity import _assign_cells
+
+    path = str(tmp_path / "idx")
+    even = emb.where(F.col("vec_id") % 2 == 0)
+    odd = emb.where(F.col("vec_id") % 2 == 1)
+    build_ivfpq_index(even, path, n_centroids=16, m=M, k=K, lloyd_iterations=2)
+    ann_ivfpq_append(spark, path, odd)
+    got = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in spark.read.parquet(f"{path}/codes").collect()
+    }
+    # frozen-state full encode: persisted centroids + codebooks
+    centroids = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    books2 = [[None] * K for _ in range(M)]
+    for r in brows:
+        books2[r["ms"]][r["cid"]] = [float(x) for x in r["cv"]]
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(emb, centroids, "vec_id", "embedding").collect()
+    }
+    codes = {
+        r["vec_id"]: tuple(r["codes"]) for r in pq_encode(emb, books2).collect()
+    }
+    assert got == {vid: (cells[vid], codes[vid]) for vid in cells}
+
+
 def test_lookup_tables_match_brute_force(books):
     q = [0.1] * 64
     luts = adc_lookup_tables(books, q)
