@@ -265,10 +265,17 @@ def build_ivfpq_index(
 
     ``by_residual=False`` (codebooks trained on raw vectors, not
     per-cell residuals) keeps the codebook build one corpus-wide pass
-    and the oracle a composition of the IVF and PQ chains; residual
-    encoding is the recall upgrade path at production cell counts, at
-    the cost of per-cell codebook state. Citing the reference is N/A —
-    the reference engine (etl/*.py) has no vector surface at all."""
+    and the oracle a composition of the IVF and PQ chains. The residual
+    mode was MEASURED before being skipped, not assumed away: on this
+    near-isotropic corpus a numpy prototype read 11% lower distortion
+    (mean sq reconstruction 0.49 vs 0.55) but NO recall gain (29 vs 34
+    hits@10 over 10 queries — noise-level), because coarse cells barely
+    concentrate isotropic vectors, so residual norms ~= raw norms.
+    Revisit by_residual=True when the corpus is clustered enough that
+    ``pq_reconstruction_error`` drops sharply under residualization —
+    that is the regime where the FAISS default pays. Citing the
+    reference is N/A — the reference engine (etl/*.py) has no vector
+    surface at all."""
     from pathlib import Path
 
     from github_etl_pipeline_spark.operators.similarity import (
