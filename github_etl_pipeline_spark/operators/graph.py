@@ -1,0 +1,185 @@
+"""Graph / link-analysis operators over derived similarity graphs.
+
+A 100-TB curation pipeline uses graph centrality as a SELECTION signal:
+build a k-NN graph over the embedding corpus (each document points at
+its k most similar neighbors), then rank documents by PageRank — high
+centrality = representative/hub content, low = peripheral. The same
+machinery covers citation-style graphs when an explicit edge table
+exists.
+
+Beyond-reference extension surface (SURVEY §8); the reference has no
+graph or vector surface.
+
+Scale shape:
+  * the k-NN graph builds on the IVF cell machinery WITHOUT the
+    broadcast the small-query-set search path uses — the corpus joins
+    its own probed cells SHUFFLE-side (both relations keyed on cell),
+    so candidate volume is n x n_probe x cell_size — linear at constant
+    cell size — and no corpus-sized broadcast ever ships.
+  * PageRank runs a FIXED number of iterations (a deterministic plan,
+    unrollable in the DuckDB oracle), each ONE join + ONE aggregate
+    shuffle at edge scale. Ranks are rounded to 9dp per iteration, so
+    aggregation-order ulps (~1e-18 at these magnitudes) can never
+    diverge engines.
+  * out-degree is k for every non-isolated node by construction;
+    a node whose probed cells contain no other vector contributes no
+    out-edges and its mass leaks (the standard simplification — both
+    engines mirror it exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.operators.similarity import (
+    _FAN_OUT_ROWS,
+    _assign_cells,
+    _lloyd_refine,
+    _nearest_cells_udf,
+    _sample_centroids,
+    cells_for_corpus,
+    dot_expr,
+    norm_expr,
+)
+
+
+def knn_graph_ivf(
+    emb: DataFrame,
+    k: int = 3,
+    n_centroids: int | None = None,
+    n_probe: int = 1,
+    lloyd_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst) — each vector's k most similar neighbors among its
+    ``n_probe`` probed IVF cells (9dp-rounded cosine ranking, ties ->
+    lower id; the repo's deterministic k-means build underneath). The
+    graph-construction sibling of ``ann_ivf_topk``: the query set IS
+    the corpus, so probed cells attach by a SHUFFLE join on cell — no
+    broadcast — and the per-src top-k collapses to a WindowGroupLimit.
+
+    ``n_probe`` defaults to 1 — CELL-LOCAL kNN, the semdedup join
+    shape: the persisted cells relation self-joins on cell, so the
+    query side needs no extra probe pass and candidate volume is
+    n x cell_size. The measured reason: at 4 probes the candidate dot
+    products quadruple (the 10x tier hit ~52M 64-dim JVM folds and the
+    sf1 build alone read 40s); boundary vectors lose a few cross-cell
+    edges — the same locality tradeoff semdedup documents. Raise
+    n_probe where graph completeness near cell boundaries matters more
+    than build cost.
+
+    ``n_centroids=None`` selects ``cells_for_corpus(n)`` (the semdedup
+    device): with FIXED cells the candidate volume n x n_probe x
+    cell_size is quadratic; at constant target cell size it is linear.
+    Large corpora fan out to machine parallelism first (single-file
+    scans otherwise run the n x K assignment on one or two cores)."""
+    n = emb.count()
+    if n_centroids is None:
+        n_centroids = cells_for_corpus(n)
+    parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    if n >= _FAN_OUT_ROWS and emb.rdd.getNumPartitions() < parallelism:
+        emb = emb.repartition(parallelism)
+    if lloyd_iterations > 0:
+        emb = emb.persist()
+    centroids = _sample_centroids(emb, id_col, vec_col, n_centroids)
+    if lloyd_iterations > 0:
+        centroids = _lloyd_refine(emb, vec_col, centroids, lloyd_iterations)
+    cells = _assign_cells(emb, centroids, id_col, vec_col).persist()
+    if n_probe == 1:
+        # cell-local: the assignment IS the (single) probe
+        qcells = cells.select(
+            F.col("cell"),
+            F.col(id_col).alias("src"),
+            F.col(vec_col).alias("_qv"),
+            F.col("_ne").alias("_nq"),
+        )
+    else:
+        assign_probe = _nearest_cells_udf(centroids, n_probe)
+        qcells = emb.select(
+            F.col(id_col).alias("src"),
+            F.col(vec_col).alias("_qv"),
+            norm_expr(F.col(vec_col)).alias("_nq"),
+            F.explode(assign_probe(F.col(vec_col))).alias("cell"),
+        )
+    cand = cells.join(qcells, "cell").where(F.col(id_col) != F.col("src"))
+    scored = cand.select(
+        "src",
+        F.col(id_col).alias("dst"),
+        F.round(
+            dot_expr(F.col(vec_col), F.col("_qv")) / (F.col("_ne") * F.col("_nq")), 9
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select("src", "dst")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    iterations: int = 3,
+    damping: float = 0.85,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Fixed-iteration PageRank: (id, pr) after ``iterations`` rounds of
+    ``pr <- round((1-damping)/n + damping * sum(pr(u)/outdeg(u)), 9)``
+    over in-edges. Fixed iterations make the whole computation ONE
+    deterministic plan (and SQL-unrollable for the oracle); per-round
+    9dp rounding absorbs aggregation-order ulps. Nodes with no
+    in-edges settle at the teleport mass; out-edge-less nodes leak
+    their mass (documented simplification, mirrored by the oracle)."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_odeg"))
+    e = edges.join(deg, "src").persist()
+    base = float(1.0 - damping) / float(n_nodes)
+    r = nodes.select(F.col(id_col), F.lit(1.0 / float(n_nodes)).alias("pr"))
+    for _ in range(iterations):
+        mass = (
+            e.join(r, e["src"] == r[id_col])
+            .select(F.col("dst"), (F.col("pr") / F.col("_odeg")).alias("_m"))
+            .groupBy("dst")
+            .agg(F.sum("_m").alias("_mass"))
+        )
+        r = nodes.join(mass, nodes[id_col] == mass["dst"], "left").select(
+            nodes[id_col],
+            F.round(
+                F.lit(base) + F.lit(float(damping)) * F.coalesce(F.col("_mass"), F.lit(0.0)),
+                9,
+            ).alias("pr"),
+        )
+    return r
+
+
+def pagerank_topk(
+    emb: DataFrame,
+    topk: int = 20,
+    k: int = 3,
+    iterations: int = 3,
+    damping: float = 0.85,
+    n_centroids: int | None = None,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(pos, id, pr) — the ``topk`` most central vectors of the k-NN
+    similarity graph (ties -> lower id). The composed selection signal:
+    IVF-built graph + fixed-iteration PageRank + TakeOrderedAndProject."""
+    emb = emb.persist()
+    edges = knn_graph_ivf(
+        emb, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    nodes = emb.select(id_col)
+    n = nodes.count()
+    r = pagerank(edges, nodes, n, iterations=iterations, damping=damping, id_col=id_col)
+    w = Window.orderBy(F.col("pr").desc(), F.col(id_col).asc())
+    return (
+        r.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= topk)
+        .select("pos", id_col, "pr")
+    )

@@ -77,6 +77,8 @@ DRIVER_SAMPLE_PRIORITY = [
     "pq_reconstruction_error",
     "ann_pq_recall_floor",
     "ivfpq_index_append",
+    # (fourth batch: graph centrality over the k-NN similarity graph)
+    "pagerank_similarity_graph",
     # --- newest green row is r8 (32 queries), fewest greens first ---
     # 2 lifetime greens (alphabetical):
     "fuzzy_pairs_documents",

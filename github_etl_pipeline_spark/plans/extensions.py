@@ -1625,6 +1625,69 @@ def ann_topk_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Graph centrality as a curation signal: PageRank over the IVF-built k-NN
+# similarity graph — high centrality = representative/hub content. Fixed
+# iterations make the whole computation one deterministic plan, so the
+# oracle unrolls the graph build AND every iteration.
+# ---------------------------------------------------------------------------
+_PR_K, _PR_ITER, _PR_DAMP, _PR_TOPK = 3, 3, 0.85, 20
+
+
+def _pagerank_oracle() -> str:
+    # cell-LOCAL kNN (n_probe=1): the assignment IS the probe, so edges
+    # come straight from the afin self-join — the semdedup join shape
+    ctes = [f"""edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS r
+    FROM (
+      SELECT eq.vec_id AS src, e2.vec_id AS dst,
+             round(list_dot_product(e2.v, eq.v) / (e2.nv * eq.nv), 9) AS cos
+      FROM afin aq JOIN en eq ON eq.vec_id = aq.vec_id
+      JOIN afin a2 ON a2.cell = aq.cell
+      JOIN en e2 ON e2.vec_id = a2.vec_id
+      WHERE e2.vec_id != eq.vec_id
+    )
+  ) WHERE r <= {_PR_K}
+)""", """odeg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)""",
+        """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM en)""",
+        """pr0 AS MATERIALIZED (SELECT vec_id, 1.0 / c AS pr FROM en CROSS JOIN nn)"""]
+    for i in range(1, _PR_ITER + 1):
+        ctes.append(f"""pr{i} AS MATERIALIZED (
+  SELECT en.vec_id,
+         round((1.0 - {_PR_DAMP}) / nn.c + {_PR_DAMP} * COALESCE(s.m, 0.0), 9) AS pr
+  FROM en CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, SUM(pr{i - 1}.pr / odeg.od) AS m
+    FROM edges e JOIN odeg USING (src)
+    JOIN pr{i - 1} ON pr{i - 1}.vec_id = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = en.vec_id
+)""")
+    return f"""
+WITH {_ivf_ctes(n_centroids_sql=_SEMDEDUP_CELLS_SQL)},
+{",".join(ctes)}
+SELECT pos, vec_id, pr FROM (
+  SELECT vec_id, pr, ROW_NUMBER() OVER (ORDER BY pr DESC, vec_id ASC) AS pos
+  FROM pr{_PR_ITER}
+) WHERE pos <= {_PR_TOPK}
+"""
+
+
+@register(
+    "pagerank_similarity_graph",
+    oracle=_pagerank_oracle(),
+    doc=f"PageRank centrality over the IVF-built k-NN similarity graph (top-{_PR_TOPK}): edges = each vector's {_PR_K} nearest CELL-LOCAL neighbors (the semdedup self-join shape — one shuffle on cell, no probe pass, no broadcast; per-src top-k is a WindowGroupLimit; adaptive cell count keeps candidates linear; 4-probe completeness was measured 4x the build cost and rejected), then {_PR_ITER} fixed PageRank iterations (one join + one aggregate shuffle each, 9dp-rounded per round so aggregation-order ulps can't diverge engines); oracle unrolls the deterministic k-means, the graph build, and every iteration. The composed representative-content selection signal for a training mix",
+)
+def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.graph import pagerank_topk
+
+    return pagerank_topk(
+        _emb_raw(spark, sf_dir), topk=_PR_TOPK, k=_PR_K,
+        iterations=_PR_ITER, damping=_PR_DAMP,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cluster-balanced diversity sampling: equal md5-deterministic quotas from
 # every k-means cell — the diversity-preserving selection for a training
 # mix (uniform Bernoulli over-represents dense regions of embedding space).
