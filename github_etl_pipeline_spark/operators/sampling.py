@@ -131,3 +131,79 @@ def weighted_sample_wor(
         .where(F.col("_rn") <= k)
         .drop("_wkey", "_rn")
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budget_tokens: int | None = None,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = SAMPLE_SEED,
+) -> DataFrame:
+    """Token-budget data-mix sampler — the practical mixing step a
+    training run starts from (the rate-solving cousin of DoReMi-style
+    weight selection): given a total token budget and per-source target
+    weights, solve each source's deterministic sampling rate
+    ``min(1, budget*w_s / available_s)`` and apply it with the md5
+    bucket coin. Output one row per source:
+    (source, rate_bucket, n_docs, n_tokens) — the realized mix report.
+
+    A source whose share exceeds its available tokens caps at rate 1
+    (you cannot mint data) — the shortfall is VISIBLE in the report
+    rather than silently rebalanced, so the caller decides whether to
+    re-weight. ``budget_tokens=None`` targets half the corpus;
+    ``weights=None`` weights sources equally.
+
+    Determinism / cross-engine: available-token sums are exact BIGINTs;
+    rates are computed in the fixed order (budget * w) / avail (IEEE-
+    identical in both engines) and floored onto the 10k-bucket integer
+    grid (floor, not round — round-half-even vs half-up diverges at
+    boundaries); the coin compare is pure integer. The per-source
+    totals collect is bounded by the source cardinality (the centroid-
+    collect contract).
+
+    Scale shape: ONE corpus scan computes token counts; the totals
+    aggregate is map-side combined to |sources| rows; the sample filter
+    is a pure projection predicate (no shuffle beyond the final
+    |sources|-row report aggregate)."""
+    import math
+
+    from github_etl_pipeline_spark.operators.text import TOKEN_RE
+
+    nt = F.size(F.regexp_extract_all(_c(text_col), F.lit(TOKEN_RE), 0)).cast("long")
+    tok = df.select(_c(id_col).alias("_id"), _c(strata_col).alias("_src"), nt.alias("_nt")).persist()
+    avail = {
+        r["_src"]: int(r["a"])
+        for r in tok.groupBy("_src").agg(F.sum("_nt").alias("a")).collect()
+    }
+    total = sum(avail.values())
+    if budget_tokens is None:
+        budget_tokens = total // 2
+    ns = len(avail)
+    thresholds: dict[str, int] = {}
+    for s, a in avail.items():
+        w = (weights or {}).get(s, 1.0 / ns)
+        rate = min(1.0, float(budget_tokens) * w / float(a)) if a else 0.0
+        thresholds[s] = int(math.floor(rate * BUCKETS))
+    thr_col: Column = F.lit(0)
+    for s in sorted(thresholds):
+        thr_col = F.when(F.col("_src") == s, F.lit(thresholds[s])).otherwise(thr_col)
+    sampled = tok.where(sample_bucket(F.col("_id"), seed) < thr_col)
+    agg = sampled.groupBy("_src").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_nt").alias("n_tokens")
+    )
+    spark = df.sparkSession
+    thr_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(s, thresholds[s]) for s in sorted(thresholds)], 1
+        ),
+        f"{strata_col} string, rate_bucket long",
+    )
+    return thr_df.join(agg, thr_df[strata_col] == agg["_src"], "left").select(
+        strata_col,
+        "rate_bucket",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    )

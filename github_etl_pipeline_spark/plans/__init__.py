@@ -77,8 +77,9 @@ DRIVER_SAMPLE_PRIORITY = [
     "pq_reconstruction_error",
     "ann_pq_recall_floor",
     "ivfpq_index_append",
-    # (fourth batch: graph centrality over the k-NN similarity graph)
+    # (fourth batch: graph centrality + token-budget data mixing)
     "pagerank_similarity_graph",
+    "token_budget_mix_documents",
     # --- newest green row is r8 (32 queries), fewest greens first ---
     # 2 lifetime greens (alphabetical):
     "fuzzy_pairs_documents",

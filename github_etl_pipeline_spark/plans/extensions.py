@@ -1625,6 +1625,56 @@ def ann_topk_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-budget data-mix sampler: solve per-source deterministic rates
+# against a total token budget (the practical mixing step a training run
+# starts from); capped sources surface their shortfall in the report.
+# ---------------------------------------------------------------------------
+def _token_mix_oracle() -> str:
+    from github_etl_pipeline_spark.operators.sampling import BUCKETS, SAMPLE_SEED
+
+    bucket = (
+        f"CAST(('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {BUCKETS}"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS nt
+  FROM documents
+),
+avail AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS a FROM tok GROUP BY source),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) // 2 AS b, CAST(COUNT(*) AS DOUBLE) AS ns
+  FROM avail
+),
+thr AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0,
+           CAST(b AS DOUBLE) * (1.0 / ns) / CAST(a AS DOUBLE)) * {BUCKETS}) AS BIGINT) AS rate_bucket
+  FROM avail CROSS JOIN tot
+),
+coin AS (SELECT tok.*, {bucket} AS bucket FROM tok)
+SELECT thr.source, thr.rate_bucket,
+       CAST(COUNT(coin.doc_id) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(coin.nt), 0) AS BIGINT) AS n_tokens
+FROM thr LEFT JOIN coin
+  ON coin.source = thr.source AND coin.bucket < thr.rate_bucket
+GROUP BY thr.source, thr.rate_bucket
+"""
+
+
+@register(
+    "token_budget_mix_documents",
+    oracle=_token_mix_oracle(),
+    doc="token-budget data-mix sampler (the rate-solving cousin of DoReMi-style weight selection): per-source rate = min(1, budget*w/available) floored onto the 10k-bucket integer grid, applied with the md5 coin; budget = half the corpus tokens, equal weights; output = the realized mix report (source, rate_bucket, n_docs, n_tokens) with capped sources' shortfall visible rather than silently rebalanced; ONE corpus scan + |sources|-row aggregates, the sample filter is a pure projection predicate",
+)
+def token_budget_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sampling import token_budget_mix
+
+    return token_budget_mix(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Graph centrality as a curation signal: PageRank over the IVF-built k-NN
 # similarity graph — high centrality = representative/hub content. Fixed
 # iterations make the whole computation one deterministic plan, so the
