@@ -795,3 +795,55 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    split_seed: str = "split-v1:",
+    train_hi: str = "e6",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(cluster_id, n_members, n_train, n_eval, leaky) — the train/eval
+    LEAKAGE audit a curation pipeline runs before shipping a split:
+    near-dup connected components (MinHash+LSH pairs -> min-label
+    closure, operators/dedup.py::dup_clusters) crossed with the
+    content-addressed split assignment (plans/training.py::
+    split_documents_hash — pass ITS seed/threshold so the audit grades
+    the split actually shipped). A cluster with members on BOTH sides
+    (``leaky = 1``) means an eval document has a near-duplicate in the
+    training set — decontamination (operators/curation.py::
+    decontaminate) catches verbatim n-gram overlap, this catches
+    whole-document near-duplicates that share no exact 8-gram.
+
+    Emits EVERY multi-member cluster (with its per-side counts), not
+    just the leaky ones, so the result is non-vacuous on a clean split
+    and the leak count is auditable against the cluster inventory.
+
+    Scale shape: pair mining dominates (banded, linear — see
+    dup_clusters); the audit itself adds one skinny projection over
+    the (doc_id, cluster_id) labels (the split hash derives from the
+    id — no join against a split table) and one #docs-scale count
+    aggregate. Nothing here ever touches the text a second time."""
+    from github_etl_pipeline_spark.operators.dedup import dup_clusters
+
+    clusters = dup_clusters(docs, threshold=threshold, id_col=id_col, text_col=text_col)
+    hh = F.substring(
+        F.md5(F.concat(F.lit(split_seed), F.col(id_col).cast("string"))), 1, 2
+    )
+    lab = clusters.select(
+        "cluster_id", F.when(hh < train_hi, 1).otherwise(0).alias("_is_train")
+    )
+    agg = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("_is_train").cast("long").alias("n_train"),
+        (F.count(F.lit(1)) - F.sum("_is_train")).cast("long").alias("n_eval"),
+    )
+    return agg.where(F.col("n_members") >= 2).select(
+        "cluster_id",
+        "n_members",
+        "n_train",
+        "n_eval",
+        ((F.col("n_train") > 0) & (F.col("n_eval") > 0)).cast("int").alias("leaky"),
+    )

@@ -155,6 +155,84 @@ def pagerank(
     return r
 
 
+def lpa_communities(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, community) — fixed-iteration synchronous label propagation
+    (Raghavan et al. 2007) over the UNDIRECTED closure of ``edges``:
+    every round each node adopts the most frequent label among its
+    neighbors plus its own current label (the self-vote keeps isolated
+    nodes labeled and damps oscillation), ties -> smallest label.
+    Labels start as the node ids, so the fixpoint on a k-NN similarity
+    graph is a community id = the minimum member id — the label a
+    curation pipeline can group on directly.
+
+    Determinism (the property that makes this oracle-able): votes are
+    INTEGER counts and the argmax tie-breaks on the label value, so
+    unlike asynchronous LPA there is no update-order dependence — the
+    whole computation is one fixed plan, unrollable iteration-by-
+    iteration in SQL. Scale shape per round: one edge-scale hash join
+    (labels attach to edge endpoints), one edge-scale count aggregate,
+    and a per-node argmax that collapses to a WindowGroupLimit partial
+    top-1 BEFORE the exchange — nothing ever materializes wider than
+    the (node, label, count) relation, and with k-NN edges that is
+    <= (k+1) x n rows."""
+    bi = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    lab = nodes.select(F.col(id_col), F.col(id_col).alias("community"))
+    for _ in range(iterations):
+        neighbor_votes = bi.join(lab, bi["dst"] == lab[id_col]).select(
+            bi["src"].alias("_node"), F.col("community")
+        )
+        self_votes = lab.select(F.col(id_col).alias("_node"), F.col("community"))
+        counts = (
+            neighbor_votes.union(self_votes)
+            .groupBy("_node", "community")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        w = Window.partitionBy("_node").orderBy(
+            F.col("_c").desc(), F.col("community").asc()
+        )
+        lab = (
+            counts.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(F.col("_node").alias(id_col), "community")
+        )
+    return lab
+
+
+def knn_lpa_communities(
+    emb: DataFrame,
+    k: int = 3,
+    iterations: int = 3,
+    n_centroids: int | None = None,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, community) — per-vector community labels of the IVF-built
+    k-NN similarity graph under fixed-iteration LPA. The composed
+    clustering signal: where PageRank ranks individual documents by
+    centrality, this partitions the corpus into similarity
+    neighborhoods a mix policy can group on (cap giant communities,
+    upweight rare ones)."""
+    emb = emb.persist()
+    edges = knn_graph_ivf(
+        emb, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return lpa_communities(
+        edges, emb.select(id_col), iterations=iterations, id_col=id_col
+    )
+
+
 def pagerank_topk(
     emb: DataFrame,
     topk: int = 20,

@@ -80,6 +80,10 @@ DRIVER_SAMPLE_PRIORITY = [
     # (fourth batch: graph centrality + token-budget data mixing)
     "pagerank_similarity_graph",
     "token_budget_mix_documents",
+    # (fifth batch: LPA community detection over the same k-NN graph +
+    # the train/eval near-dup leakage audit of the shipped split)
+    "lpa_communities_similarity_graph",
+    "split_leakage_audit_documents",
     # --- newest green row is r8 (32 queries), fewest greens first ---
     # 2 lifetime greens (alphabetical):
     "fuzzy_pairs_documents",

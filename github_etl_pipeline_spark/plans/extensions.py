@@ -1683,10 +1683,11 @@ def token_budget_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_K, _PR_ITER, _PR_DAMP, _PR_TOPK = 3, 3, 0.85, 20
 
 
-def _pagerank_oracle() -> str:
+def _knn_edges_cte(k: int) -> str:
     # cell-LOCAL kNN (n_probe=1): the assignment IS the probe, so edges
-    # come straight from the afin self-join — the semdedup join shape
-    ctes = [f"""edges AS MATERIALIZED (
+    # come straight from the afin self-join — the semdedup join shape.
+    # Shared by the PageRank and LPA oracles (identical graph build).
+    return f"""edges AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS r
     FROM (
@@ -1697,8 +1698,13 @@ def _pagerank_oracle() -> str:
       JOIN en e2 ON e2.vec_id = a2.vec_id
       WHERE e2.vec_id != eq.vec_id
     )
-  ) WHERE r <= {_PR_K}
-)""", """odeg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)""",
+  ) WHERE r <= {k}
+)"""
+
+
+def _pagerank_oracle() -> str:
+    ctes = [_knn_edges_cte(_PR_K),
+        """odeg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)""",
         """nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM en)""",
         """pr0 AS MATERIALIZED (SELECT vec_id, 1.0 / c AS pr FROM en CROSS JOIN nn)"""]
     for i in range(1, _PR_ITER + 1):
@@ -1734,6 +1740,60 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_topk(
         _emb_raw(spark, sf_dir), topk=_PR_TOPK, k=_PR_K,
         iterations=_PR_ITER, damping=_PR_DAMP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Community detection over the same k-NN similarity graph: fixed-iteration
+# synchronous label propagation (Raghavan et al. 2007) with integer votes
+# and a min-label tie-break — deterministic, so the oracle unrolls the
+# graph build AND every propagation round. PageRank ranks documents;
+# LPA partitions them into similarity neighborhoods a mix policy groups on.
+# ---------------------------------------------------------------------------
+_LPA_K, _LPA_ITER = 3, 3
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        _knn_edges_cte(_LPA_K),
+        """bi AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+  )
+)""",
+        "lab0 AS MATERIALIZED (SELECT vec_id, vec_id AS community FROM en)",
+    ]
+    for i in range(1, _LPA_ITER + 1):
+        ctes.append(f"""lab{i} AS MATERIALIZED (
+  SELECT _node AS vec_id, community FROM (
+    SELECT _node, community,
+           ROW_NUMBER() OVER (PARTITION BY _node ORDER BY c DESC, community ASC) AS r
+    FROM (
+      SELECT _node, community, COUNT(*) AS c FROM (
+        SELECT b.src AS _node, l.community
+        FROM bi b JOIN lab{i - 1} l ON l.vec_id = b.dst
+        UNION ALL SELECT vec_id AS _node, community FROM lab{i - 1}
+      ) GROUP BY _node, community
+    )
+  ) WHERE r = 1
+)""")
+    return f"""
+WITH {_ivf_ctes(n_centroids_sql=_SEMDEDUP_CELLS_SQL)},
+{",".join(ctes)}
+SELECT vec_id, community FROM lab{_LPA_ITER}
+"""
+
+
+@register(
+    "lpa_communities_similarity_graph",
+    oracle=_lpa_oracle(),
+    doc=f"label-propagation community detection over the IVF-built k-NN similarity graph: same cell-local {_LPA_K}-NN edge build as pagerank_similarity_graph (one shuffle on cell, no broadcast), symmetrized once, then {_LPA_ITER} synchronous LPA rounds — each node adopts the most frequent label among neighbors + its own, ties -> smallest label. Integer votes + value tie-break remove the update-order nondeterminism of classic async LPA, so the whole computation is ONE fixed plan and the oracle unrolls every round; per round = one edge-scale join + one count aggregate + a WindowGroupLimit argmax, relations never wider than (k+1) x n rows. Emits per-vector (vec_id, community) with community = min member id at the fixpoint — the similarity-neighborhood partition a data-mix policy caps/upweights on",
+)
+def lpa_communities_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.graph import knn_lpa_communities
+
+    return knn_lpa_communities(
+        _emb_raw(spark, sf_dir), k=_LPA_K, iterations=_LPA_ITER
     )
 
 

@@ -127,3 +127,49 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("vb"),
     )
     return b.select("event_id", F.expr(zorder_sql(["ub", "vb"], _ZBITS)).alias("zkey"))
+
+
+def _leakage_oracle() -> str:
+    from github_etl_pipeline_spark.plans.extensions import _dup_clusters_oracle
+
+    split_train = (
+        f"substr(md5('{_SPLIT_SEED}' || CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}'"
+    )
+    return _dup_clusters_oracle(0.2).replace(
+        "SELECT doc_id, cluster_id FROM cl",
+        f"""SELECT cluster_id, n_members, n_train, n_eval,
+       CAST(n_train > 0 AND n_eval > 0 AS INTEGER) AS leaky
+FROM (
+  SELECT cluster_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(CASE WHEN {split_train} THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN {split_train} THEN 0 ELSE 1 END) AS BIGINT) AS n_eval
+  FROM cl GROUP BY cluster_id
+) WHERE n_members >= 2""",
+    )
+
+
+@register(
+    "split_leakage_audit_documents",
+    oracle=_leakage_oracle(),
+    doc="train/eval leakage audit of the shipped content-addressed split: "
+    "near-dup connected components (MinHash+LSH pairs -> min-label closure, "
+    "the dup_clusters_documents machinery at threshold 0.2) crossed with "
+    "split_documents_hash's assignment — a cluster with members on both the "
+    "train and eval sides (leaky=1) is an eval document whose near-duplicate "
+    "trains, the leak n-gram decontamination misses when no exact 8-gram is "
+    "shared; emits EVERY multi-member cluster with per-side counts so a clean "
+    "split still yields an auditable non-vacuous inventory; the audit rides "
+    "the dedup pipeline's banded shuffles and adds only a skinny id-derived "
+    "projection + one count aggregate (the split hash derives from doc_id — "
+    "no join against a split table, text is never re-read)",
+)
+def split_leakage_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.curation import split_leakage_audit
+
+    return split_leakage_audit(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.2,
+        split_seed=_SPLIT_SEED,
+        train_hi=_TRAIN_HI,
+    )

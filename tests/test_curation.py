@@ -610,3 +610,55 @@ def test_precomputed_shingles_distinctness_contract(spark):
     )
     deflated = jaccard_pairs(broken, "_hs", k=2, threshold=0.0).first()
     assert deflated.jaccard == 0.5
+
+
+def test_split_leakage_audit_flags_cross_split_near_dups(spark):
+    """A near-dup pair straddling the content-addressed split is leaky;
+    a pair fully inside train is not; singletons don't appear.
+    doc ids chosen by their actual md5 split side: 0-7 -> train,
+    23/25 -> eval (verified: md5('split-v1:'||id)[:2] vs 'e6')."""
+    from github_etl_pipeline_spark.operators.curation import split_leakage_audit
+
+    dup_a = "the quick brown fox jumps over the lazy dog again and again"
+    dup_b = "completely different content about training data pipelines here"
+    rows = [
+        (0, dup_a),   # train  \  same text -> one cluster, straddles
+        (23, dup_a),  # eval   /
+        (1, dup_b),   # train  \  same text -> one cluster, train-only
+        (2, dup_b),   # train  /
+        (3, "a unique singleton document that matches nothing else at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["cluster_id"]: r for r in split_leakage_audit(docs).collect()}
+    assert set(got) == {0, 1}  # min member id labels; singleton absent
+    assert got[0]["n_members"] == 2 and got[0]["leaky"] == 1
+    assert got[0]["n_train"] == 1 and got[0]["n_eval"] == 1
+    assert got[1]["n_members"] == 2 and got[1]["leaky"] == 0
+    assert got[1]["n_train"] == 2 and got[1]["n_eval"] == 0
+
+
+def test_split_leakage_audit_consistent_with_split_query(spark):
+    """The audit's per-side counts must reproduce what the registered
+    split query actually assigns (same seed, same threshold)."""
+    from github_etl_pipeline_spark.operators.curation import split_leakage_audit
+    from github_etl_pipeline_spark.operators.dedup import dup_clusters
+    from github_etl_pipeline_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    split = {
+        r["doc_id"]: r["split"]
+        for r in REGISTRY["split_documents_hash"].builder(spark, sf).collect()
+    }
+    audit = split_leakage_audit(docs).collect()
+    clusters = dup_clusters(docs, threshold=0.2).collect()
+    members: dict = {}
+    for r in clusters:
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    for row in audit:
+        mem = members[row["cluster_id"]]
+        n_train = sum(1 for d in mem if split[d] == "train")
+        assert row["n_members"] == len(mem) >= 2
+        assert row["n_train"] == n_train
+        assert row["n_eval"] == len(mem) - n_train
+        assert row["leaky"] == int(0 < n_train < len(mem))

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from github_etl_pipeline_spark.operators.graph import (
     knn_graph_ivf,
+    knn_lpa_communities,
+    lpa_communities,
     pagerank,
     pagerank_topk,
 )
@@ -69,6 +71,69 @@ def test_knn_graph_shape(spark, emb):
     assert all(len(d) <= 3 for d in by_src.values())
     again = {(r["src"], r["dst"]) for r in knn_graph_ivf(emb, k=3).collect()}
     assert again == {(r["src"], r["dst"]) for r in edges}  # deterministic
+
+
+def _lpa_reference(edge_list, n, iterations):
+    """Independent synchronous LPA: mode over neighbors + self, tie -> min."""
+    nbrs = {i: set() for i in range(n)}
+    for a, b in edge_list:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    lab = {i: i for i in range(n)}
+    for _ in range(iterations):
+        nxt = {}
+        for v in range(n):
+            votes = {}
+            for u in nbrs[v]:
+                votes[lab[u]] = votes.get(lab[u], 0) + 1
+            votes[lab[v]] = votes.get(lab[v], 0) + 1  # self-vote
+            nxt[v] = min(l for l, c in votes.items() if c == max(votes.values()))
+        lab = nxt
+    return lab
+
+
+def test_lpa_matches_reference_on_two_triangles(spark):
+    """Two triangles joined by a single bridge edge must resolve to two
+    communities labeled by each triangle's min id, matching an
+    independent python implementation round-for-round."""
+    edge_list = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    n, iters = 6, 3
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "vec_id long")
+    got = {
+        r["vec_id"]: r["community"]
+        for r in lpa_communities(edges, nodes, iterations=iters).collect()
+    }
+    assert got == _lpa_reference(edge_list, n, iters)
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == got[5] == 3
+
+
+def test_lpa_isolated_node_keeps_own_label(spark):
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "vec_id long")
+    got = {
+        r["vec_id"]: r["community"]
+        for r in lpa_communities(edges, nodes, iterations=3).collect()
+    }
+    assert got[2] == 2  # no edges -> self-vote keeps the label
+    assert got[0] == got[1] == 0  # the pair collapses to the min id
+
+
+def test_knn_lpa_total_and_deterministic(spark, emb):
+    lab = knn_lpa_communities(emb, k=3, iterations=3).collect()
+    n = emb.count()
+    assert len(lab) == n  # exactly one label per vector
+    by_id = {r["vec_id"]: r["community"] for r in lab}
+    assert len(by_id) == n
+    again = {
+        r["vec_id"]: r["community"]
+        for r in knn_lpa_communities(emb, k=3, iterations=3).collect()
+    }
+    assert again == by_id
+    # communities are labeled by a member id
+    ids = set(by_id)
+    assert set(by_id.values()) <= ids
 
 
 def test_pagerank_topk_is_deterministic_and_ranked(spark, emb):
