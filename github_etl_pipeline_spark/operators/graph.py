@@ -134,6 +134,11 @@ def pagerank(
     9dp rounding absorbs aggregation-order ulps. Nodes with no
     in-edges settle at the teleport mass; out-edge-less nodes leak
     their mass (documented simplification, mirrored by the oracle)."""
+    # Same one-time materialization as lpa_communities: `edges` feeds both
+    # the out-degree aggregate and the join below — unpersisted, the first
+    # action would run the (expensive) edge-build plan twice.
+    edges = edges.persist()
+    edges.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_odeg"))
     e = edges.join(deg, "src").persist()
     base = float(1.0 - damping) / float(n_nodes)
@@ -180,6 +185,13 @@ def lpa_communities(
     top-1 BEFORE the exchange — nothing ever materializes wider than
     the (node, label, count) relation, and with k-NN edges that is
     <= (k+1) x n rows."""
+    # Materialize the edge list ONCE before symmetrizing: the union reads
+    # `edges` in two branches, and when edges is an unpersisted k-NN graph
+    # plan both branches re-run the whole build (within one job the second
+    # branch races the cache population, so persist alone is not enough).
+    # Measured at the 100x tier: 57.0s -> 27.2s end-to-end.
+    edges = edges.persist()
+    edges.count()
     bi = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
