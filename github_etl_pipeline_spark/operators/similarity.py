@@ -672,7 +672,18 @@ def ann_ivf_search(
 # corpora at or above this row count fan out to machine parallelism
 # before the multi-pass cluster build (see semdedup) — well above every
 # driver-check tier, well below the scaled probe tiers
-_FAN_OUT_ROWS = 50_000
+# Fan out to machine parallelism once the n x K assignment matmul is the
+# dominant FLOP term. Originally 50_000; the honest-cold (per-rep cache
+# sweep) SCALING re-probe exposed the gap that left at the 10x embeddings
+# tier (n=20.7k, one parquet file -> 1-2 cores): semdedup/pagerank/LPA all
+# read SLOWER at sf1 than at sf3 (e.g. pagerank 13.9s vs 8.3s), because
+# sf3's n=62k crossed the old threshold and parallelized. 4096 keeps the
+# driver-scale corpora (oracle tiers, a few hundred to ~2k rows) on native
+# partitioning where 32 Python-worker handoffs genuinely cost more than
+# they parallelize, and fans out everything where the quadratic-in-n
+# assignment term can dominate. Repartition cost at the crossover
+# (~4k x 64 doubles ~= 2 MB shuffle) is noise.
+_FAN_OUT_ROWS = 4_096
 
 
 def cells_for_corpus(n: int, target_cell: int = 64) -> int:

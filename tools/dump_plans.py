@@ -142,6 +142,15 @@ FLAGSHIPS = {
         "comparing md5 row fingerprints — change detection cost is 16 bytes "
         "per matched key, independent of how many columns are compared."
     ),
+    "lpa_communities_similarity_graph": (
+        "Fixed-iteration label propagation as ONE unrolled plan: the "
+        "symmetrized edge list is persisted and materialized once "
+        "(InMemoryTableScan on every round's join side); each round is a "
+        "hash join attaching labels to edge endpoints, a count aggregate "
+        "over (node, label), and a WindowGroupLimit argmax — relations "
+        "never wider than (k+1) x n rows, no iteration ever re-reads the "
+        "corpus or rebuilds the graph."
+    ),
     "profile_columns_orders": (
         "All-columns profiler in one pass: Catalyst plans the 6-column "
         "multi-distinct aggregate with Expand (one scan), and the wide->long "
@@ -218,12 +227,13 @@ def main() -> None:
         f"Distinct exchange operators per executed plan tree ({len(counts)} "
         f"queries, median {median}; broadcast exchanges included, so "
         "join-heavy plans count their cheap dim broadcasts too; a "
-        "persisted subtree's fill exchanges count once, as executed). The "
-        "composed curation pipeline tops the list because it intersects "
-        "four independent keep signals (quality, dedup-clustering, "
-        "decontamination, temperature sampling) over one persisted corpus "
-        "scan — each signal individually carries the minimal shuffle set "
-        "for its semantics.\n\n"
+        "persisted subtree's fill exchanges count once, as executed). "
+        "Fixed-iteration unrolled algorithms top the list by construction "
+        "— LPA repeats its per-round join + count + argmax shuffle set "
+        "3x over EDGE-scale relations (never the corpus), and the "
+        "composed curation pipeline intersects four independent keep "
+        "signals over one persisted corpus scan — each stage individually "
+        "carries the minimal shuffle set for its semantics.\n\n"
         "| query | exchanges |\n|---|---|\n"
         + "\n".join(f"| {n} | {c} |" for c, n in counts[:12])
         + "\n"
