@@ -629,7 +629,10 @@ def test_split_leakage_audit_flags_cross_split_near_dups(spark):
         (3, "a unique singleton document that matches nothing else at all"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from github_etl_pipeline_spark.session import sweep_caches
+
     got = {r["cluster_id"]: r for r in split_leakage_audit(docs).collect()}
+    sweep_caches(spark)  # release dup_clusters' batch-owned persists
     assert set(got) == {0, 1}  # min member id labels; singleton absent
     assert got[0]["n_members"] == 2 and got[0]["leaky"] == 1
     assert got[0]["n_train"] == 1 and got[0]["n_eval"] == 1
@@ -650,8 +653,11 @@ def test_split_leakage_audit_consistent_with_split_query(spark):
         r["doc_id"]: r["split"]
         for r in REGISTRY["split_documents_hash"].builder(spark, sf).collect()
     }
+    from github_etl_pipeline_spark.session import sweep_caches
+
     audit = split_leakage_audit(docs).collect()
     clusters = dup_clusters(docs, threshold=0.2).collect()
+    sweep_caches(spark)  # release dup_clusters' batch-owned persists
     members: dict = {}
     for r in clusters:
         members.setdefault(r["cluster_id"], []).append(r["doc_id"])

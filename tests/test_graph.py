@@ -126,10 +126,13 @@ def test_knn_lpa_total_and_deterministic(spark, emb):
     assert len(lab) == n  # exactly one label per vector
     by_id = {r["vec_id"]: r["community"] for r in lab}
     assert len(by_id) == n
+    from github_etl_pipeline_spark.session import sweep_caches
+
     again = {
         r["vec_id"]: r["community"]
         for r in knn_lpa_communities(emb, k=3, iterations=3).collect()
     }
+    sweep_caches(spark)  # release the graph build's persists
     assert again == by_id
     # communities are labeled by a member id
     ids = set(by_id)
