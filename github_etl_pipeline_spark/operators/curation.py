@@ -817,21 +817,41 @@ def split_leakage_audit(
     decontaminate) catches verbatim n-gram overlap, this catches
     whole-document near-duplicates that share no exact 8-gram.
 
+    MEASURED recall of the underlying pair mining (r12, the registered
+    ``minhash_recall_floor`` query: constructed seed pairs at known
+    shingle Jaccard, production 4-band x 4-row banding, threshold 0.2):
+    banding recall follows the LSH S-curve 1-(1-J^4)^4 — measured at
+    sf0.01: J=0.81 -> 1.0, J=0.51 -> 0.2, J=0.26 -> 0.1 (theory 0.90 /
+    0.24 / 0.02). The audit therefore catches near-VERBATIM cross-split
+    duplicates reliably but sees only a minority of true 0.2-0.5
+    Jaccard pairs; treat its leak count as a LOWER bound, and raise the
+    band count (more bands = higher recall at the same rows/band) where
+    a tighter bound is worth the extra signing + shuffle cost.
+
     Emits EVERY multi-member cluster (with its per-side counts), not
     just the leaky ones, so the result is non-vacuous on a clean split
     and the leak count is auditable against the cluster inventory.
+
+    ``train_hi`` must be exactly two lowercase hex digits (validated —
+    the bucket comparison is lexicographic on md5 hex); the bucket
+    itself is ``functions/hashing.py::split_bucket_hex``, the SAME
+    expression ``split_documents_hash`` ships, so audit and split can
+    never silently desynchronize (ADVICE r11).
 
     Scale shape: pair mining dominates (banded, linear — see
     dup_clusters); the audit itself adds one skinny projection over
     the (doc_id, cluster_id) labels (the split hash derives from the
     id — no join against a split table) and one #docs-scale count
     aggregate. Nothing here ever touches the text a second time."""
+    from github_etl_pipeline_spark.functions.hashing import (
+        split_bucket_hex,
+        validate_split_threshold,
+    )
     from github_etl_pipeline_spark.operators.dedup import dup_clusters
 
+    validate_split_threshold(train_hi)
     clusters = dup_clusters(docs, threshold=threshold, id_col=id_col, text_col=text_col)
-    hh = F.substring(
-        F.md5(F.concat(F.lit(split_seed), F.col(id_col).cast("string"))), 1, 2
-    )
+    hh = split_bucket_hex(F.col(id_col), split_seed)
     lab = clusters.select(
         "cluster_id", F.when(hh < train_hi, 1).otherwise(0).alias("_is_train")
     )

@@ -119,6 +119,89 @@ def knn_graph_ivf(
     )
 
 
+def exact_knn_edges(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst) — each QUERY node's ``k`` exact nearest neighbors over
+    the FULL corpus by brute force, under exactly the ranking contract
+    ``knn_graph_ivf`` uses (9dp-rounded cosine, ties -> lower dst), so
+    the two edge sets are directly comparable per (src, dst).
+
+    The ground-truth side of ``knn_graph_recall_flags``: corpus x
+    BROADCAST query set (the ``ann_topk_bruteforce`` shape) — linear in
+    the corpus, never all-pairs, so a recall measurement stays cheap at
+    any tier as long as the sampled query set is small."""
+    e = emb.select(
+        F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("_ne")
+    )
+    q = queries.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("_qv"),
+        norm_expr(F.col(vec_col)).alias("_nq"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("src"))
+        .select(
+            "src",
+            F.col(id_col).alias("dst"),
+            F.round(
+                dot_expr(F.col(vec_col), F.col("_qv")) / (F.col("_ne") * F.col("_nq")),
+                9,
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select("src", "dst")
+    )
+
+
+def knn_graph_recall_flags(
+    emb: DataFrame,
+    sample_mod: int = 23,
+    k: int = 3,
+    n_probe: int = 1,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, dst, found) — per exact k-NN edge of the sampled query nodes
+    (``id % sample_mod == 0``), whether the production cell-local IVF
+    graph build recovered it. The graph family's measured quality gate,
+    the IVF/LSH/PQ recall-floor pattern applied to ``knn_graph_ivf``:
+    PageRank and LPA consume the approximate graph, and this is the
+    number that says how approximate.
+
+    Exact side = ``exact_knn_edges`` (corpus x broadcast sampled
+    queries, linear); approx side = the very build the consumers run.
+    Raise ``n_probe`` to price the recall/build-cost tradeoff — the
+    SCALING probe sweeps {1, 2, 4}."""
+    exact = exact_knn_edges(
+        emb,
+        emb.where(F.col(id_col) % sample_mod == 0),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    approx = knn_graph_ivf(
+        emb, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+    hits = approx.withColumn("_hit", F.lit(1))
+    return exact.join(hits, ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("found"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     nodes: DataFrame,
@@ -126,6 +209,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     id_col: str = "vec_id",
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank: (id, pr) after ``iterations`` rounds of
     ``pr <- round((1-damping)/n + damping * sum(pr(u)/outdeg(u)), 9)``
@@ -133,7 +217,15 @@ def pagerank(
     deterministic plan (and SQL-unrollable for the oracle); per-round
     9dp rounding absorbs aggregation-order ulps. Nodes with no
     in-edges settle at the teleport mass; out-edge-less nodes leak
-    their mass (documented simplification, mirrored by the oracle)."""
+    their mass (documented simplification, mirrored by the oracle).
+
+    ``checkpoint_every=j`` truncates lineage with an eager
+    ``localCheckpoint`` after every ``j``-th round: the rounds otherwise
+    unroll into ONE growing plan (fine at the registered 3 iterations,
+    but 10+ rounds compound analysis/codegen cost and lineage depth).
+    Values are bit-identical either way — each round's output is
+    9dp-rounded BEFORE the checkpoint — pinned by
+    tests/test_graph.py::test_pagerank_checkpoint_parity."""
     # Same one-time materialization as lpa_communities: `edges` feeds both
     # the out-degree aggregate and the join below — unpersisted, the first
     # action would run the (expensive) edge-build plan twice.
@@ -143,7 +235,7 @@ def pagerank(
     e = edges.join(deg, "src").persist()
     base = float(1.0 - damping) / float(n_nodes)
     r = nodes.select(F.col(id_col), F.lit(1.0 / float(n_nodes)).alias("pr"))
-    for _ in range(iterations):
+    for i in range(iterations):
         mass = (
             e.join(r, e["src"] == r[id_col])
             .select(F.col("dst"), (F.col("pr") / F.col("_odeg")).alias("_m"))
@@ -157,6 +249,8 @@ def pagerank(
                 9,
             ).alias("pr"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            r = r.localCheckpoint(eager=True)
     return r
 
 
@@ -165,6 +259,7 @@ def lpa_communities(
     nodes: DataFrame,
     iterations: int = 3,
     id_col: str = "vec_id",
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """(id, community) — fixed-iteration synchronous label propagation
     (Raghavan et al. 2007) over the UNDIRECTED closure of ``edges``:
@@ -184,7 +279,12 @@ def lpa_communities(
     and a per-node argmax that collapses to a WindowGroupLimit partial
     top-1 BEFORE the exchange — nothing ever materializes wider than
     the (node, label, count) relation, and with k-NN edges that is
-    <= (k+1) x n rows."""
+    <= (k+1) x n rows.
+
+    ``checkpoint_every=j`` truncates lineage with an eager
+    ``localCheckpoint`` after every ``j``-th round (see ``pagerank`` —
+    labels are integer ids, so parity is exact by construction; pinned
+    by tests/test_graph.py::test_lpa_checkpoint_parity)."""
     # Materialize the edge list ONCE before symmetrizing: the union reads
     # `edges` in two branches, and when edges is an unpersisted k-NN graph
     # plan both branches re-run the whole build (within one job the second
@@ -199,7 +299,7 @@ def lpa_communities(
         .persist()
     )
     lab = nodes.select(F.col(id_col), F.col(id_col).alias("community"))
-    for _ in range(iterations):
+    for i in range(iterations):
         neighbor_votes = bi.join(lab, bi["dst"] == lab[id_col]).select(
             bi["src"].alias("_node"), F.col("community")
         )
@@ -217,6 +317,8 @@ def lpa_communities(
             .where(F.col("_r") == 1)
             .select(F.col("_node").alias(id_col), "community")
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            lab = lab.localCheckpoint(eager=True)
     return lab
 
 
@@ -228,20 +330,31 @@ def knn_lpa_communities(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """(id, community) — per-vector community labels of the IVF-built
     k-NN similarity graph under fixed-iteration LPA. The composed
     clustering signal: where PageRank ranks individual documents by
     centrality, this partitions the corpus into similarity
     neighborhoods a mix policy can group on (cap giant communities,
-    upweight rare ones)."""
-    emb = emb.persist()
+    upweight rare ones).
+
+    Graph quality: the default cell-local (n_probe=1) edge build's
+    measured agreement with the exact 3-NN graph is the registered
+    ``knn_graph_recall_floor`` query — see ``knn_graph_recall_flags``
+    and the SCALING.md knn-graph recall table before trusting community
+    boundaries near cell edges; raise ``n_probe`` where that matters.
+
+    No emb.persist() here: ``knn_graph_ivf`` persists the corpus
+    internally when it runs Lloyd iterations, and the extra nodes-side
+    scan below is a skinny column-pruned read (ADVICE r11)."""
     edges = knn_graph_ivf(
         emb, k=k, n_centroids=n_centroids, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col,
     )
     return lpa_communities(
-        edges, emb.select(id_col), iterations=iterations, id_col=id_col
+        edges, emb.select(id_col), iterations=iterations, id_col=id_col,
+        checkpoint_every=checkpoint_every,
     )
 
 
@@ -255,18 +368,29 @@ def pagerank_topk(
     n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """(pos, id, pr) — the ``topk`` most central vectors of the k-NN
     similarity graph (ties -> lower id). The composed selection signal:
-    IVF-built graph + fixed-iteration PageRank + TakeOrderedAndProject."""
-    emb = emb.persist()
+    IVF-built graph + fixed-iteration PageRank + TakeOrderedAndProject.
+
+    Graph quality: the default cell-local (n_probe=1) build's edge
+    recall vs the exact 3-NN graph is measured by the registered
+    ``knn_graph_recall_floor`` query (see SCALING.md's knn-graph recall
+    table); centrality ranks inherit that approximation — raise
+    ``n_probe`` where boundary completeness matters more than build
+    cost. No emb.persist() here — knn_graph_ivf persists internally
+    (ADVICE r11)."""
     edges = knn_graph_ivf(
         emb, k=k, n_centroids=n_centroids, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col,
     )
     nodes = emb.select(id_col)
     n = nodes.count()
-    r = pagerank(edges, nodes, n, iterations=iterations, damping=damping, id_col=id_col)
+    r = pagerank(
+        edges, nodes, n, iterations=iterations, damping=damping, id_col=id_col,
+        checkpoint_every=checkpoint_every,
+    )
     w = Window.orderBy(F.col("pr").desc(), F.col(id_col).asc())
     return (
         r.withColumn("pos", F.row_number().over(w))

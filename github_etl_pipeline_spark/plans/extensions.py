@@ -77,14 +77,21 @@ _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
     " '\\s+', ' ', 'g'))"
 )
-_SHINGLES_SQL = f"""
+def _shingles_sql(corpus: str = "documents") -> str:
+    """Word-bigram shingle CTE body over any relation/subquery yielding
+    (doc_id, text) — parameterized so seeded-corpus queries
+    (minhash_recall_floor) reuse the exact production shingling."""
+    return f"""
   SELECT doc_id, toks,
          CASE WHEN len(toks) >= 2
               THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
               WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
               ELSE [] END AS sh
-  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks FROM documents)
+  FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks FROM {corpus})
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 _SHASH_SQL = (
     "list_distinct(list_transform(sh, s -> CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)))"
 )
@@ -97,11 +104,15 @@ def _sig_sql_terms() -> list[str]:
     ]
 
 
-_SIG_CTE = f"""
-WITH g AS ({_SHINGLES_SQL}),
+def _sig_cte(corpus: str = "documents") -> str:
+    return f"""
+WITH g AS ({_shingles_sql(corpus)}),
 h AS (SELECT doc_id, {_SHASH_SQL} AS hs FROM g),
 sig AS (SELECT doc_id, {', '.join(_sig_sql_terms())} FROM h)
 """
+
+
+_SIG_CTE = _sig_cte()
 
 
 # ---------------------------------------------------------------------------
@@ -275,12 +286,21 @@ def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 # min label over the bidirected edge set — same fixpoint the Spark
 # min-label iteration converges to.
 # ---------------------------------------------------------------------------
-def _dup_clusters_oracle(threshold: float = 0.2) -> str:
+def _dup_clusters_oracle(
+    threshold: float = 0.2, final_select: str | None = None
+) -> str:
+    """``final_select`` replaces the terminal projection over the ``cl``
+    (doc_id, cluster_id) relation — the parameterization the leakage /
+    canonical-dedup oracles compose through (a string .replace on the
+    default select silently no-ops if the anchor is ever reworded —
+    ADVICE r11)."""
     jac = (
         "CASE WHEN len(list_distinct(x.hs || y.hs)) > 0 "
         "THEN CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / len(list_distinct(x.hs || y.hs)) "
         "ELSE 0.0 END"
     )
+    if final_select is None:
+        final_select = "SELECT doc_id, cluster_id FROM cl"
     return (
         _SIG_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
         + f""",
@@ -305,7 +325,7 @@ walk(id, lbl) AS (
   SELECT b.dst, w.lbl FROM walk w JOIN bi b ON b.src = w.id
 ),
 cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id)
-SELECT doc_id, cluster_id FROM cl
+{final_select}
 """
     )
 
@@ -321,9 +341,9 @@ def dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_canonical_documents",
-    oracle=_dup_clusters_oracle(0.2).replace(
-        "SELECT doc_id, cluster_id FROM cl",
-        """SELECT d.doc_id, d.source, d.n_chars
+    oracle=_dup_clusters_oracle(
+        0.2,
+        final_select="""SELECT d.doc_id, d.source, d.n_chars
 FROM documents d JOIN cl ON cl.doc_id = d.doc_id
 WHERE cl.cluster_id = d.doc_id""",
     ),
@@ -334,6 +354,190 @@ def dedup_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = D.dup_clusters(docs, threshold=0.2)
     canon = clusters.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
     return docs.join(canon, "doc_id").select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall floor (VERDICT r11 #2): every MinHash-family query is
+# hash-exact because the oracle MIRRORS the banding — parity, not quality.
+# This query transplants the embedding_lsh_recall_floor pattern to text:
+# seed synthetic near-dup pairs at KNOWN shingle Jaccard (three tiers),
+# mine the seeded corpus with the production 4-band / threshold-0.2 config
+# (the split_leakage_audit machinery), and emit found/not-found per seed
+# pair — the measured probability a true Jaccard-J pair survives the b x r
+# banding, which is exactly the recall the leakage audit inherits.
+#
+# Seed construction (token-level, fully controlled): for every 17th doc,
+# both pair members are built from doc_id alone — N=50 tokens each, the
+# first S shared ('q<id>x<i>') and the rest disjoint ('z<id>x<i>'), so
+# with distinct word bigrams each side has N-1=49 shingles sharing exactly
+# S-1 — realized Jaccard = (S-1)/(2N-S-1), a rational both engines hit
+# bit-for-bit. S per tier: 45 -> 44/54 = 0.814815, 34 -> 33/65 = 0.507692,
+# 21 -> 20/78 = 0.256410; tier = (doc_id % 51) // 17, deterministic.
+# All tiers clear the 0.2 verify threshold, so `found` isolates BANDING
+# recall (sig-agreement prob ~= J per row, band = 4 rows, 4 bands:
+# expected 1-(1-J^4)^4 ~= 0.90 / 0.24 / 0.02 — the classic S-curve).
+# ---------------------------------------------------------------------------
+_MH_SEED_MOD = 17
+_MH_SEED_OFFSET_A = 3_000_000_000
+_MH_SEED_OFFSET_B = 4_000_000_000
+_MH_SEED_N = 50
+# tier index -> (shared-prefix tokens S, tier label, realized Jaccard)
+_MH_TIERS = {0: (45, "j81", 0.814815), 1: (34, "j51", 0.507692), 2: (21, "j26", 0.25641)}
+
+_MH_S_CASE = (
+    "CASE (doc_id % 51) // 17 "
+    + " ".join(f"WHEN {t} THEN {s}" for t, (s, _, _) in _MH_TIERS.items() if t < 2)
+    + f" ELSE {_MH_TIERS[2][0]} END"
+)
+
+# token text is built in an INNER subquery over the BASE doc_id and the
+# offset id is attached outside: `doc_id` referenced inside a lambda in
+# the same SELECT that re-aliases it is resolved differently by the two
+# engines (Spark's lateral-column-alias rules pick the new alias, DuckDB
+# the input column) — the nesting removes the ambiguity entirely
+_MH_SEED_SQL = f"""SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {_MH_SEED_OFFSET_A} AS doc_id, text FROM (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, {_MH_SEED_N + 1}),
+           i -> 'q' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ') AS text
+  FROM documents WHERE doc_id % {_MH_SEED_MOD} = 0
+)
+UNION ALL
+SELECT doc_id + {_MH_SEED_OFFSET_B} AS doc_id, text FROM (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, {_MH_SEED_N + 1}),
+           i -> CASE WHEN i <= s THEN 'q' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)
+                     ELSE 'z' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR) END), ' ') AS text
+  FROM (SELECT doc_id, {_MH_S_CASE} AS s FROM documents WHERE doc_id % {_MH_SEED_MOD} = 0)
+)"""
+
+
+def _minhash_recall_oracle(threshold: float = 0.2) -> str:
+    jac = (
+        "CASE WHEN len(list_distinct(x.hs || y.hs)) > 0 "
+        "THEN CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / len(list_distinct(x.hs || y.hs)) "
+        "ELSE 0.0 END"
+    )
+    tier_case = (
+        "CASE (doc_id % 51) // 17 "
+        + " ".join(f"WHEN {t} THEN '{lbl}'" for t, (_, lbl, _) in _MH_TIERS.items() if t < 2)
+        + f" ELSE '{_MH_TIERS[2][1]}' END"
+    )
+    tj_case = (
+        "CASE (doc_id % 51) // 17 "
+        + " ".join(f"WHEN {t} THEN {tj!r}" for t, (_, _, tj) in _MH_TIERS.items() if t < 2)
+        + f" ELSE {_MH_TIERS[2][2]!r} END"
+    )
+    return (
+        _sig_cte(f"({_MH_SEED_SQL})")
+        + f""",
+bandkeys AS ({_band_sql(4)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+hs AS (SELECT doc_id, {_SHASH_SQL} AS hs FROM g),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b
+  WHERE {jac} >= {threshold}
+),
+expected AS (
+  SELECT doc_id + {_MH_SEED_OFFSET_A} AS id_a,
+         doc_id + {_MH_SEED_OFFSET_B} AS id_b,
+         {tier_case} AS tier,
+         {tj_case} AS target_jaccard
+  FROM documents WHERE doc_id % {_MH_SEED_MOD} = 0
+)
+SELECT x.id_a, x.id_b, x.tier, x.target_jaccard,
+       CAST(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS found
+FROM expected x LEFT JOIN verified v ON v.id_a = x.id_a AND v.id_b = x.id_b
+"""
+    )
+
+
+def minhash_recall_seed_union(docs: DataFrame) -> DataFrame:
+    """Spark mirror of _MH_SEED_SQL over any (doc_id, text) corpus —
+    shared by the registered recall-floor query, the seed-validation
+    pytest, and the SCALING recall probe (replicated tiers)."""
+    docs = docs.select("doc_id", "text")
+    sel = docs.where(F.col("doc_id") % _MH_SEED_MOD == 0).select("doc_id")
+    idx = F.sequence(F.lit(1), F.lit(_MH_SEED_N))
+
+    def qtok(i):
+        return F.concat(
+            F.lit("q"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string")
+        )
+
+    def ztok(i):
+        return F.concat(
+            F.lit("z"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string")
+        )
+
+    # text is computed BEFORE the id alias (see _MH_SEED_SQL's comment:
+    # lateral-alias shadowing of doc_id resolves differently across
+    # engines when both happen in one SELECT)
+    seed_a = sel.select(
+        F.col("doc_id"), F.array_join(F.transform(idx, qtok), " ").alias("text")
+    ).select((F.col("doc_id") + F.lit(_MH_SEED_OFFSET_A)).alias("doc_id"), "text")
+    tier_idx = F.expr("(doc_id % 51) DIV 17")
+    s = (
+        F.when(tier_idx == 0, F.lit(_MH_TIERS[0][0]))
+        .when(tier_idx == 1, F.lit(_MH_TIERS[1][0]))
+        .otherwise(F.lit(_MH_TIERS[2][0]))
+    )
+    seed_b = (
+        sel.withColumn("_s", s)
+        .select(
+            F.col("doc_id"),
+            F.array_join(
+                F.transform(
+                    idx, lambda i: F.when(i <= F.col("_s"), qtok(i)).otherwise(ztok(i))
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select((F.col("doc_id") + F.lit(_MH_SEED_OFFSET_B)).alias("doc_id"), "text")
+    )
+    return docs.unionAll(seed_a).unionAll(seed_b)
+
+
+def minhash_recall_expected(docs: DataFrame) -> DataFrame:
+    """(id_a, id_b, tier, target_jaccard) — the constructed ground-truth
+    pair inventory for ``minhash_recall_seed_union``'s seeds."""
+    tier_idx = F.expr("(doc_id % 51) DIV 17")
+    return docs.where(F.col("doc_id") % _MH_SEED_MOD == 0).select(
+        (F.col("doc_id") + F.lit(_MH_SEED_OFFSET_A)).alias("id_a"),
+        (F.col("doc_id") + F.lit(_MH_SEED_OFFSET_B)).alias("id_b"),
+        F.when(tier_idx == 0, _MH_TIERS[0][1])
+        .when(tier_idx == 1, _MH_TIERS[1][1])
+        .otherwise(_MH_TIERS[2][1])
+        .alias("tier"),
+        F.when(tier_idx == 0, F.lit(_MH_TIERS[0][2]))
+        .when(tier_idx == 1, F.lit(_MH_TIERS[1][2]))
+        .otherwise(F.lit(_MH_TIERS[2][2]))
+        .alias("target_jaccard"),
+    )
+
+
+@register(
+    "minhash_recall_floor",
+    oracle=_minhash_recall_oracle(0.2),
+    doc="MinHash-LSH recall gate as a query (the embedding_lsh_recall_floor pattern transplanted to text — VERDICT r11 #2): seed synthetic near-dup pairs at KNOWN shingle Jaccard (three tiers: 0.815 / 0.508 / 0.256, token-level construction so the rational is engine-exact), mine the seeded corpus with the production 4-band x 4-row banding at threshold 0.2 (the split_leakage_audit config), emit found/not-found per seed pair vs constructed ground truth — the measured probability a true Jaccard-J pair survives the banding, i.e. the recall the leakage audit inherits; all tiers clear the verify threshold so `found` isolates banding recall (expected S-curve 1-(1-J^4)^4); oracle mirrors seed construction, shingling, signatures, banding, and verify",
+)
+def minhash_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corpus = minhash_recall_seed_union(docs)
+    pairs = D.minhash_dedup_pairs(corpus, threshold=0.2)
+    hits = pairs.select("id_a", "id_b").withColumn("_hit", F.lit(1))
+    return minhash_recall_expected(docs).join(hits, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "tier",
+        "target_jaccard",
+        F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("found"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1794,6 +1998,52 @@ def lpa_communities_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFr
 
     return knn_lpa_communities(
         _emb_raw(spark, sf_dir), k=_LPA_K, iterations=_LPA_ITER
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph recall floor (VERDICT r11 #1): the IVF/LSH/PQ recall-floor
+# pattern applied to the graph build itself. PageRank and LPA consume the
+# cell-local (n_probe=1) approximate graph; this query measures, per exact
+# 3-NN edge of a sampled query set, whether that build recovered it —
+# the number the centrality/community docstrings quote. Exact side =
+# corpus x BROADCAST sampled queries (the ann_topk_bruteforce shape,
+# linear in the corpus); approx side = the very knn_graph_ivf build the
+# consumers run; oracle unrolls both.
+# ---------------------------------------------------------------------------
+_KNN_RECALL_MOD = 23
+
+
+def _knn_graph_recall_oracle() -> str:
+    return f"""
+WITH {_ivf_ctes(n_centroids_sql=_SEMDEDUP_CELLS_SQL)},
+{_knn_edges_cte(_PR_K)},
+q AS (SELECT vec_id AS src, v AS qv, nv AS nq FROM en WHERE vec_id % {_KNN_RECALL_MOD} = 0),
+exact AS (
+  SELECT src, dst FROM (
+    SELECT q.src, en.vec_id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY q.src ORDER BY
+             round(list_dot_product(en.v, q.qv) / (en.nv * q.nq), 9) DESC,
+             en.vec_id ASC) AS r
+    FROM q JOIN en ON en.vec_id != q.src
+  ) WHERE r <= {_PR_K}
+)
+SELECT x.src, x.dst,
+       CAST(CASE WHEN g.src IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS found
+FROM exact x LEFT JOIN edges g ON g.src = x.src AND g.dst = x.dst
+"""
+
+
+@register(
+    "knn_graph_recall_floor",
+    oracle=_knn_graph_recall_oracle(),
+    doc=f"k-NN graph quality gate as a CHECKED query (the IVF/LSH/PQ recall-floor pattern applied to knn_graph_ivf): per exact {_PR_K}-NN edge of the sampled query nodes (vec_id % {_KNN_RECALL_MOD} = 0), did the production cell-local (n_probe=1) IVF graph build recover it — the measured approximation PageRank centrality and LPA communities ride on; exact side is corpus x broadcast sampled queries under the same 9dp-rounded ranking contract (linear, never all-pairs), oracle unrolls the deterministic k-means build, the cell-local edge join, and the brute-force ground truth; SCALING.md sweeps recall vs n_probe in {{1,2,4}}",
+)
+def knn_graph_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.graph import knn_graph_recall_flags
+
+    return knn_graph_recall_flags(
+        _emb_raw(spark, sf_dir), sample_mod=_KNN_RECALL_MOD, k=_PR_K
     )
 
 

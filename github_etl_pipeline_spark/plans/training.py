@@ -52,8 +52,10 @@ FROM h
     "unlike rand()-based splitting — pure projection, no shuffle, no UDF",
 )
 def split_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.functions.hashing import split_bucket_hex
+
     d = _t(spark, sf_dir, "documents")
-    hh = F.substring(F.md5(F.concat(F.lit(_SPLIT_SEED), F.col("doc_id").cast("string"))), 1, 2)
+    hh = split_bucket_hex(F.col("doc_id"), _SPLIT_SEED)
     split = (
         F.when(hh < _TRAIN_HI, "train").when(hh < _VAL_HI, "val").otherwise("test")
     )
@@ -135,9 +137,13 @@ def _leakage_oracle() -> str:
     split_train = (
         f"substr(md5('{_SPLIT_SEED}' || CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}'"
     )
-    return _dup_clusters_oracle(0.2).replace(
-        "SELECT doc_id, cluster_id FROM cl",
-        f"""SELECT cluster_id, n_members, n_train, n_eval,
+    # composed via _dup_clusters_oracle's final_select parameter, not a
+    # string .replace on its default select — a reworded anchor would
+    # have silently no-opped the replace and degenerated this oracle to
+    # the dup-clusters query (ADVICE r11)
+    return _dup_clusters_oracle(
+        0.2,
+        final_select=f"""SELECT cluster_id, n_members, n_train, n_eval,
        CAST(n_train > 0 AND n_eval > 0 AS INTEGER) AS leaky
 FROM (
   SELECT cluster_id,

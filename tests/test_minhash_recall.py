@@ -1,0 +1,102 @@
+"""Recall floor for the MinHash-LSH banding at the production config
+(VERDICT r11 #2): every MinHash-family query is hash-exact because the
+oracle mirrors the banding — parity, not quality. These tests quantify
+the banding's RECALL on constructed near-dup pairs at known shingle
+Jaccard (the embedding_lsh_recall_floor pattern transplanted to text),
+i.e. the probability a true Jaccard-J pair survives the 4-band x 4-row
+scheme — the number split_leakage_audit (threshold 0.2) inherits.
+
+Reference parity note: the reference repo has no dedup surface — this
+is part of the training-data-pipeline extension block."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from github_etl_pipeline_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_dedup_pairs,
+)
+from github_etl_pipeline_spark.plans.extensions import (
+    _MH_SEED_MOD,
+    _MH_SEED_OFFSET_A,
+    _MH_SEED_OFFSET_B,
+    _MH_TIERS,
+    minhash_recall_expected,
+    minhash_recall_seed_union,
+)
+from github_etl_pipeline_spark.sources.tables import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_seed_pairs_hit_their_target_jaccard_exactly(spark, docs):
+    """The construction must realize its advertised Jaccard EXACTLY:
+    both members are synthetic token sequences sharing S of N=50 tokens,
+    so the distinct-bigram sets share exactly S-1 of 49 shingles each —
+    jaccard = (S-1)/(2N-S-1), verified here through the production
+    exact-verify path (tokenize -> bigram -> hash -> set Jaccard)."""
+    from github_etl_pipeline_spark.session import sweep_caches
+
+    seeds_only = minhash_recall_seed_union(docs).where(
+        F.col("doc_id") >= _MH_SEED_OFFSET_A
+    )
+    # brute-force exact verify over just the seed docs (60 at sf0.01)
+    got = jaccard_pairs(seeds_only, threshold=0.2).collect()
+    sweep_caches(spark)
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    expected = minhash_recall_expected(docs).collect()
+    assert len(expected) == 30
+    for r in expected:
+        realized = by_pair.get((r["id_a"], r["id_b"]))
+        assert realized is not None, f"seed pair {r['id_a']} missing from exact verify"
+        assert realized == pytest.approx(r["target_jaccard"], abs=1e-6)
+
+
+def test_banding_recall_s_curve(spark, docs):
+    """Measured banding recall per tier must follow the LSH S-curve:
+    high-Jaccard pairs nearly always survive, threshold-region pairs
+    mostly do not (expected 1-(1-J^4)^4 = 0.90 / 0.24 / 0.02; measured
+    at sf0.01: 1.0 / 0.2 / 0.1). This is the honest number the
+    split_leakage_audit docstring quotes — banding at threshold 0.2
+    does NOT see most true 0.2-0.5 Jaccard pairs."""
+    from github_etl_pipeline_spark.session import sweep_caches
+
+    corpus = minhash_recall_seed_union(docs)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.2)
+    hits = pairs.select("id_a", "id_b").withColumn("_hit", F.lit(1))
+    flags = (
+        minhash_recall_expected(docs)
+        .join(hits, ["id_a", "id_b"], "left")
+        .select("tier", F.coalesce(F.col("_hit"), F.lit(0)).alias("found"))
+        .collect()
+    )
+    sweep_caches(spark)
+    by_tier: dict[str, list[int]] = {}
+    for r in flags:
+        by_tier.setdefault(r["tier"], []).append(r["found"])
+    recall = {t: sum(v) / len(v) for t, v in by_tier.items()}
+    assert set(recall) == {lbl for _, lbl, _ in _MH_TIERS.values()}
+    # high tier must be near-perfect; low tier must NOT be (if it were,
+    # the banding config would have silently changed and the audit's
+    # documented recall profile would be stale)
+    assert recall["j81"] >= 0.9
+    assert recall["j51"] <= 0.7
+    assert recall["j26"] <= 0.3
+    assert recall["j81"] >= recall["j51"] >= recall["j26"]
+
+
+def test_seed_ids_disjoint_from_corpus(spark, docs):
+    """Seed ids must never collide with organic ids at any replicated
+    tier (make_sf1 steps doc_id by 1M per copy -> max ~1e8 at .sf10)."""
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    assert max_id < _MH_SEED_OFFSET_A < _MH_SEED_OFFSET_B
+    n_seeds = docs.where(F.col("doc_id") % _MH_SEED_MOD == 0).count()
+    corpus = minhash_recall_seed_union(docs)
+    assert corpus.count() == docs.count() + 2 * n_seeds
