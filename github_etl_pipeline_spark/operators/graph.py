@@ -163,9 +163,20 @@ def exact_knn_edges(
     )
 
 
+def recall_sample_mod(n: int, floor: int = 23, target_queries: int = 64) -> int:
+    """Adaptive sample stride for the k-NN recall gate:
+    ``max(floor, ceil(n / target_queries))`` keeps the sampled query set
+    at ~``target_queries`` nodes as the corpus grows, so the exact
+    brute-force side (queries x corpus) stays LINEAR in rows — the
+    measurement query itself survives scale-up instead of going
+    quadratic/23. Mirrored by the oracle's scalar-subquery stride
+    (``GREATEST(23, CEIL(COUNT(*)/64.0))``), same integer arithmetic."""
+    return max(floor, -(-n // target_queries))
+
+
 def knn_graph_recall_flags(
     emb: DataFrame,
-    sample_mod: int = 23,
+    sample_mod: int | None = None,
     k: int = 3,
     n_probe: int = 1,
     n_centroids: int | None = None,
@@ -180,9 +191,13 @@ def knn_graph_recall_flags(
     number that says how approximate.
 
     Exact side = ``exact_knn_edges`` (corpus x broadcast sampled
-    queries, linear); approx side = the very build the consumers run.
-    Raise ``n_probe`` to price the recall/build-cost tradeoff — the
-    SCALING probe sweeps {1, 2, 4}."""
+    queries); ``sample_mod=None`` selects ``recall_sample_mod(n)`` so
+    the sample stays ~64 queries at any tier and the exact side stays
+    linear in corpus rows. Approx side = the very build the consumers
+    run. Raise ``n_probe`` to price the recall/build-cost tradeoff —
+    the SCALING probe sweeps {1, 2, 4}."""
+    if sample_mod is None:
+        sample_mod = recall_sample_mod(emb.count())
     exact = exact_knn_edges(
         emb,
         emb.where(F.col(id_col) % sample_mod == 0),

@@ -49,80 +49,30 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 #          top_terms_by_source), then fillers ordered by fewest lifetime
 #          greens (zorder_key_events, the 3-green r9 block, first four
 #          4-green r9 names). After r11 registry max staleness becomes r9.
+#   r12:   (this list; VERDICT r11 #1-#3) LEAD with the two recall-floor
+#          queries REGISTERED this round (knn_graph_recall_floor +
+#          minhash_recall_floor, never driver-checked), then ALL 44
+#          queries whose newest green row is r9 (recomputed from
+#          CORRECTNESS_r01-r11: the 3-green media/text/pair block, the
+#          4-green dedup/streaming block, the 5-green TPC-H block,
+#          cube/dedup_latest/pricing), fewest lifetime greens first,
+#          then 4 single-evidence r10/r11 fillers. After r12 registry
+#          max staleness becomes r10.
 # CHECK_LOCAL.json re-verifies EVERY registered query each round regardless
-# of this order. Recompute for r12 from the committed CORRECTNESS_r*.json:
+# of this order. Recompute for r13 from the committed CORRECTNESS_r*.json:
 # lead with the ~50 names whose newest green row is oldest, tie-break by
 # fewest lifetime green rows.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY = [
-    # --- never driver-checked: the queries registered this round ---
-    # (VERDICT r10 #2: the depth-adaptive miner's recall on cos~=0.85
-    # seeded near-dups; #3: the bands_for_recall scale-sibling; #4: the
-    # steady-state index append)
-    "embedding_lsh_recall_floor",
-    "embedding_lsh_recall_tuned",
-    "ivf_index_append",
-    "dsir_importance_documents",
-    # (also registered this round, second batch: the semantic-curation
-    # block — SemDeDup cluster-then-cosine dedup, cluster-balanced
-    # diversity sampling, BM25+dense hybrid retrieval via RRF)
-    "semdedup_embeddings",
-    "cluster_balanced_sample_embeddings",
-    "hybrid_rrf_search_documents",
-    # (third batch: product quantization — the compression half of IVF-PQ,
-    # its served IVF-PQ composition, and its two measured-quality gates)
-    "pq_codes_embeddings",
-    "ann_topk_pq",
-    "ann_topk_ivfpq_served",
-    "pq_reconstruction_error",
-    "ann_pq_recall_floor",
-    "ivfpq_index_append",
-    # (fourth batch: graph centrality + token-budget data mixing)
-    "pagerank_similarity_graph",
-    "token_budget_mix_documents",
-    # (fifth batch: LPA community detection over the same k-NN graph +
-    # the train/eval near-dup leakage audit of the shipped split)
-    "lpa_communities_similarity_graph",
-    "split_leakage_audit_documents",
-    # --- newest green row is r8 (32 queries), fewest greens first ---
-    # 2 lifetime greens (alphabetical):
-    "fuzzy_pairs_documents",
-    "grouping_sets_orders",
-    "hll_registers_events",
-    "kmv_distinct_users_events",
-    "latency_percentiles_events",
-    "media_ahash_documents",
-    "overlap_click_purchase_windows",
-    "pack_sequences_documents",
-    "profile_columns_orders",
-    "props_variant_events",
-    "quality_filter_documents",
-    "quality_percentile_gate_documents",
-    "quantile_sketch_lineitem",
-    "quantize_embeddings_int8",
-    "remove_dup_spans_documents",
-    "rolling_7d_revenue",
-    "session_window_events",
-    "shuffle_documents_shards",
-    "sliding_event_counts",
-    "snapshot_diff_orders",
-    "source_overlap_documents",
-    "split_documents_hash",
-    "stratified_sample_documents",
-    "temperature_sample_documents",
-    "top3_orders_per_priority",
-    "unigram_logprob_outliers",
-    "unpivot_order_status_counts",
-    "user_value_trend_events",
-    "vocabulary_documents",
-    "weighted_sample_documents",
-    "window_rank_extras_events",
+    # r12 rotation (VERDICT r11 #3): recomputed from CORRECTNESS_r01-r11
+    # — newest-green distribution was exactly {r9: 44, r10: 50, r11: 50}.
+    # LEAD with the two queries REGISTERED this round (never
+    # driver-checked): the two recall floors VERDICT r11 #1/#2 demanded.
+    "knn_graph_recall_floor",
+    "minhash_recall_floor",
+    # --- the 44 queries whose newest green row is r9, fewest lifetime
+    # greens first (ties alphabetical) ---
     # 3 lifetime greens:
-    "top_terms_by_source",
-    # --- fillers: newest green r9, fewest lifetime greens first ---
-    # 2 lifetime greens:
-    "zorder_key_events",
-    # 3 lifetime greens (alphabetical):
     "ann_topk_lsh",
     "audio_features_documents",
     "dedup_canonical_documents",
@@ -134,11 +84,48 @@ DRIVER_SAMPLE_PRIORITY = [
     "simhash_dup_pairs",
     "source_profile_documents",
     "winnowing_fingerprints_documents",
-    # 4 lifetime greens (alphabetical, to fill the ~50 prefix):
+    # 4 lifetime greens:
     "ann_topk_bruteforce",
     "exact_dedup_documents",
     "funnel_events",
     "gapfill_daily_purchases",
+    "gapfill_user_activity",
+    "hypertable_rollup_events",
+    "minhash_dup_pairs_documents",
+    "minhash_signatures_documents",
+    "ngram_jaccard_pairs_documents",
+    "pool_distribution_synth",
+    "range_join_clicks_after_error",
+    "stream_join_click_purchase",
+    # 5 lifetime greens:
+    "asof_click_before_error",
+    "pivot_user_cohort_events",
+    "sessionize_events",
+    "set_ops_users",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q2_min_price_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "windowed_event_counts",
+    # 6 lifetime greens:
+    "cube_lineitem",
+    "dedup_latest_events",
+    "pricing_summary",
+    # --- fillers to the ~50 prefix: single-evidence r10/r11 names
+    # (1 lifetime green, alphabetical) ---
+    "ann_pq_recall_floor",
+    "ann_topk_ivfpq_served",
+    "ann_topk_pq",
+    "cluster_balanced_sample_embeddings",
 ]
 
 

