@@ -19,10 +19,21 @@ from pyspark.sql import functions as F
 # smallest prime > 2^32
 MINHASH_P = 4_294_967_311
 
+
+def minhash_coeffs(n: int) -> tuple[list[int], list[int]]:
+    """(a, b) coefficient lists for ``n`` universal-hash permutations —
+    the SAME formulas that generate the 16 production constants below
+    (MINHASH_A/B are exactly ``minhash_coeffs(NUM_MINHASHES)``), so a
+    recall-tuned caller asking for more permutations gets a superset
+    family both engines reproduce from the formula alone."""
+    return (
+        [2 * i + 1 for i in range(1, n + 1)],
+        [10_007 * i + 12_345 for i in range(n)],
+    )
+
 # deterministic permutation parameters (i-th hash: (A[i]*h + B[i]) % P)
 NUM_MINHASHES = 16
-MINHASH_A = [2 * i + 1 for i in range(1, NUM_MINHASHES + 1)]
-MINHASH_B = [10_007 * i + 12_345 for i in range(NUM_MINHASHES)]
+MINHASH_A, MINHASH_B = minhash_coeffs(NUM_MINHASHES)
 
 
 def portable_hash32(col: Column) -> Column:
@@ -51,12 +62,14 @@ def portable_hash48_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
 
 
-def minhash_perm(h: Column, i: int) -> Column:
-    return (F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)
+def minhash_perm(h: Column, i: int, num_hashes: int = NUM_MINHASHES) -> Column:
+    a, b = (MINHASH_A, MINHASH_B) if num_hashes == NUM_MINHASHES else minhash_coeffs(num_hashes)
+    return (F.lit(a[i]) * h + F.lit(b[i])) % F.lit(MINHASH_P)
 
 
-def minhash_perm_sql(expr: str, i: int) -> str:
-    return f"(({MINHASH_A[i]} * {expr} + {MINHASH_B[i]}) % {MINHASH_P})"
+def minhash_perm_sql(expr: str, i: int, num_hashes: int = NUM_MINHASHES) -> str:
+    a, b = (MINHASH_A, MINHASH_B) if num_hashes == NUM_MINHASHES else minhash_coeffs(num_hashes)
+    return f"(({a[i]} * {expr} + {b[i]}) % {MINHASH_P})"
 
 
 def split_bucket_hex(id_col: Column | str, seed: str) -> Column:

@@ -824,9 +824,13 @@ def split_leakage_audit(
     sf0.01: J=0.81 -> 1.0, J=0.51 -> 0.2, J=0.26 -> 0.1 (theory 0.90 /
     0.24 / 0.02). The audit therefore catches near-VERBATIM cross-split
     duplicates reliably but sees only a minority of true 0.2-0.5
-    Jaccard pairs; treat its leak count as a LOWER bound, and raise the
-    band count (more bands = higher recall at the same rows/band) where
-    a tighter bound is worth the extra signing + shuffle cost.
+    Jaccard pairs; treat its leak count as a LOWER bound. For an
+    audit-grade floor, run the underlying dedup with
+    ``minhash_bands_for_recall(threshold, target)``'s kwargs (57 bands
+    x 2 rows at threshold 0.2 / target 0.9 — measured recall 1.0 at
+    every seeded tier, the registered ``minhash_recall_tuned`` query)
+    priced at ~14x band-key shuffle rows and 114 arithmetic
+    permutations vs 16.
 
     Emits EVERY multi-member cluster (with its per-side counts), not
     just the leaky ones, so the result is non-vacuous on a clean split

@@ -66,10 +66,13 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 DRIVER_SAMPLE_PRIORITY = [
     # r12 rotation (VERDICT r11 #3): recomputed from CORRECTNESS_r01-r11
     # — newest-green distribution was exactly {r9: 44, r10: 50, r11: 50}.
-    # LEAD with the two queries REGISTERED this round (never
-    # driver-checked): the two recall floors VERDICT r11 #1/#2 demanded.
+    # LEAD with the three queries REGISTERED this round (never
+    # driver-checked): the two recall floors VERDICT r11 #1/#2 demanded
+    # plus the minhash_bands_for_recall scale-sibling that restores the
+    # floor the first one measures.
     "knn_graph_recall_floor",
     "minhash_recall_floor",
+    "minhash_recall_tuned",
     # --- the 44 queries whose newest green row is r9, fewest lifetime
     # greens first (ties alphabetical) ---
     # 3 lifetime greens:

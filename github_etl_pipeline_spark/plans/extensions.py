@@ -97,18 +97,25 @@ _SHASH_SQL = (
 )
 
 
-def _sig_sql_terms() -> list[str]:
+def _sig_sql_terms(num_hashes: int = NUM_MINHASHES) -> list[str]:
+    from github_etl_pipeline_spark.functions.hashing import minhash_coeffs
+
+    a, b = (
+        (MINHASH_A, MINHASH_B)
+        if num_hashes == NUM_MINHASHES
+        else minhash_coeffs(num_hashes)
+    )
     return [
-        f"CASE WHEN len(hs) > 0 THEN list_min(list_transform(hs, h -> ({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P})) END AS sig_{i}"
-        for i in range(NUM_MINHASHES)
+        f"CASE WHEN len(hs) > 0 THEN list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {MINHASH_P})) END AS sig_{i}"
+        for i in range(num_hashes)
     ]
 
 
-def _sig_cte(corpus: str = "documents") -> str:
+def _sig_cte(corpus: str = "documents", num_hashes: int = NUM_MINHASHES) -> str:
     return f"""
 WITH g AS ({_shingles_sql(corpus)}),
 h AS (SELECT doc_id, {_SHASH_SQL} AS hs FROM g),
-sig AS (SELECT doc_id, {', '.join(_sig_sql_terms())} FROM h)
+sig AS (SELECT doc_id, {', '.join(_sig_sql_terms(num_hashes))} FROM h)
 """
 
 
@@ -222,8 +229,8 @@ def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signature(_docs(spark, sf_dir))
 
 
-def _band_sql(bands: int = 4) -> str:
-    rows = NUM_MINHASHES // bands
+def _band_sql(bands: int = 4, num_hashes: int = NUM_MINHASHES) -> str:
+    rows = num_hashes // bands
     parts = []
     for b in range(bands):
         cols = " || ',' || ".join(
@@ -413,7 +420,11 @@ SELECT doc_id + {_MH_SEED_OFFSET_B} AS doc_id, text FROM (
 )"""
 
 
-def _minhash_recall_oracle(threshold: float = 0.2) -> str:
+def _minhash_recall_oracle(
+    threshold: float = 0.2,
+    bands: int = 4,
+    num_hashes: int = NUM_MINHASHES,
+) -> str:
     jac = (
         "CASE WHEN len(list_distinct(x.hs || y.hs)) > 0 "
         "THEN CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / len(list_distinct(x.hs || y.hs)) "
@@ -430,9 +441,9 @@ def _minhash_recall_oracle(threshold: float = 0.2) -> str:
         + f" ELSE {_MH_TIERS[2][2]!r} END"
     )
     return (
-        _sig_cte(f"({_MH_SEED_SQL})")
+        _sig_cte(f"({_MH_SEED_SQL})", num_hashes)
         + f""",
-bandkeys AS ({_band_sql(4)}),
+bandkeys AS ({_band_sql(bands, num_hashes)}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
@@ -530,6 +541,34 @@ def minhash_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     corpus = minhash_recall_seed_union(docs)
     pairs = D.minhash_dedup_pairs(corpus, threshold=0.2)
+    hits = pairs.select("id_a", "id_b").withColumn("_hit", F.lit(1))
+    return minhash_recall_expected(docs).join(hits, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "tier",
+        "target_jaccard",
+        F.coalesce(F.col("_hit"), F.lit(0)).cast("long").alias("found"),
+    )
+
+
+# The minhash_bands_for_recall scale mode as a CHECKED query (the
+# embedding_lsh_recall_tuned pattern): FIXED literals below are exactly
+# minhash_bands_for_recall(0.2, target_recall=0.9, rows=2) — pinned by
+# tests/test_minhash_recall.py::test_tuned_query_params_match_helper so
+# the linkage can't drift silently. Literals (not a runtime call)
+# because the oracle's sig/band CTEs are a fixed string.
+_MH_TUNED = dict(bands=57, num_hashes=114)
+
+
+@register(
+    "minhash_recall_tuned",
+    oracle=_minhash_recall_oracle(0.2, **_MH_TUNED),
+    doc="the minhash_bands_for_recall scale mode as a query: same seeded exact-Jaccard ground truth as minhash_recall_floor, mined with the recall-tuned banding the helper selects for threshold 0.2 / target 0.9 (57 bands x 2 rows = 114 permutations vs production's 4 x 4 = 16) — narrower bands move the S-curve's center down to the audit threshold: theory 1-(1-J^2)^57 = 1.0 / 1.0 / 0.98 per tier vs the fixed config's 0.90 / 0.24 / 0.02; each extra permutation is one (a*h+b)%P arithmetic fold over the already-hashed shingles (no extra md5/tokenize), and the banding shuffle carries 57/4x more key rows — the priced cost of an audit-grade recall floor (SCALING.md tiers)",
+)
+def minhash_recall_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corpus = minhash_recall_seed_union(docs)
+    pairs = D.minhash_dedup_pairs(corpus, threshold=0.2, **_MH_TUNED)
     hits = pairs.select("id_a", "id_b").withColumn("_hit", F.lit(1))
     return minhash_recall_expected(docs).join(hits, ["id_a", "id_b"], "left").select(
         "id_a",

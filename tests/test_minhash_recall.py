@@ -100,3 +100,56 @@ def test_seed_ids_disjoint_from_corpus(spark, docs):
     n_seeds = docs.where(F.col("doc_id") % _MH_SEED_MOD == 0).count()
     corpus = minhash_recall_seed_union(docs)
     assert corpus.count() == docs.count() + 2 * n_seeds
+
+
+def test_tuned_query_params_match_helper():
+    """The registered minhash_recall_tuned literals must be exactly what
+    minhash_bands_for_recall selects for the audit threshold — a helper
+    change must surface here, not as a cross-engine config divergence."""
+    from github_etl_pipeline_spark.operators.dedup import minhash_bands_for_recall
+    from github_etl_pipeline_spark.plans.extensions import _MH_TUNED
+
+    kw = minhash_bands_for_recall(0.2, target_recall=0.9, rows=2)
+    assert not kw.pop("capped")
+    assert kw == _MH_TUNED
+
+
+def test_tuned_banding_restores_recall(spark, docs):
+    """The recall-tuned banding must lift the low-J tiers the production
+    config misses (measured at sf0.01: j51 0.2 -> 1.0, j26 0.1 -> 1.0;
+    theory 1-(1-J^2)^57 = 0.9996 / 0.979)."""
+    from github_etl_pipeline_spark.plans.extensions import _MH_TUNED
+    from github_etl_pipeline_spark.session import sweep_caches
+
+    corpus = minhash_recall_seed_union(docs)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.2, **_MH_TUNED)
+    hits = pairs.select("id_a", "id_b").withColumn("_hit", F.lit(1))
+    flags = (
+        minhash_recall_expected(docs)
+        .join(hits, ["id_a", "id_b"], "left")
+        .select("tier", F.coalesce(F.col("_hit"), F.lit(0)).alias("found"))
+        .collect()
+    )
+    sweep_caches(spark)
+    by_tier: dict[str, list[int]] = {}
+    for r in flags:
+        by_tier.setdefault(r["tier"], []).append(r["found"])
+    recall = {t: sum(v) / len(v) for t, v in by_tier.items()}
+    assert recall["j81"] >= 0.9
+    assert recall["j51"] >= 0.9
+    assert recall["j26"] >= 0.8
+
+
+def test_minhash_coeffs_prefix_stability():
+    """minhash_coeffs(114)[:16] must equal the production constants —
+    the tuned family is a SUPERSET, so signatures sig_0..sig_15 are
+    identical between modes (and any cached sig relation stays valid)."""
+    from github_etl_pipeline_spark.functions.hashing import (
+        MINHASH_A,
+        MINHASH_B,
+        minhash_coeffs,
+    )
+
+    a, b = minhash_coeffs(114)
+    assert a[:16] == MINHASH_A
+    assert b[:16] == MINHASH_B
