@@ -804,6 +804,8 @@ def split_leakage_audit(
     train_hi: str = "e6",
     id_col: str = "doc_id",
     text_col: str = "text",
+    bands: int = 4,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """(cluster_id, n_members, n_train, n_eval, leaky) — the train/eval
     LEAKAGE audit a curation pipeline runs before shipping a split:
@@ -825,12 +827,14 @@ def split_leakage_audit(
     0.24 / 0.02). The audit therefore catches near-VERBATIM cross-split
     duplicates reliably but sees only a minority of true 0.2-0.5
     Jaccard pairs; treat its leak count as a LOWER bound. For an
-    audit-grade floor, run the underlying dedup with
-    ``minhash_bands_for_recall(threshold, target)``'s kwargs (57 bands
-    x 2 rows at threshold 0.2 / target 0.9 — measured recall 1.0 at
-    every seeded tier, the registered ``minhash_recall_tuned`` query)
-    priced at ~14x band-key shuffle rows and 114 arithmetic
-    permutations vs 16.
+    audit-grade floor, pass ``**minhash_bands_for_recall(threshold,
+    target)`` (the ``bands``/``num_hashes`` kwargs here, forwarded to
+    the dedup stage): 57 bands x 2 rows at threshold 0.2 / target 0.9
+    — measured recall 1.0 at every seeded tier, the registered
+    ``minhash_recall_tuned`` query — priced at ~14x band-key shuffle
+    rows and 114 arithmetic permutations vs 16; tests prove the tuned
+    audit surfaces seeded low-J cross-split clusters the production
+    banding misses entirely.
 
     Emits EVERY multi-member cluster (with its per-side counts), not
     just the leaky ones, so the result is non-vacuous on a clean split
@@ -848,13 +852,21 @@ def split_leakage_audit(
     id — no join against a split table) and one #docs-scale count
     aggregate. Nothing here ever touches the text a second time."""
     from github_etl_pipeline_spark.functions.hashing import (
+        NUM_MINHASHES,
         split_bucket_hex,
         validate_split_threshold,
     )
     from github_etl_pipeline_spark.operators.dedup import dup_clusters
 
     validate_split_threshold(train_hi)
-    clusters = dup_clusters(docs, threshold=threshold, id_col=id_col, text_col=text_col)
+    clusters = dup_clusters(
+        docs,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        bands=bands,
+        num_hashes=num_hashes if num_hashes is not None else NUM_MINHASHES,
+    )
     hh = split_bucket_hex(F.col(id_col), split_seed)
     lab = clusters.select(
         "cluster_id", F.when(hh < train_hi, 1).otherwise(0).alias("_is_train")

@@ -711,14 +711,19 @@ def dup_clusters(
     bands: int = 4,
     threshold: float = 0.5,
     max_iterations: int = 20,
+    num_hashes: int = NUM_MINHASHES,
 ) -> DataFrame:
     """Near-dup CONNECTED COMPONENTS over the MinHash+LSH pair graph:
     what a dedup pipeline actually needs after pair mining — group
     transitively-linked near-dups and elect one canonical doc per group
     (the minimum id). Output (doc_id, cluster_id) for EVERY document;
     singletons carry their own id. See ``connected_components`` for the
-    propagation algorithm and its scale shape."""
-    pairs = minhash_dedup_pairs(df, text_col, id_col, k, bands, threshold)
+    propagation algorithm and its scale shape. For audit-grade recall
+    at a low threshold, pass ``**minhash_bands_for_recall(threshold,
+    target)`` (bands + num_hashes) — see ``minhash_dedup_pairs``."""
+    pairs = minhash_dedup_pairs(
+        df, text_col, id_col, k, bands, threshold, num_hashes=num_hashes
+    )
     return connected_components(df.select(id_col), pairs, id_col, max_iterations)
 
 

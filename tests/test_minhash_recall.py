@@ -153,3 +153,33 @@ def test_minhash_coeffs_prefix_stability():
     a, b = minhash_coeffs(114)
     assert a[:16] == MINHASH_A
     assert b[:16] == MINHASH_B
+
+
+def test_tuned_audit_surfaces_low_j_clusters_prod_misses(spark, docs):
+    """split_leakage_audit with the tuned banding must surface seeded
+    near-dup clusters (multi-member, possibly cross-split) that the
+    production banding never sees — the end-to-end payoff of the
+    recall-tuned mode."""
+    from github_etl_pipeline_spark.operators.curation import split_leakage_audit
+    from github_etl_pipeline_spark.plans.extensions import _MH_TUNED
+    from github_etl_pipeline_spark.session import sweep_caches
+
+    corpus = minhash_recall_seed_union(docs)
+    n_seeds = minhash_recall_expected(docs).count()
+    # a found seed pair surfaces as a 2-member cluster whose id is the
+    # A-side id (the min) — synthetic tokens share nothing with organic
+    # text, so seed clusters never merge with organic ones
+    def seed_clusters(kw):
+        out = {
+            r["cluster_id"]
+            for r in split_leakage_audit(corpus, **kw).collect()
+            if r["cluster_id"] >= _MH_SEED_OFFSET_A
+        }
+        sweep_caches(spark)
+        return out
+
+    prod = seed_clusters({})
+    tuned = seed_clusters(dict(bands=_MH_TUNED["bands"], num_hashes=_MH_TUNED["num_hashes"]))
+    assert prod < tuned  # strictly more seed clusters surfaced
+    assert len(tuned) == n_seeds  # the tuned audit sees every seeded pair
+    assert len(tuned) - len(prod) >= 10
