@@ -273,3 +273,102 @@ def quantile_sketch(
     ).select(
         F.regexp_replace("q_label", "est_", "").cast("long").alias("q"), "est_lo"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter digest dedup (r12): exact-dedup a NEW batch against a
+# historical corpus WITHOUT joining the corpus — the 100-TB ingest
+# pattern where the history is represented by a constant-per-key digest
+# (~2 bytes/key at the default sizing) instead of 100 TB of content
+# hashes. Complements dedup_against_index (MinHash NEAR-dup vs index)
+# with the exact-hash fast path.
+# ---------------------------------------------------------------------------
+BLOOM_HASHES = 4  # bit positions per key: the 4 disjoint 8-hex md5 windows
+
+
+def bloom_words_for_corpus(n_keys: int, floor_words: int = 2_048) -> int:
+    """32-bit words for the digest: ``max(floor, ceil(n/2))`` = 16 bits
+    (2 bytes) per historical key, giving k*n/m = 1/4 load and a false-
+    positive rate of (1 - e^-0.25)^4 ~= 0.24% at ANY corpus size — the
+    `cells_for_corpus` device applied to the bloom budget (a FIXED-size
+    digest saturates: at 100x the driver tier, k*n/m = 12.5 flags
+    everything). Integer ceil-div, mirrored by the oracle's
+    GREATEST(2048, CEIL(COUNT(*)/2.0)) scalar subquery."""
+    return max(floor_words, -(-n_keys // 2))
+
+
+def _bloom_positions(key: Column, n_bits: int) -> Column:
+    """Array of BLOOM_HASHES bit positions for an arbitrary string key:
+    md5 the key, then reduce the 4 disjoint 8-hex windows mod n_bits
+    (identical integer arithmetic in DuckDB:
+    ('0x' || substr(md5(k), 1+8*i, 8))::BIGINT % n). Hashing INSIDE the
+    operator means any string keys work — callers never pre-hash."""
+    h = F.md5(key)
+    return F.array(
+        *[
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % n_bits
+            for i in range(BLOOM_HASHES)
+        ]
+    )
+
+
+def _word_expr() -> Column:
+    # integer DIV (the oracle's p // 32), not float division
+    return F.expr("p DIV 32").alias("word")
+
+
+def _mask_expr() -> Column:
+    # python-API shiftleft takes only literal shift counts — SQL form
+    # accepts a column; masks use 32-bit words so every mask is a
+    # POSITIVE bigint (no sign-overflow divergence between engines)
+    return F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("m")
+
+
+def bloom_digest(
+    df: DataFrame,
+    key_col: Column | str,
+    n_words: int,
+) -> DataFrame:
+    """(word, bits) — Bloom digest of the key column: each key sets
+    ``BLOOM_HASHES`` md5-derived bit positions; bits pack into 32-bit
+    words (masks stay positive in a BIGINT, so Spark and DuckDB bit_or
+    agree with no sign-overflow edge) and OR-fold in ONE map-side-
+    combined aggregate. Output is <= ``n_words`` rows whatever the
+    input size — the shuffle carries partial digests, never keys.
+    Merging two digests is the same bit_or groupBy (union semantics),
+    so incremental history maintenance is append + re-aggregate."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    pos = df.select(F.explode(_bloom_positions(c, n_words * 32)).alias("p"))
+    return (
+        pos.select(_word_expr(), _mask_expr())
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    digest: DataFrame,
+    key_col: Column | str,
+    id_col: str = "doc_id",
+    n_words: int | None = None,
+) -> DataFrame:
+    """(id, maybe_dup) — probe each row's key against a Bloom digest:
+    maybe_dup = 1 iff ALL of the key's bit positions are set. NO false
+    negatives by construction (a key whose history twin was digested
+    always probes positive — the property test pins it); false
+    positives are md5-deterministic at the documented rate. The probe
+    joins the <= n_words-row digest (BROADCAST — the historical corpus
+    itself is never read), then one groupBy(id) min-fold over the
+    BLOOM_HASHES position rows."""
+    if n_words is None:
+        n_words = digest.count()
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    pos = df.select(
+        F.col(id_col), F.explode(_bloom_positions(c, n_words * 32)).alias("p")
+    ).select(id_col, _word_expr(), _mask_expr())
+    hit = pos.join(F.broadcast(digest), "word", "left").select(
+        id_col,
+        F.when(F.col("bits").bitwiseAND(F.col("m")) != 0, 1).otherwise(0).alias("_h"),
+    )
+    return hit.groupBy(id_col).agg(F.min("_h").cast("long").alias("maybe_dup"))

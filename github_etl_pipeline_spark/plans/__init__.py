@@ -73,6 +73,9 @@ DRIVER_SAMPLE_PRIORITY = [
     "knn_graph_recall_floor",
     "minhash_recall_floor",
     "minhash_recall_tuned",
+    # (also registered this round: Bloom-digest exact dedup of a new
+    # batch against corpus history without joining the history)
+    "bloom_dedup_documents",
     # --- the 44 queries whose newest green row is r9, fewest lifetime
     # greens first (ties alphabetical) ---
     # 3 lifetime greens:

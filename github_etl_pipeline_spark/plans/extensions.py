@@ -3174,3 +3174,86 @@ def ann_ivf_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", F.coalesce(F.col("_n"), F.lit(0)).alias("n_in_exact")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-digest exact dedup (r12): dedup a NEW batch against a historical
+# corpus represented by a constant-per-key digest — the 100-TB ingest
+# pattern where the history (100 TB of content hashes) never joins; only
+# its <= n_words-row OR-folded digest broadcasts. History = even doc_ids,
+# probe batch = odd doc_ids; digest sizing is adaptive (2 bytes/key ->
+# 0.24% FPR at ANY tier; a fixed-size digest saturates at 100x). All bit
+# positions are md5-window arithmetic, so false positives are
+# DETERMINISTIC and the oracle reproduces the probe bit-for-bit.
+# ---------------------------------------------------------------------------
+# parity-flipping seed (odd offset): copies of every 50th doc (even ids,
+# i.e. IN the history half) re-enter the probe half under shifted ids, so
+# the check asserts guaranteed positives — the corpus has no organic
+# cross-parity exact dups and an all-zero result would be vacuous (the
+# r9 media_dup_pairs lesson)
+_BLOOM_SEED_MOD = 50
+_BLOOM_SEED_OFFSET = 5_000_000_001
+
+
+def _bloom_oracle() -> str:
+    from github_etl_pipeline_spark.operators.sketches import BLOOM_HASHES
+
+    idx = f"(SELECT CAST(range AS INTEGER) AS i FROM range(0, {BLOOM_HASHES}))"
+    pos = "CAST(('0x' || substr(h, 1 + 8 * i, 8)) AS BIGINT) % (nw * 32)"
+    mask = "(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_BLOOM_SEED_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {_BLOOM_SEED_MOD} = 0
+),
+k AS (SELECT doc_id, md5({_NORM_SQL}) AS h FROM corpus),
+w AS (
+  SELECT GREATEST(2048, CAST(CEIL(COUNT(*) / 2.0) AS BIGINT)) AS nw
+  FROM k WHERE doc_id % 2 = 0
+),
+bpos AS (
+  SELECT {pos} AS p
+  FROM (SELECT h FROM k WHERE doc_id % 2 = 0) CROSS JOIN {idx} CROSS JOIN w
+),
+dig AS (SELECT p // 32 AS word, bit_or({mask}) AS bits FROM bpos GROUP BY 1),
+ppos AS (
+  SELECT doc_id, {pos} AS p
+  FROM (SELECT doc_id, h FROM k WHERE doc_id % 2 = 1) CROSS JOIN {idx} CROSS JOIN w
+),
+hits AS (
+  SELECT doc_id,
+         CASE WHEN dig.bits IS NOT NULL AND (dig.bits & {mask}) != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM ppos LEFT JOIN dig ON dig.word = p // 32
+)
+SELECT doc_id, CAST(MIN(hit) AS BIGINT) AS maybe_dup FROM hits GROUP BY doc_id
+"""
+
+
+@register(
+    "bloom_dedup_documents",
+    oracle=_bloom_oracle(),
+    doc="Bloom-digest exact dedup of a new batch against corpus history WITHOUT joining the history (the 100-TB ingest fast path, complementing dedup_against_index's MinHash near-dup): history (even doc_ids) OR-folds 4 md5-window bit positions per content hash into a <= n_words digest in ONE map-side-combined aggregate (shuffle carries partial digests, never keys); the probe batch (odd doc_ids) BROADCAST-joins the digest and min-folds per id — maybe_dup=1 iff every position is set. NO false negatives by construction (property-tested); false positives are md5-deterministic at the documented ~0.24% (adaptive sizing: 2 bytes per historical key via GREATEST(2048, ceil(n/2)) words, the cells_for_corpus device — a FIXED digest saturates at the 100x tier); oracle mirrors windows, modulo, packing, and probe bit-for-bit",
+)
+def bloom_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sketches import (
+        bloom_digest,
+        bloom_probe,
+        bloom_words_for_corpus,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seeds = docs.where(F.col("doc_id") % _BLOOM_SEED_MOD == 0).select(
+        (F.col("doc_id") + F.lit(_BLOOM_SEED_OFFSET)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(seeds)
+    # the operator md5s internally, so the key is the normalized text
+    # itself (oracle: h = md5(<norm>))
+    key = D.normalized_text("text")
+    hist = corpus.where(F.col("doc_id") % 2 == 0).select(key.alias("_k"))
+    n_words = bloom_words_for_corpus(hist.count())
+    digest = bloom_digest(hist, "_k", n_words)
+    probe = corpus.where(F.col("doc_id") % 2 == 1).select("doc_id", key.alias("_k"))
+    return bloom_probe(probe, digest, "_k", n_words=n_words)
