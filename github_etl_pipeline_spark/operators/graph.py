@@ -65,10 +65,28 @@ def knn_graph_ivf(
     query side needs no extra probe pass and candidate volume is
     n x cell_size. The measured reason: at 4 probes the candidate dot
     products quadruple (the 10x tier hit ~52M 64-dim JVM folds and the
-    sf1 build alone read 40s); boundary vectors lose a few cross-cell
-    edges — the same locality tradeoff semdedup documents. Raise
-    n_probe where graph completeness near cell boundaries matters more
-    than build cost.
+    sf1 build alone read 40s); boundary vectors lose cross-cell edges
+    — the same locality tradeoff semdedup documents.
+
+    MEASURED edge recall vs exact 3-NN (r12, the registered
+    ``knn_graph_recall_floor`` query + the SCALING.md sweep; ~64
+    sampled query nodes; this corpus is random near-orthogonal vectors
+    — the WORST case for any locality structure, the ann_pq_recall
+    regime note):
+
+        n        recall@1  recall@2  recall@4
+        500      0.242     0.364     0.576
+        20,000   0.133     0.200     0.251
+        200,000  0.037     0.060     0.090
+
+    On this regime the cell-local graph is a LOCALITY approximation of
+    the exact k-NN graph, decaying as cells multiply (adaptive cell
+    count holds cell SIZE, so the probed fraction of the space shrinks
+    as n grows); raising n_probe buys ~1.5-2.4x recall at ~2-4x
+    candidate cost but cannot beat the regime. Clustered real
+    embeddings — where near neighbors co-locate — sit far above these
+    floors; measure per-corpus with knn_graph_recall_flags before
+    trusting boundary-sensitive downstream signals.
 
     ``n_centroids=None`` selects ``cells_for_corpus(n)`` (the semdedup
     device): with FIXED cells the candidate volume n x n_probe x
@@ -131,35 +149,23 @@ def exact_knn_edges(
     ``knn_graph_ivf`` uses (9dp-rounded cosine, ties -> lower dst), so
     the two edge sets are directly comparable per (src, dst).
 
-    The ground-truth side of ``knn_graph_recall_flags``: corpus x
-    BROADCAST query set (the ``ann_topk_bruteforce`` shape) — linear in
-    the corpus, never all-pairs, so a recall measurement stays cheap at
-    any tier as long as the sampled query set is small."""
-    e = emb.select(
-        F.col(id_col), F.col(vec_col), norm_expr(F.col(vec_col)).alias("_ne")
-    )
+    The ground-truth side of ``knn_graph_recall_flags``, served by the
+    repo's BLAS path (``cosine_topk_gemm``: one V @ Q.T matmul per
+    Arrow batch over the scanned corpus, queries collected driver-side
+    — small by contract; float64 promotion + 9dp rounding BEFORE
+    ranking make it rank-identical to the expression form AND to the
+    oracle's double pipeline). The r12 probe measured the expression-
+    tree alternative at 216s / alpha(3->10)=1.33 at the 100x tier —
+    13.2M interpreted 64-dim array folds; the fused BLAS kernel is the
+    form that scales (same device as ``ann_topk_gemm``, 1.15s there)."""
+    from github_etl_pipeline_spark.operators.similarity import cosine_topk_gemm
+
     q = queries.select(
-        F.col(id_col).alias("src"),
-        F.col(vec_col).alias("_qv"),
-        norm_expr(F.col(vec_col)).alias("_nq"),
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    scored = (
-        e.crossJoin(F.broadcast(q))
-        .where(F.col(id_col) != F.col("src"))
-        .select(
-            "src",
-            F.col(id_col).alias("dst"),
-            F.round(
-                dot_expr(F.col(vec_col), F.col("_qv")) / (F.col("_ne") * F.col("_nq")),
-                9,
-            ).alias("_cos"),
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst").asc())
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= k)
-        .select("src", "dst")
+    top = cosine_topk_gemm(emb, q, k=k, id_col=id_col, vec_col=vec_col)
+    return top.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
 
 
@@ -356,9 +362,12 @@ def knn_lpa_communities(
 
     Graph quality: the default cell-local (n_probe=1) edge build's
     measured agreement with the exact 3-NN graph is the registered
-    ``knn_graph_recall_floor`` query — see ``knn_graph_recall_flags``
-    and the SCALING.md knn-graph recall table before trusting community
-    boundaries near cell edges; raise ``n_probe`` where that matters.
+    ``knn_graph_recall_floor`` query — on the random near-orthogonal
+    test corpus (worst case) it reads 0.24 at n=500 decaying to 0.04
+    at n=200k, with n_probe=4 roughly doubling it (SCALING.md tier
+    table and the knn_graph_ivf docstring). Community boundaries near
+    cell edges inherit that approximation; measure per-corpus and
+    raise ``n_probe`` where it matters.
 
     No emb.persist() here: ``knn_graph_ivf`` persists the corpus
     internally when it runs Lloyd iterations, and the extra nodes-side
@@ -391,11 +400,13 @@ def pagerank_topk(
 
     Graph quality: the default cell-local (n_probe=1) build's edge
     recall vs the exact 3-NN graph is measured by the registered
-    ``knn_graph_recall_floor`` query (see SCALING.md's knn-graph recall
-    table); centrality ranks inherit that approximation — raise
-    ``n_probe`` where boundary completeness matters more than build
-    cost. No emb.persist() here — knn_graph_ivf persists internally
-    (ADVICE r11)."""
+    ``knn_graph_recall_floor`` query — 0.24 at n=500 decaying to 0.04
+    at n=200k on the worst-case random corpus, ~2x that at n_probe=4
+    (SCALING.md tier table and the knn_graph_ivf docstring);
+    centrality ranks inherit that approximation — measure per-corpus
+    and raise ``n_probe`` where boundary completeness matters more
+    than build cost. No emb.persist() here — knn_graph_ivf persists
+    internally (ADVICE r11)."""
     edges = knn_graph_ivf(
         emb, k=k, n_centroids=n_centroids, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col,

@@ -350,8 +350,8 @@ def bloom_probe(
     df: DataFrame,
     digest: DataFrame,
     key_col: Column | str,
+    n_words: int,
     id_col: str = "doc_id",
-    n_words: int | None = None,
 ) -> DataFrame:
     """(id, maybe_dup) — probe each row's key against a Bloom digest:
     maybe_dup = 1 iff ALL of the key's bit positions are set. NO false
@@ -360,9 +360,18 @@ def bloom_probe(
     positives are md5-deterministic at the documented rate. The probe
     joins the <= n_words-row digest (BROADCAST — the historical corpus
     itself is never read), then one groupBy(id) min-fold over the
-    BLOOM_HASHES position rows."""
-    if n_words is None:
-        n_words = digest.count()
+    BLOOM_HASHES position rows.
+
+    ``n_words`` is REQUIRED and must be the BUILD-time word count: a
+    digest at low load has fewer rows than n_words (unset words are
+    absent), so inferring the modulus from digest.count() would compute
+    wrong positions and silently break the no-false-negative guarantee."""
+    if not isinstance(n_words, int) or n_words <= 0:
+        raise ValueError(
+            "bloom_probe needs the build-time n_words (bloom_words_for_corpus"
+            " output) — it cannot be inferred from the digest, whose row"
+            " count is only the number of SET words"
+        )
     c = F.col(key_col) if isinstance(key_col, str) else key_col
     pos = df.select(
         F.col(id_col), F.explode(_bloom_positions(c, n_words * 32)).alias("p")

@@ -48,12 +48,10 @@ SF_DIR = "/root/testdata/sf0.001"
 #   ann_pq_recall_floor — embeds the exact-ANN baseline (corpus x
 #     broadcast 5-row query set) to grade the ADC side against it, plus
 #     the codes x broadcast 5-row query-id attach for the ADC scan
-#   knn_graph_recall_floor — exact ground-truth side is corpus x
-#     broadcast SAMPLED query set (vec_id % 23), the ann_topk_bruteforce
-#     shape — linear in the corpus; the graded approx side is the
-#     hash-join cell-local build
+# (knn_graph_recall_floor's exact ground-truth side moved to the GEMM
+# mapInPandas path in r12 — no nested-loop join remains in its plan, so
+# it needs no allowance)
 ALLOWED_NESTED_LOOP = {
-    "knn_graph_recall_floor",
     "hybrid_rrf_search_documents",
     "ann_pq_recall_floor",
     "dsir_importance_documents",

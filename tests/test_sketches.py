@@ -198,3 +198,17 @@ def test_bloom_sizing_holds_fpr_where_fixed_saturates():
     for n in (10_000, 1_000_000, 100_000_000):
         assert fpr(n, bloom_words_for_corpus(n)) < 0.003
     assert fpr(1_000_000, 2_048) > 0.99  # fixed digest saturated
+
+
+def test_bloom_probe_requires_build_time_words(spark):
+    """n_words cannot be inferred from the digest (its row count is only
+    the SET words) — the probe must refuse rather than silently compute
+    wrong positions and break the no-false-negative guarantee."""
+    import pytest as _pytest
+
+    bloom_digest, bloom_probe, bloom_words_for_corpus = _bloom_mod()
+    hist = spark.createDataFrame([("a",), ("b",)], "k string")
+    digest = bloom_digest(hist, "k", 2048)
+    probe = spark.createDataFrame([(1, "a")], "doc_id long, k string")
+    with _pytest.raises(ValueError, match="build-time n_words"):
+        bloom_probe(probe, digest, "k", None)  # type: ignore[arg-type]
