@@ -1195,3 +1195,57 @@ def dedup_against_index(
         .select("new_id", "index_id", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    threshold: float = 0.9,
+    bands: int = 4,
+    num_hashes: int = NUM_MINHASHES,
+) -> DataFrame:
+    """(id_a, id_b, containment) — ASYMMETRIC near-dup pairs: max
+    containment C = |A ∩ B| / min(|A|, |B|) >= threshold over the
+    banded candidate set. Catches SUBSET duplication — a document
+    wrapped in boilerplate, a quote embedded in a longer post — where
+    symmetric Jaccard reads low (|A|/|B| for a verbatim subset) and
+    ``minhash_dedup_pairs`` never flags. The whole-document scored
+    sibling of ``decontaminate``'s k-gram overlap test.
+
+    Candidate generation is the SAME MinHash banding (pass
+    ``**minhash_bands_for_recall(j_floor, target)`` for the tuned
+    config): banding recalls pairs by their JACCARD, so containment-
+    high pairs are only reachable down to the banding's S-curve region
+    — J = |A|/|B| >= ~0.2 with the tuned 114x57 config (a tiny doc
+    inside a huge one sits below any Jaccard banding; that regime
+    belongs to the gram-index path, ``curation.decontaminate``, which
+    is containment-native). The verify carries both shingle arrays
+    through one hash join each and has NO size-ratio prefilter — the
+    size-skewed pairs a Jaccard verify prunes are exactly the ones
+    containment is after.
+
+    Same cache contract as ``minhash_dedup_pairs`` (persisted shingle
+    base; sweep with ``session.sweep_caches`` in long-lived sessions)."""
+    pre_hashed = isinstance(text_col, str) and dict(df.dtypes).get(text_col) == "array<bigint>"
+    if not pre_hashed:
+        from pyspark import StorageLevel
+
+        df = df.select(
+            F.col(id_col),
+            shingle_hashes(text_col, k).alias("_hs", metadata={"shingle_k": k}),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        text_col = "_hs"
+    sig = minhash_signature(df, text_col, id_col, k, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, bands)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("sh_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("sh_b"))
+    joined = cand.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    denom = F.least(F.size("sh_a"), F.size("sh_b"))
+    cont = F.when(denom > 0, inter.cast("double") / denom).otherwise(F.lit(0.0))
+    return (
+        joined.where(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )

@@ -74,8 +74,11 @@ DRIVER_SAMPLE_PRIORITY = [
     "minhash_recall_floor",
     "minhash_recall_tuned",
     # (also registered this round: Bloom-digest exact dedup of a new
-    # batch against corpus history without joining the history)
+    # batch against corpus history without joining the history, and
+    # asymmetric containment pairs — the subset duplication symmetric
+    # Jaccard misses)
     "bloom_dedup_documents",
+    "containment_pairs_documents",
     # --- the 44 queries whose newest green row is r9, fewest lifetime
     # greens first (ties alphabetical) ---
     # 3 lifetime greens:

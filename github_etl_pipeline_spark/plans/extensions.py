@@ -3257,3 +3257,83 @@ def bloom_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest = bloom_digest(hist, "_k", n_words)
     probe = corpus.where(F.col("doc_id") % 2 == 1).select("doc_id", key.alias("_k"))
     return bloom_probe(probe, digest, "_k", n_words=n_words)
+
+
+# ---------------------------------------------------------------------------
+# Containment (subset-duplication) pairs (r12): the asymmetric near-dup
+# symmetric Jaccard misses — a document wrapped in boilerplate scores
+# C = |A n B| / min(|A|,|B|) = 1.0 while its Jaccard reads |A|/|B|.
+# Banding config comes from minhash_bands_for_recall(0.5, 0.9, rows=2)
+# (9 bands x 2 rows — the wrapped-doc regime keeps J >= ~0.5 for docs
+# longer than the junk suffix; far-below-J containment belongs to the
+# gram-index decontaminate path). Seeds: every 43rd doc re-enters under
+# a shifted id with a 30-token deterministic junk SUFFIX, so A's bigrams
+# are all present in the wrapper -> containment exactly 1.0; text is
+# built in an inner subquery before the id re-alias (the lateral-alias
+# engine divergence documented at _MH_SEED_SQL).
+# ---------------------------------------------------------------------------
+_CONT_SEED_MOD = 43
+_CONT_SEED_OFFSET = 6_000_000_000
+_CONT_JUNK_N = 30
+# pinned to minhash_bands_for_recall(0.5, target_recall=0.9, rows=2) by
+# tests/test_minhash_recall.py::test_containment_params_match_helper
+_CONT_LSH = dict(bands=9, num_hashes=18)
+
+_CONT_SEED_SQL = f"""SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {_CONT_SEED_OFFSET} AS doc_id, text FROM (
+  SELECT doc_id,
+         text || ' ' || array_to_string(list_transform(range(1, {_CONT_JUNK_N + 1}),
+           i -> 'w' || CAST(doc_id AS VARCHAR) || 'x' || CAST(i AS VARCHAR)), ' ') AS text
+  FROM documents WHERE doc_id % {_CONT_SEED_MOD} = 0
+)"""
+
+
+def _containment_oracle(
+    threshold: float = 0.9,
+    bands: int = _CONT_LSH["bands"],
+    num_hashes: int = _CONT_LSH["num_hashes"],
+) -> str:
+    cont = (
+        "CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)"
+        " / LEAST(len(x.hs), len(y.hs))"
+    )
+    return (
+        _sig_cte(f"({_CONT_SEED_SQL})", num_hashes)
+        + f""",
+bandkeys AS ({_band_sql(bands, num_hashes)}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+hs AS (SELECT doc_id, {_SHASH_SQL} AS hs FROM g)
+SELECT id_a, id_b, round({cont}, 6) AS containment
+FROM cand JOIN hs x ON x.doc_id = id_a JOIN hs y ON y.doc_id = id_b
+WHERE LEAST(len(x.hs), len(y.hs)) > 0 AND {cont} >= {threshold}
+"""
+    )
+
+
+@register(
+    "containment_pairs_documents",
+    oracle=_containment_oracle(),
+    doc=f"asymmetric subset-duplication pairs: max containment |A n B| / min(|A|,|B|) >= 0.9 over MinHash-banded candidates — catches a document wrapped in boilerplate (containment 1.0) where symmetric Jaccard reads |A|/|B| and minhash_dedup_pairs never flags; banding from minhash_bands_for_recall(0.5, 0.9, rows=2) = {_CONT_LSH['bands']} bands x 2 rows (wrapped docs keep J >= ~0.5; far-lower-J containment is decontaminate's gram-index regime — documented boundary); verify has NO size-ratio prefilter (size-skewed pairs are the target) and carries both shingle arrays through one hash join each; seeds: every {_CONT_SEED_MOD}th doc re-enters under a shifted id with a {_CONT_JUNK_N}-token junk suffix -> containment exactly 1.0, so the check asserts known positives; oracle mirrors seeding, shingling, the 18-permutation family, banding, and the containment verify",
+)
+def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    junk = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_CONT_JUNK_N)),
+            lambda i: F.concat(
+                F.lit("w"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string")
+            ),
+        ),
+        " ",
+    )
+    seeds = (
+        docs.where(F.col("doc_id") % _CONT_SEED_MOD == 0)
+        .select(F.col("doc_id"), F.concat(F.col("text"), F.lit(" "), junk).alias("text"))
+        .select((F.col("doc_id") + F.lit(_CONT_SEED_OFFSET)).alias("doc_id"), "text")
+    )
+    corpus = docs.unionAll(seeds)
+    return D.containment_pairs(corpus, threshold=0.9, **_CONT_LSH)

@@ -183,3 +183,74 @@ def test_tuned_audit_surfaces_low_j_clusters_prod_misses(spark, docs):
     assert prod < tuned  # strictly more seed clusters surfaced
     assert len(tuned) == n_seeds  # the tuned audit sees every seeded pair
     assert len(tuned) - len(prod) >= 10
+
+
+def test_containment_params_match_helper():
+    from github_etl_pipeline_spark.operators.dedup import minhash_bands_for_recall
+    from github_etl_pipeline_spark.plans.extensions import _CONT_LSH
+
+    kw = minhash_bands_for_recall(0.5, target_recall=0.9, rows=2)
+    assert not kw.pop("capped")
+    assert kw == _CONT_LSH
+
+
+def test_containment_catches_wrapped_docs_jaccard_misses(spark, docs):
+    """Every seeded wrapper pair must surface at containment EXACTLY 1.0
+    (the base doc's bigrams are all present in the wrapper), while its
+    symmetric Jaccard sits strictly below the containment threshold for
+    docs shorter than ~9x the junk suffix — the asymmetric-duplication
+    regime minhash_dedup_pairs is blind to by design."""
+    from github_etl_pipeline_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+    from github_etl_pipeline_spark.plans.extensions import (
+        _CONT_LSH,
+        _CONT_SEED_MOD,
+        _CONT_SEED_OFFSET,
+        _CONT_JUNK_N,
+    )
+    from github_etl_pipeline_spark.session import sweep_caches
+
+    junk = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_CONT_JUNK_N)),
+            lambda i: F.concat(
+                F.lit("w"), F.col("doc_id").cast("string"), F.lit("x"), i.cast("string")
+            ),
+        ),
+        " ",
+    )
+    seeds = (
+        docs.where(F.col("doc_id") % _CONT_SEED_MOD == 0)
+        .select(F.col("doc_id"), F.concat(F.col("text"), F.lit(" "), junk).alias("text"))
+        .select((F.col("doc_id") + F.lit(_CONT_SEED_OFFSET)).alias("doc_id"), "text")
+    )
+    corpus = docs.unionAll(seeds)
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(corpus, threshold=0.9, **_CONT_LSH).collect()
+    }
+    sweep_caches(spark)
+    base_ids = [r["doc_id"] for r in docs.where(F.col("doc_id") % _CONT_SEED_MOD == 0).collect()]
+    assert len(base_ids) >= 10
+    for b in base_ids:
+        assert got.get((b, b + _CONT_SEED_OFFSET)) == 1.0, b
+    # the same wrapper pairs under the exact symmetric-Jaccard verify:
+    # every one reads BELOW 1.0 (the junk bigrams dilute the union), so
+    # a Jaccard-0.9+ dedup pass would drop them all
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            corpus.where(
+                (F.col("doc_id") % _CONT_SEED_MOD == 0)
+                | (F.col("doc_id") >= _CONT_SEED_OFFSET)
+            ),
+            threshold=0.0,
+        ).collect()
+    }
+    sweep_caches(spark)
+    wrapper_jacs = [jac[(b, b + _CONT_SEED_OFFSET)] for b in base_ids if (b, b + _CONT_SEED_OFFSET) in jac]
+    assert len(wrapper_jacs) == len(base_ids)
+    assert all(j < 1.0 for j in wrapper_jacs)
+    assert min(wrapper_jacs) < 0.9  # at least one wrapped doc a 0.9-Jaccard pass drops
