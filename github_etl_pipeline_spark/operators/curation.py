@@ -806,6 +806,7 @@ def split_leakage_audit(
     text_col: str = "text",
     bands: int = 4,
     num_hashes: int | None = None,
+    capped: bool = False,
 ) -> DataFrame:
     """(cluster_id, n_members, n_train, n_eval, leaky) — the train/eval
     LEAKAGE audit a curation pipeline runs before shipping a split:
@@ -829,7 +830,8 @@ def split_leakage_audit(
     Jaccard pairs; treat its leak count as a LOWER bound. For an
     audit-grade floor, pass ``**minhash_bands_for_recall(threshold,
     target)`` (the ``bands``/``num_hashes`` kwargs here, forwarded to
-    the dedup stage): 57 bands x 2 rows at threshold 0.2 / target 0.9
+    the dedup stage; the ``capped`` key is accepted and ignored — the
+    helper warns on cap): 57 bands x 2 rows at threshold 0.2 / target 0.9
     — measured recall 1.0 at every seeded tier, the registered
     ``minhash_recall_tuned`` query — priced at ~14x band-key shuffle
     rows and 114 arithmetic permutations vs 16; tests prove the tuned

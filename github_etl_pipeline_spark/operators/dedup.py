@@ -271,6 +271,29 @@ def lsh_candidate_pairs(
     separate parameter to keep in sync."""
     n_sigs = sum(1 for c in sig.columns if c.startswith("sig_"))
     rows_per_band = n_sigs // bands
+    if rows_per_band == 0:
+        # ADVICE r12: bands > signature width floors to 0 rows/band —
+        # every band key would md5('') and the whole corpus collapses
+        # into ONE collect_list group per band (silent O(n^2) pair
+        # explosion / driver OOM). Easy to hit since split_leakage_audit
+        # exposes `bands` without forcing num_hashes; fail loud instead.
+        raise ValueError(
+            f"lsh_candidate_pairs: bands={bands} exceeds the signature "
+            f"width ({n_sigs} sig_* columns) — 0 rows per band would key "
+            "every document into one bucket. Widen the signature "
+            "(minhash_signature(num_hashes=...), or pass the matched "
+            "bands+num_hashes pair from minhash_bands_for_recall)."
+        )
+    if n_sigs % bands != 0:
+        import warnings
+
+        warnings.warn(
+            f"lsh_candidate_pairs: {n_sigs} signatures do not divide into "
+            f"{bands} bands — the trailing {n_sigs % bands} signature "
+            "column(s) are silently unused; recall is that of a "
+            f"{bands * rows_per_band}-signature banding.",
+            stacklevel=2,
+        )
     with_sizes = "_n" in sig.columns
     band_cols = []
     for b in range(bands):
@@ -451,6 +474,19 @@ def minhash_bands_for_recall(
         bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
     capped = bands > max_bands
     bands = min(bands, max_bands)
+    if capped:
+        # the cap is never silent (ADVICE r12): warn at solve time, and
+        # every documented **splat consumer accepts/ignores the capped
+        # key, so callers keep the signal without popping it first
+        import warnings
+
+        warnings.warn(
+            f"minhash_bands_for_recall: target recall {target_recall} at "
+            f"threshold {threshold} needs more than max_bands={max_bands} "
+            f"bands — capped at {bands}; realized recall at the threshold "
+            f"is {1.0 - (1.0 - p_band) ** bands:.3f}.",
+            stacklevel=2,
+        )
     return {"bands": bands, "num_hashes": bands * rows, "capped": capped}
 
 
@@ -462,9 +498,14 @@ def minhash_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     num_hashes: int = NUM_MINHASHES,
+    capped: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: signature -> banded LSH candidates ->
     exact Jaccard verify >= threshold.
+
+    ``capped`` is accepted (and ignored) so the documented
+    ``**minhash_bands_for_recall(...)`` splat works verbatim; the helper
+    itself warns when the target was capped (ADVICE r12).
 
     The default 16-sig / 4-band config is the DEDUP tuning (S-curve
     centered near J~0.6; high-J pairs always survive). For high RECALL
@@ -712,6 +753,7 @@ def dup_clusters(
     threshold: float = 0.5,
     max_iterations: int = 20,
     num_hashes: int = NUM_MINHASHES,
+    capped: bool = False,
 ) -> DataFrame:
     """Near-dup CONNECTED COMPONENTS over the MinHash+LSH pair graph:
     what a dedup pipeline actually needs after pair mining — group
@@ -720,7 +762,8 @@ def dup_clusters(
     singletons carry their own id. See ``connected_components`` for the
     propagation algorithm and its scale shape. For audit-grade recall
     at a low threshold, pass ``**minhash_bands_for_recall(threshold,
-    target)`` (bands + num_hashes) — see ``minhash_dedup_pairs``."""
+    target)`` (bands + num_hashes; the ``capped`` key is accepted and
+    ignored — the helper warns on cap) — see ``minhash_dedup_pairs``."""
     pairs = minhash_dedup_pairs(
         df, text_col, id_col, k, bands, threshold, num_hashes=num_hashes
     )
@@ -823,6 +866,20 @@ def bands_for_recall(
         bands = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_band)))
     capped = bands > max_bands
     bands = min(bands, max_bands)
+    if capped:
+        # ADVICE r12 #3: the recall_target router in
+        # embedding_dup_pairs_lsh uses only bands/n_planes/target_bucket,
+        # so the cap must be loud HERE or the requested recall target is
+        # silently lowered on large corpora.
+        import warnings
+
+        warnings.warn(
+            f"bands_for_recall: target recall {target_recall} at cos "
+            f"{cos_threshold} (depth {depth}) needs more than "
+            f"max_bands={max_bands} bands — capped at {bands}; realized "
+            f"recall at the threshold is {1.0 - (1.0 - p_band) ** bands:.3f}.",
+            stacklevel=2,
+        )
     return {
         "bands": bands,
         "n_planes": bands * depth,
@@ -878,6 +935,11 @@ def embedding_dup_pairs_lsh(
     at 0.45). Explicit n_planes/bands are ignored when recall_target
     is set; ``target_bucket`` keeps its meaning (defaults to 8 there,
     since adaptive depth is what makes growing bands affordable).
+    When the solved band count hits ``bands_for_recall``'s max_bands
+    cap the realized recall is LOWER than requested — the helper warns
+    at solve time (ADVICE r12 #3), so a capped target is loud, not
+    silent; pass a larger max ceiling through bands_for_recall directly
+    if the priced signing cost is acceptable.
 
     MEASURED recall vs depth (r11; cos=0.85 seeded rotations, the
     registered ``embedding_lsh_recall_floor`` construction; prod =
@@ -1205,6 +1267,7 @@ def containment_pairs(
     threshold: float = 0.9,
     bands: int = 4,
     num_hashes: int = NUM_MINHASHES,
+    capped: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, containment) — ASYMMETRIC near-dup pairs: max
     containment C = |A ∩ B| / min(|A|, |B|) >= threshold over the

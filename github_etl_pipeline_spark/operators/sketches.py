@@ -346,21 +346,43 @@ def bloom_digest(
     )
 
 
+# broadcast the digest only while it plausibly fits executor/driver
+# memory: each set word is one (long word, long bits) row, ~16 bytes of
+# payload before row overhead; 256 MiB of WORDS (n_words * 8) keeps the
+# broadcast comfortably under Spark's defaults with headroom for
+# overhead. Above it — the operator's own 100-TB design point, where
+# >= 1e10 historical keys at 2 bytes/key make the digest >= 20 GB — the
+# probe plans as a shuffled hash join on `word` instead (VERDICT r12 #2).
+BLOOM_BROADCAST_MAX_WORD_BYTES = 256 * 1024 * 1024
+
+
 def bloom_probe(
     df: DataFrame,
     digest: DataFrame,
     key_col: Column | str,
     n_words: int,
     id_col: str = "doc_id",
+    broadcast_max_word_bytes: int = BLOOM_BROADCAST_MAX_WORD_BYTES,
 ) -> DataFrame:
     """(id, maybe_dup) — probe each row's key against a Bloom digest:
     maybe_dup = 1 iff ALL of the key's bit positions are set. NO false
     negatives by construction (a key whose history twin was digested
     always probes positive — the property test pins it); false
     positives are md5-deterministic at the documented rate. The probe
-    joins the <= n_words-row digest (BROADCAST — the historical corpus
-    itself is never read), then one groupBy(id) min-fold over the
-    BLOOM_HASHES position rows.
+    joins the <= n_words-row digest — NEVER the historical corpus
+    itself — then one groupBy(id) min-fold over the BLOOM_HASHES
+    position rows.
+
+    Join strategy is a SIZE POLICY (VERDICT r12 #2): while
+    ``n_words * 8 <= broadcast_max_word_bytes`` (default 256 MiB of
+    packed words) the digest broadcasts and the probe side never
+    shuffles; above it the hint is omitted and the join plans as a
+    shuffled hash join on ``word`` — the probe side carries exactly
+    BLOOM_HASHES skinny (id, word, mask) rows per key through the
+    exchange, and the digest side <= n_words rows, so the 10^10-key
+    regime (a ~20 GB digest at 2 bytes/key) costs one bounded shuffle
+    instead of an impossible broadcast. Probe results are identical in
+    both modes (pinned by tests/test_sketches.py).
 
     ``n_words`` is REQUIRED and must be the BUILD-time word count: a
     digest at low load has fewer rows than n_words (unset words are
@@ -376,7 +398,12 @@ def bloom_probe(
     pos = df.select(
         F.col(id_col), F.explode(_bloom_positions(c, n_words * 32)).alias("p")
     ).select(id_col, _word_expr(), _mask_expr())
-    hit = pos.join(F.broadcast(digest), "word", "left").select(
+    build = (
+        F.broadcast(digest)
+        if n_words * 8 <= broadcast_max_word_bytes
+        else digest
+    )
+    hit = pos.join(build, "word", "left").select(
         id_col,
         F.when(F.col("bits").bitwiseAND(F.col("m")) != 0, 1).otherwise(0).alias("_h"),
     )
