@@ -2087,6 +2087,102 @@ def knn_graph_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-NN graph probe tuner (VERDICT r12 #1): the measured recall/cost LADDER
+# behind knn_probes_for_recall — the graph family's bands_for_recall
+# analogue. Cell-local recall has no closed form (it is a property of the
+# corpus geometry), so the lever MEASURES a doubling probe ladder on the
+# sampled query set and flags the smallest rung meeting the target;
+# probing every cell is exact k-NN, so the full ladder always reaches any
+# target. This registers the ladder itself so the tuner's decision inputs
+# are hash-checked cross-engine.
+# ---------------------------------------------------------------------------
+_KNN_TUNED_LADDER = (1, 2, 4, 8)
+_KNN_TUNED_TARGET = 0.5
+
+
+def _knn_probe_sweep_oracle() -> str:
+    p_max = max(_KNN_TUNED_LADDER)
+    rungs = "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS BIGINT) AS n_probe, src, dst FROM (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS r
+  FROM cand WHERE cell_rank <= {p}
+) WHERE r <= {_PR_K}"""
+        for p in _KNN_TUNED_LADDER
+    )
+    ladder_values = ", ".join(f"({p})" for p in _KNN_TUNED_LADDER)
+    return f"""
+WITH {_ivf_ctes(n_centroids_sql=_SEMDEDUP_CELLS_SQL)},
+q AS (SELECT vec_id AS src, v AS qv, nv AS nq FROM en WHERE vec_id % {_KNN_RECALL_MOD_SQL} = 0),
+exact AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT q.src, en.vec_id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY q.src ORDER BY
+             round(list_dot_product(en.v, q.qv) / (en.nv * q.nq), 9) DESC,
+             en.vec_id ASC) AS r
+    FROM q JOIN en ON en.vec_id != q.src
+  ) WHERE r <= {_PR_K}
+),
+qp AS (
+  SELECT src, cell, rn AS cell_rank FROM (
+    SELECT q.src, cfin.cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.src ORDER BY
+             round(list_dot_product(q.qv, cfin.cv)
+               / (q.nq * sqrt(list_dot_product(cfin.cv, cfin.cv))), 9) DESC,
+             cfin.cid ASC) AS rn
+    FROM q CROSS JOIN cfin
+  ) WHERE rn <= {p_max}
+),
+cand AS MATERIALIZED (
+  SELECT qp.src, e2.vec_id AS dst,
+         round(list_dot_product(e2.v, q.qv) / (e2.nv * q.nq), 9) AS cos,
+         qp.cell_rank
+  FROM qp JOIN afin a2 ON a2.cell = qp.cell
+  JOIN en e2 ON e2.vec_id = a2.vec_id
+  JOIN q ON q.src = qp.src
+  WHERE e2.vec_id != qp.src
+),
+rungs AS (
+{rungs}
+),
+fnd AS (
+  SELECT n_probe, COUNT(*) AS nf
+  FROM rungs JOIN exact USING (src, dst) GROUP BY n_probe
+),
+nex AS (SELECT COUNT(*) AS n_exact FROM exact),
+r AS (
+  SELECT CAST(l.p AS BIGINT) AS n_probe,
+         CAST(nex.n_exact AS BIGINT) AS n_exact,
+         CAST(COALESCE(f.nf, 0) AS BIGINT) AS n_found,
+         round(COALESCE(f.nf, 0) / CAST(nex.n_exact AS DOUBLE), 6) AS recall
+  FROM (VALUES {ladder_values}) l(p) CROSS JOIN nex
+  LEFT JOIN fnd f ON f.n_probe = l.p
+)
+SELECT n_probe, n_exact, n_found, recall,
+  CAST(CASE WHEN MIN(CASE WHEN recall >= {_KNN_TUNED_TARGET} THEN n_probe END) OVER () IS NOT NULL
+       THEN CASE WHEN n_probe = MIN(CASE WHEN recall >= {_KNN_TUNED_TARGET} THEN n_probe END) OVER () THEN 1 ELSE 0 END
+       ELSE CASE WHEN n_probe = MAX(n_probe) OVER () THEN 1 ELSE 0 END END AS BIGINT) AS chosen,
+  CAST(CASE WHEN MIN(CASE WHEN recall >= {_KNN_TUNED_TARGET} THEN n_probe END) OVER () IS NULL THEN 1 ELSE 0 END AS BIGINT) AS capped
+FROM r
+"""
+
+
+@register(
+    "knn_graph_recall_tuned",
+    oracle=_knn_probe_sweep_oracle(),
+    doc=f"the k-NN graph's measured recall LEVER as a query (VERDICT r12 #1, the bands_for_recall/minhash_bands_for_recall analogue for a quantity with no closed form): per probe rung in {_KNN_TUNED_LADDER}, the exact-edge recall of the IVF graph build at that n_probe over the adaptively-sampled (~64-node) query set, with chosen=1 on the smallest rung meeting target {_KNN_TUNED_TARGET} (capped=1 everywhere when none does — the cap is data, never silent); ONE shared k-means build + one exact GEMM pass + ONE candidate scan at max(probes) carrying the probed cell's rank, each rung a WindowGroupLimit re-rank of the same persisted ~64 x p_max x cell_size candidate relation; knn_probes_for_recall extends the ladder to the cell count (probing every cell = exact k-NN) so any target is reachable, and pagerank/LPA accept recall_target to build at the chosen rung; oracle unrolls the k-means, the probe ranking, every rung, and the chosen/capped argmin",
+)
+def knn_graph_recall_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.graph import knn_probe_recall_sweep
+
+    return knn_probe_recall_sweep(
+        _emb_raw(spark, sf_dir),
+        probes=_KNN_TUNED_LADDER,
+        k=_PR_K,
+        target_recall=_KNN_TUNED_TARGET,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cluster-balanced diversity sampling: equal md5-deterministic quotas from
 # every k-means cell — the diversity-preserving selection for a training
 # mix (uniform Bernoulli over-represents dense regions of embedding space).

@@ -230,3 +230,78 @@ def test_lpa_checkpoint_parity(spark):
         ).collect()
     }
     assert plain == ckpt
+
+
+# ---------------------------------------------------------------------------
+# Measured probe tuner (VERDICT r12 #1): the graph family's recall lever
+# ---------------------------------------------------------------------------
+def test_probe_sweep_matches_recall_flags_per_rung(spark, emb):
+    """Each sweep rung must equal the independently-measured recall of
+    knn_graph_recall_flags at that n_probe — the sweep is the SAME
+    measurement, refactored to share one candidate scan."""
+    from github_etl_pipeline_spark.operators.graph import knn_probe_recall_sweep
+    from github_etl_pipeline_spark.session import sweep_caches
+
+    sw = {
+        r["n_probe"]: r
+        for r in knn_probe_recall_sweep(emb, probes=(1, 2, 4), sample_mod=23).collect()
+    }
+    sweep_caches(spark)
+    for p in (1, 2, 4):
+        rows = knn_graph_recall_flags(emb, sample_mod=23, k=3, n_probe=p).collect()
+        sweep_caches(spark)
+        assert sw[p]["n_exact"] == len(rows)
+        assert sw[p]["n_found"] == sum(r["found"] for r in rows), f"n_probe={p}"
+
+
+def test_probes_for_recall_always_reaches_any_target(spark, emb):
+    """The default ladder tops out at the cell count — probing every
+    cell IS exact k-NN — so even recall 1.0 is reachable (the lever
+    that LSH banding gets from more bands, here from more probes)."""
+    from github_etl_pipeline_spark.operators.graph import knn_probes_for_recall
+    from github_etl_pipeline_spark.session import sweep_caches
+
+    kw = knn_probes_for_recall(emb, target_recall=1.0)
+    sweep_caches(spark)
+    assert kw["recall"] == 1.0 and not kw["capped"]
+    assert kw["sweep"][kw["n_probe"]] == 1.0
+
+
+def test_probes_for_recall_truncated_ladder_caps_loud(spark, emb):
+    from github_etl_pipeline_spark.operators.graph import knn_probes_for_recall
+    from github_etl_pipeline_spark.session import sweep_caches
+
+    kw = knn_probes_for_recall(emb, target_recall=1.0, probes=(1, 2))
+    sweep_caches(spark)
+    assert kw["capped"] and kw["n_probe"] == 2 and kw["recall"] < 1.0
+
+
+def test_recall_target_kwarg_parity(spark, emb):
+    """knn_graph_ivf(recall_target=T) must produce the EXACT edge set of
+    knn_graph_ivf(n_probe=chosen) where chosen comes from the tuner —
+    the routed build is the explicit build, not an approximation of it.
+    Same parity through pagerank_topk (VERDICT r12 #1 kwarg test)."""
+    from github_etl_pipeline_spark.operators.graph import (
+        knn_graph_ivf,
+        knn_probes_for_recall,
+        pagerank_topk,
+    )
+    from github_etl_pipeline_spark.session import sweep_caches
+
+    target = 0.5
+    kw = knn_probes_for_recall(emb, target_recall=target)
+    sweep_caches(spark)
+    routed = set(map(tuple, knn_graph_ivf(emb, recall_target=target).collect()))
+    sweep_caches(spark)
+    explicit = set(
+        map(tuple, knn_graph_ivf(emb, n_probe=kw["n_probe"]).collect())
+    )
+    sweep_caches(spark)
+    assert routed == explicit and len(routed) > 0
+    pr_routed = [tuple(r) for r in pagerank_topk(emb, topk=5, recall_target=target).collect()]
+    sweep_caches(spark)
+    pr_explicit = [
+        tuple(r) for r in pagerank_topk(emb, topk=5, n_probe=kw["n_probe"]).collect()
+    ]
+    sweep_caches(spark)
+    assert pr_routed == pr_explicit

@@ -48,10 +48,14 @@ SF_DIR = "/root/testdata/sf0.001"
 #   ann_pq_recall_floor — embeds the exact-ANN baseline (corpus x
 #     broadcast 5-row query set) to grade the ADC side against it, plus
 #     the codes x broadcast 5-row query-id attach for the ADC scan
+#   knn_graph_recall_tuned — 1-row exact-edge-count aggregate broadcast
+#     onto the 4-row probe ladder (scalar attach; the exact side itself
+#     rides the GEMM mapInPandas path, no corpus-scale nested loop)
 # (knn_graph_recall_floor's exact ground-truth side moved to the GEMM
 # mapInPandas path in r12 — no nested-loop join remains in its plan, so
 # it needs no allowance)
 ALLOWED_NESTED_LOOP = {
+    "knn_graph_recall_tuned",
     "hybrid_rrf_search_documents",
     "ann_pq_recall_floor",
     "dsir_importance_documents",
