@@ -406,6 +406,75 @@ def decontaminate(
     )
 
 
+def containment_gram_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    threshold: float = 0.8,
+    max_doc_freq: int = 32,
+) -> DataFrame:
+    """(id_a, id_b, containment) — LOW-Jaccard containment pairs via the
+    GRAM INDEX, the regime ``dedup.containment_pairs`` documents as out
+    of reach: a short document embedded verbatim in a much larger one
+    has shingle-Jaccard |A|/|B| << 0.5, below any practical MinHash
+    banding's S-curve (the 9x2 recall-tuned config reads ~0.03-0.10 at
+    J <= 0.11), yet containment exactly 1.0. This operator is
+    containment-NATIVE: pairs form on SHARED GRAMS, so a single shared
+    rare k-gram is a candidate regardless of how the documents' sizes
+    skew (VERDICT r12 #4; the corpus-internal sibling of
+    ``decontaminate``'s benchmark-overlap test).
+
+    containment = |A ∩ B ∩ rare| / min(|A_rare|, |B_rare|) over each
+    doc's DISTINCT shingle-hash grams with document frequency <=
+    ``max_doc_freq`` — the standard stop-gram cut: grams in more than
+    ``max_doc_freq`` docs are boilerplate, carry no identity signal,
+    and are exactly the ones that would blow the gram self-join up
+    (candidate volume is sum over grams of C(df, 2) <= max_doc_freq/2 x
+    gram rows — LINEAR in corpus grams at constant cap; without the cut
+    a universal gram alone contributes C(n_docs, 2)). A verbatim-
+    embedded doc still scores exactly 1.0: every one of its retained
+    grams appears in the wrapper, and the wrapper's junk grams only
+    grow the max side of the denominator.
+
+    Shape at 100 TB: one tokenize+shingle scan, one shuffle on gram for
+    the frequency window, one (gram-keyed) self-join of the df >= 2
+    slice, one (id_a, id_b) count aggregate, two skinny size joins.
+    The shingled gram relation is persisted — it feeds the size
+    aggregate and both join sides (``session.sweep_caches`` contract)."""
+    from pyspark import StorageLevel
+
+    from github_etl_pipeline_spark.operators.dedup import hash_array_or_shingles
+
+    gh = hash_array_or_shingles(docs, text_col, k)
+    g = docs.select(F.col(id_col), F.explode(gh).alias("_gh"))
+    wf = Window.partitionBy("_gh")
+    rare = (
+        g.withColumn("_df", F.count(F.lit(1)).over(wf))
+        .where(F.col("_df") <= max_doc_freq)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nr"))
+    m = rare.where(F.col("_df") >= 2)
+    a = m.select("_gh", F.col(id_col).alias("id_a"))
+    b = m.select("_gh", F.col(id_col).alias("id_b"))
+    common = (
+        a.join(b, "_gh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_nr").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_nr").alias("_nb"))
+    cont = F.col("_nc").cast("double") / F.least("_na", "_nb")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     text_col: str = "text",

@@ -1283,8 +1283,10 @@ def containment_pairs(
     high pairs are only reachable down to the banding's S-curve region
     — J = |A|/|B| >= ~0.2 with the tuned 114x57 config (a tiny doc
     inside a huge one sits below any Jaccard banding; that regime
-    belongs to the gram-index path, ``curation.decontaminate``, which
-    is containment-native). The verify carries both shingle arrays
+    belongs to the gram-index path — ``curation.
+    containment_gram_pairs``, registered as
+    ``containment_gram_documents``, whose candidates form on shared
+    rare grams and are size-skew-blind). The verify carries both shingle arrays
     through one hash join each and has NO size-ratio prefilter — the
     size-skewed pairs a Jaccard verify prunes are exactly the ones
     containment is after.

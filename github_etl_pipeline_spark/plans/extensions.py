@@ -3362,7 +3362,7 @@ def bloom_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Banding config comes from minhash_bands_for_recall(0.5, 0.9, rows=2)
 # (9 bands x 2 rows — the wrapped-doc regime keeps J >= ~0.5 for docs
 # longer than the junk suffix; far-below-J containment belongs to the
-# gram-index decontaminate path). Seeds: every 43rd doc re-enters under
+# gram-index path, registered as containment_gram_documents). Seeds: every 43rd doc re-enters under
 # a shifted id with a 30-token deterministic junk SUFFIX, so A's bigrams
 # are all present in the wrapper -> containment exactly 1.0; text is
 # built in an inner subquery before the id re-alias (the lateral-alias
@@ -3413,7 +3413,7 @@ WHERE LEAST(len(x.hs), len(y.hs)) > 0 AND {cont} >= {threshold}
 @register(
     "containment_pairs_documents",
     oracle=_containment_oracle(),
-    doc=f"asymmetric subset-duplication pairs: max containment |A n B| / min(|A|,|B|) >= 0.9 over MinHash-banded candidates — catches a document wrapped in boilerplate (containment 1.0) where symmetric Jaccard reads |A|/|B| and minhash_dedup_pairs never flags; banding from minhash_bands_for_recall(0.5, 0.9, rows=2) = {_CONT_LSH['bands']} bands x 2 rows (wrapped docs keep J >= ~0.5; far-lower-J containment is decontaminate's gram-index regime — documented boundary); verify has NO size-ratio prefilter (size-skewed pairs are the target) and carries both shingle arrays through one hash join each; seeds: every {_CONT_SEED_MOD}th doc re-enters under a shifted id with a {_CONT_JUNK_N}-token junk suffix -> containment exactly 1.0, so the check asserts known positives; oracle mirrors seeding, shingling, the 18-permutation family, banding, and the containment verify",
+    doc=f"asymmetric subset-duplication pairs: max containment |A n B| / min(|A|,|B|) >= 0.9 over MinHash-banded candidates — catches a document wrapped in boilerplate (containment 1.0) where symmetric Jaccard reads |A|/|B| and minhash_dedup_pairs never flags; banding from minhash_bands_for_recall(0.5, 0.9, rows=2) = {_CONT_LSH['bands']} bands x 2 rows (wrapped docs keep J >= ~0.5; far-lower-J containment is the gram-index regime, registered as containment_gram_documents); verify has NO size-ratio prefilter (size-skewed pairs are the target) and carries both shingle arrays through one hash join each; seeds: every {_CONT_SEED_MOD}th doc re-enters under a shifted id with a {_CONT_JUNK_N}-token junk suffix -> containment exactly 1.0, so the check asserts known positives; oracle mirrors seeding, shingling, the 18-permutation family, banding, and the containment verify",
 )
 def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -3433,3 +3433,84 @@ def containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionAll(seeds)
     return D.containment_pairs(corpus, threshold=0.9, **_CONT_LSH)
+
+
+# ---------------------------------------------------------------------------
+# LOW-Jaccard containment via the gram index (VERDICT r12 #4): the regime
+# the MinHash-banded containment_pairs documents as out of reach — a short
+# doc embedded verbatim in a MUCH larger one sits at shingle-Jaccard
+# |A|/|B| << 0.5 (below any practical banding's S-curve) yet containment
+# 1.0. Candidates form on SHARED RARE GRAMS (doc-freq <= 32 stop-gram
+# cut, the decontaminate/gram-index device), so size skew is irrelevant.
+# Seeds: every 43rd doc re-enters under a shifted id wrapped in a
+# 900-token deterministic junk suffix — docs are 10-99 tokens, so seeded
+# J <= 99/900 ~ 0.11 (most < 0.06), measured invisible to the 9x2
+# recall-tuned banding (tests prove containment_pairs misses them) while
+# the gram path scores every one exactly 1.0. Text is built in an inner
+# subquery before the id re-alias (the _MH_SEED_SQL lateral-alias rule).
+# ---------------------------------------------------------------------------
+_CGRAM_SEED_MOD = 43
+_CGRAM_SEED_OFFSET = 7_000_000_000
+_CGRAM_JUNK_N = 900
+_CGRAM_MAX_DF = 32
+_CGRAM_THRESHOLD = 0.8
+
+_CGRAM_SEED_SQL = f"""SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {_CGRAM_SEED_OFFSET} AS doc_id, text FROM (
+  SELECT doc_id,
+         text || ' ' || array_to_string(list_transform(range(1, {_CGRAM_JUNK_N + 1}),
+           i -> 'z' || CAST(doc_id AS VARCHAR) || 'q' || CAST(i AS VARCHAR)), ' ') AS text
+  FROM documents WHERE doc_id % {_CGRAM_SEED_MOD} = 0
+)"""
+
+
+def _containment_gram_oracle() -> str:
+    cont = "nc / CAST(LEAST(sa.nr, sb.nr) AS DOUBLE)"
+    return f"""
+WITH corpus AS ({_CGRAM_SEED_SQL}),
+g AS ({_shingles_sql('corpus')}),
+hs AS (SELECT doc_id, {_SHASH_SQL} AS hs FROM g),
+e AS (SELECT doc_id, unnest(hs) AS gh FROM hs),
+f AS (SELECT doc_id, gh, COUNT(*) OVER (PARTITION BY gh) AS df FROM e),
+rare AS (SELECT * FROM f WHERE df <= {_CGRAM_MAX_DF}),
+sizes AS (SELECT doc_id, COUNT(*) AS nr FROM rare GROUP BY doc_id),
+m AS (SELECT * FROM rare WHERE df >= 2),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+  FROM m a JOIN m b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round({cont}, 6) AS containment
+FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE {cont} >= {_CGRAM_THRESHOLD}
+"""
+
+
+@register(
+    "containment_gram_documents",
+    oracle=_containment_gram_oracle(),
+    doc=f"low-Jaccard containment pairs via the GRAM INDEX (the regime containment_pairs' banding cannot reach — VERDICT r12 #4): candidates form on shared rare grams (doc-freq <= {_CGRAM_MAX_DF} stop-gram cut bounds the gram self-join at sum C(df,2), linear in corpus grams), containment = shared rare grams / min(rare grams), threshold {_CGRAM_THRESHOLD}; seeds: every {_CGRAM_SEED_MOD}rd doc re-enters wrapped in a {_CGRAM_JUNK_N}-token junk suffix -> shingle-Jaccard <= ~0.11 (invisible to the 9x2 recall-tuned MinHash banding, proven by test) but gram-path containment exactly 1.0; one tokenize+shingle scan, one gram-frequency window shuffle, one gram-keyed self-join, skinny size joins; oracle mirrors seeding, shingling, the frequency cut, and the containment arithmetic",
+)
+def containment_gram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.curation import containment_gram_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    junk = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_CGRAM_JUNK_N)),
+            lambda i: F.concat(
+                F.lit("z"), F.col("doc_id").cast("string"), F.lit("q"), i.cast("string")
+            ),
+        ),
+        " ",
+    )
+    seeds = (
+        docs.where(F.col("doc_id") % _CGRAM_SEED_MOD == 0)
+        .select(F.col("doc_id"), F.concat(F.col("text"), F.lit(" "), junk).alias("text"))
+        .select((F.col("doc_id") + F.lit(_CGRAM_SEED_OFFSET)).alias("doc_id"), "text")
+    )
+    corpus = docs.unionAll(seeds)
+    return containment_gram_pairs(
+        corpus, threshold=_CGRAM_THRESHOLD, max_doc_freq=_CGRAM_MAX_DF
+    )

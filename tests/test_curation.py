@@ -668,3 +668,80 @@ def test_split_leakage_audit_consistent_with_split_query(spark):
         assert row["n_train"] == n_train
         assert row["n_eval"] == len(mem) - n_train
         assert row["leaky"] == int(0 < n_train < len(mem))
+
+
+# ---------------------------------------------------------------------------
+# Low-J containment via the gram index (VERDICT r12 #4)
+# ---------------------------------------------------------------------------
+def test_gram_containment_catches_what_banding_cannot(spark):
+    """The documented regime boundary, proven end-to-end: a short doc
+    embedded in a ~900-token junk wrapper sits at shingle-Jaccard
+    <= ~0.11 — the recall-tuned 9x2 MinHash banding (containment_pairs'
+    registered config) misses EVERY seeded wrapper pair, while the
+    gram-index path scores each exactly 1.0."""
+    from github_etl_pipeline_spark.operators.curation import containment_gram_pairs
+    from github_etl_pipeline_spark.operators.dedup import containment_pairs
+    from github_etl_pipeline_spark.plans.extensions import (
+        _CGRAM_JUNK_N,
+        _CGRAM_SEED_OFFSET,
+        _CONT_LSH,
+    )
+    from github_etl_pipeline_spark.session import sweep_caches
+    from github_etl_pipeline_spark.sources.tables import read_table
+
+    docs = (
+        read_table(spark, "/root/testdata/sf0.01", "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 43 == 0)
+    )
+    junk = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_CGRAM_JUNK_N)),
+            lambda i: F.concat(
+                F.lit("z"), F.col("doc_id").cast("string"), F.lit("q"), i.cast("string")
+            ),
+        ),
+        " ",
+    )
+    wrappers = docs.select(
+        (F.col("doc_id") + F.lit(_CGRAM_SEED_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), junk).alias("text"),
+    )
+    corpus = docs.unionAll(wrappers)
+    n_seeds = docs.count()
+    expected = {
+        (r["doc_id"], r["doc_id"] + _CGRAM_SEED_OFFSET) for r in docs.collect()
+    }
+
+    banded = containment_pairs(corpus, threshold=0.8, **_CONT_LSH).collect()
+    sweep_caches(spark)
+    banded_pairs = {(r["id_a"], r["id_b"]) for r in banded}
+    missed = expected - banded_pairs
+    # J <= ~0.11 sits at banding recall ~0.03-0.10: allow at most one
+    # lucky collision, require the regime to be genuinely out of reach
+    assert len(missed) >= n_seeds - 1, (
+        f"banding unexpectedly recalled {len(expected - missed)}/{n_seeds} "
+        "low-J wrapper pairs"
+    )
+
+    gram = containment_gram_pairs(corpus, threshold=0.8).collect()
+    sweep_caches(spark)
+    gram_scores = {(r["id_a"], r["id_b"]): r["containment"] for r in gram}
+    for pair in expected:
+        assert gram_scores.get(pair) == 1.0, f"gram path missed wrapper pair {pair}"
+
+
+def test_gram_containment_stop_gram_cut_bounds_the_join(spark):
+    """A gram present in MORE than max_doc_freq docs must generate no
+    candidate pairs (the cut that keeps the self-join linear), while
+    rare-gram containment is unaffected."""
+    from github_etl_pipeline_spark.operators.curation import containment_gram_pairs
+
+    # 40 docs all sharing the same boilerplate bigram chain; two docs
+    # additionally share a rare 3-token tail
+    rows = [(i, f"common base text uniq{i}a uniq{i}b") for i in range(40)]
+    rows += [(100, "rare alpha tail xyz"), (101, "rare alpha tail xyz")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = containment_gram_pairs(docs, threshold=0.5, max_doc_freq=8).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["containment"] for r in out}
+    assert pairs == {(100, 101): 1.0}
