@@ -206,3 +206,68 @@ def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get("_toks", 0).try_cast("long").alias("first_token_int"),
         "n_chars_computed",
     )
+
+
+# ---------------------------------------------------------------------------
+# J1 dimension-ambiguity boundary, exercised in anger (VERDICT r12 #6): a
+# multi-thousand-row dimension (gid = event_id % 5000 -> 5000 keys at
+# sf >= 0.01) where four pools (pool % 10 == 3) deliberately carry BOTH
+# the unpadded and the zero-padded Pool_id spelling — the J1 edge SURVEY
+# §4 warns about (the reference's exact-match-first fallback would be
+# ambiguous there). prepare_dim must aggregate the big dim through its
+# source-order window WITHOUT tripping its own size guard and SURFACE the
+# collision as _n_spellings = 2 instead of silently picking a spelling.
+# Every output column is order-invariant (Bet is a function of the pool,
+# counts are set-cardinalities), so the source-order pin never leaks into
+# the checked values.
+# ---------------------------------------------------------------------------
+_DIM_GIDS = 5000
+_DIM_AMBIG_SQL = f"""
+WITH gids AS (SELECT DISTINCT event_id % {_DIM_GIDS} AS gid FROM events),
+dim AS (
+  SELECT gid, CAST(gid % 40 AS VARCHAR) AS spelling,
+         5.0 + CAST((gid % 40) % 4 AS DOUBLE) * 5.0 AS bet
+  FROM gids
+  UNION ALL
+  SELECT gid, LPAD(CAST(gid % 40 AS VARCHAR), 4, '0'),
+         5.0 + CAST((gid % 40) % 4 AS DOUBLE) * 5.0
+  FROM gids WHERE (gid % 40) % 10 = 3
+)
+SELECT LPAD(CAST(gid % 40 AS VARCHAR), 4, '0') AS norm_pool_id,
+       MIN(bet) AS min_bet,
+       CAST(COUNT(*) AS BIGINT) AS n_games,
+       CAST(COUNT(DISTINCT spelling) AS BIGINT) AS n_spellings
+FROM dim GROUP BY 1
+"""
+
+
+@register(
+    "dim_ambiguity_guard_synth",
+    oracle=_DIM_AMBIG_SQL,
+    doc=f"J1 boundary in anger (VERDICT r12 #6): prepare_dim over a {_DIM_GIDS}-key dimension derived from events where pools 3/13/23/33 carry BOTH the unpadded and zero-padded Pool_id spelling — the normalized-key pre-aggregation runs its source-order window over thousands of rows (well under the loud max_rows guard) and SURFACES the zero-padding collision as _n_spellings = 2 (assert_dim_unambiguous would raise; the query checks the surfacing, tests check the raise); min_bet/min counts are spelling-invariant by construction so the source-order pin cannot leak into checked values; oracle mirrors the seeding, normalization (strip-zeros + zfill 4 == LPAD for <= 2-digit pools), and set-cardinality aggregates",
+)
+def dim_ambiguity_guard_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    gids = e.select((F.col("event_id") % _DIM_GIDS).alias("gid")).distinct()
+    pool = F.col("gid") % 40
+    bet = (5.0 + (pool % 4).cast("double") * 5.0).alias("Bet")
+
+    def rows(spelling, id_offset):
+        return gids.select(
+            F.concat(F.lit("G"), F.col("gid").cast("string")).alias("Game"),
+            (F.col("gid") + id_offset).cast("string").alias("Game_id"),
+            spelling.alias("Pool_id"),
+            bet,
+        )
+
+    base = rows(pool.cast("string"), 0)
+    seeds = rows(F.lpad(pool.cast("string"), 4, "0"), 1_000_000).where(
+        F.col("Pool_id").isin([f"{p:04d}" for p in (3, 13, 23, 33)])
+    )
+    agg = prepare_dim(base.unionAll(seeds))
+    return agg.select(
+        "norm_pool_id",
+        "min_bet",
+        F.size("game_ids").cast("long").alias("n_games"),
+        F.col("_n_spellings").cast("long").alias("n_spellings"),
+    )

@@ -117,3 +117,43 @@ def test_prepare_dim_rejects_oversized_input(spark):
         prepare_dim(big, max_rows=10)
     # explicit override still works
     assert prepare_dim(big, max_rows=1000).count() == 50
+
+
+def test_ambiguous_dim_surfaces_spellings_and_guard_raises(spark):
+    """The J1 edge exercised in anger (VERDICT r12 #6): a multi-thousand-
+    row dimension where four pools carry both the unpadded and the
+    zero-padded spelling must come out of prepare_dim with
+    _n_spellings = 2 on exactly those keys, and assert_dim_unambiguous
+    must raise rather than silently pick a spelling."""
+    import pytest
+    from github_etl_pipeline_spark.sources.lookup import (
+        assert_dim_unambiguous,
+        prepare_dim,
+    )
+
+    from pyspark.sql import functions as F
+
+    gids = spark.range(0, 4000).select(F.col("id").alias("gid"))
+    pool = F.col("gid") % 40
+
+    def rows(spelling, off):
+        return gids.select(
+            F.lit("G").alias("Game"),
+            (F.col("gid") + off).cast("string").alias("Game_id"),
+            spelling.alias("Pool_id"),
+            (5.0 + (pool % 4).cast("double")).alias("Bet"),
+        )
+
+    seeds = rows(F.lpad(pool.cast("string"), 4, "0"), 1_000_000).where(
+        F.col("Pool_id").isin(["0003", "0013", "0023", "0033"])
+    )
+    dim = rows(pool.cast("string"), 0).unionAll(seeds)
+    agg = prepare_dim(dim).persist()
+    ambiguous = {
+        r["norm_pool_id"]: r["_n_spellings"]
+        for r in agg.where(F.col("_n_spellings") > 1).collect()
+    }
+    assert ambiguous == {"0003": 2, "0013": 2, "0023": 2, "0033": 2}
+    with pytest.raises(ValueError, match="multiple distinct Pool_id"):
+        assert_dim_unambiguous(agg)
+    agg.unpersist()
