@@ -250,6 +250,38 @@ def minhash_signature(
     return out.select(id_col, *[sig(i) for i in range(num_hashes)], *extra)
 
 
+def _validate_banding(n_sigs: int, bands: int) -> int:
+    """rows-per-band for an ``n_sigs``-wide signature under ``bands``
+    bands, with the ADVICE r12 guards: bands wider than the signature
+    floor rows_per_band to 0 — every band key would md5('') and the
+    whole corpus collapses into ONE collect_list group per band (a
+    silent O(n^2) pair explosion / driver OOM). Easy to hit since
+    split_leakage_audit exposes `bands` without forcing num_hashes;
+    fail loud instead — and BEFORE any persist, so a raising misuse
+    leaks no cached relation into the session. A non-dividing bands
+    count silently discards trailing signatures — warn."""
+    rows_per_band = n_sigs // bands
+    if rows_per_band == 0:
+        raise ValueError(
+            f"bands={bands} exceeds the signature "
+            f"width ({n_sigs} sig_* columns) — 0 rows per band would key "
+            "every document into one bucket. Widen the signature "
+            "(minhash_signature(num_hashes=...), or pass the matched "
+            "bands+num_hashes pair from minhash_bands_for_recall)."
+        )
+    if n_sigs % bands != 0:
+        import warnings
+
+        warnings.warn(
+            f"{n_sigs} signatures do not divide into "
+            f"{bands} bands — the trailing {n_sigs % bands} signature "
+            "column(s) are silently unused; recall is that of a "
+            f"{bands * rows_per_band}-signature banding.",
+            stacklevel=3,
+        )
+    return rows_per_band
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", bands: int = 4
 ) -> DataFrame:
@@ -270,30 +302,7 @@ def lsh_candidate_pairs(
     (``minhash_signature(num_hashes=...)``) band correctly without a
     separate parameter to keep in sync."""
     n_sigs = sum(1 for c in sig.columns if c.startswith("sig_"))
-    rows_per_band = n_sigs // bands
-    if rows_per_band == 0:
-        # ADVICE r12: bands > signature width floors to 0 rows/band —
-        # every band key would md5('') and the whole corpus collapses
-        # into ONE collect_list group per band (silent O(n^2) pair
-        # explosion / driver OOM). Easy to hit since split_leakage_audit
-        # exposes `bands` without forcing num_hashes; fail loud instead.
-        raise ValueError(
-            f"lsh_candidate_pairs: bands={bands} exceeds the signature "
-            f"width ({n_sigs} sig_* columns) — 0 rows per band would key "
-            "every document into one bucket. Widen the signature "
-            "(minhash_signature(num_hashes=...), or pass the matched "
-            "bands+num_hashes pair from minhash_bands_for_recall)."
-        )
-    if n_sigs % bands != 0:
-        import warnings
-
-        warnings.warn(
-            f"lsh_candidate_pairs: {n_sigs} signatures do not divide into "
-            f"{bands} bands — the trailing {n_sigs % bands} signature "
-            "column(s) are silently unused; recall is that of a "
-            f"{bands * rows_per_band}-signature banding.",
-            stacklevel=2,
-        )
+    rows_per_band = _validate_banding(n_sigs, bands)
     with_sizes = "_n" in sig.columns
     band_cols = []
     for b in range(bands):
@@ -527,6 +536,8 @@ def minhash_dedup_pairs(
     relation and this function never unpersists it — sweep with
     ``session.sweep_caches(spark)`` in long-lived sessions, always
     before re-running over a rewritten input table."""
+    _validate_banding(num_hashes, bands)  # BEFORE the persist: a raising
+    # misuse must not leak a cached relation into the session
     pre_hashed = isinstance(text_col, str) and dict(df.dtypes).get(text_col) == "array<bigint>"
     if not pre_hashed:
         from pyspark import StorageLevel
@@ -1293,6 +1304,7 @@ def containment_pairs(
 
     Same cache contract as ``minhash_dedup_pairs`` (persisted shingle
     base; sweep with ``session.sweep_caches`` in long-lived sessions)."""
+    _validate_banding(num_hashes, bands)  # before the persist (no leak on raise)
     pre_hashed = isinstance(text_col, str) and dict(df.dtypes).get(text_col) == "array<bigint>"
     if not pre_hashed:
         from pyspark import StorageLevel

@@ -44,11 +44,16 @@ def test_bands_wider_than_signature_raises(spark, docs):
 
 def test_leakage_audit_misuse_raises_not_explodes(spark, docs):
     """The easy misuse ADVICE r12 flagged: split_leakage_audit(bands=57)
-    with the default 16-hash signature must raise, not run O(n^2)."""
+    with the default 16-hash signature must raise, not run O(n^2) — and
+    the raise must fire BEFORE the shingle-base persist, so the misuse
+    leaks no cached relation into the session (the full-suite cache-
+    bookkeeping test downstream counts persistent RDDs)."""
     from github_etl_pipeline_spark.operators.curation import split_leakage_audit
 
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
     with pytest.raises(ValueError, match="exceeds the signature width"):
         split_leakage_audit(docs, bands=57).collect()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
 
 
 def test_trailing_signatures_warn(spark, docs):

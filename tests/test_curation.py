@@ -739,9 +739,12 @@ def test_gram_containment_stop_gram_cut_bounds_the_join(spark):
 
     # 40 docs all sharing the same boilerplate bigram chain; two docs
     # additionally share a rare 3-token tail
+    from github_etl_pipeline_spark.session import sweep_caches
+
     rows = [(i, f"common base text uniq{i}a uniq{i}b") for i in range(40)]
     rows += [(100, "rare alpha tail xyz"), (101, "rare alpha tail xyz")]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out = containment_gram_pairs(docs, threshold=0.5, max_doc_freq=8).collect()
+    sweep_caches(spark)  # the operator persists its gram base by contract
     pairs = {(r["id_a"], r["id_b"]): r["containment"] for r in out}
     assert pairs == {(100, 101): 1.0}
