@@ -13,15 +13,18 @@ fan-out; pick ``bucket_width`` near the typical interval length so the
 fan-out stays ~2. Skewed hot buckets respond to the usual levers (AQE
 skew join, functions/skew.salted_join on the bucket key).
 
-(The as-of join — the other classic time join — is the union + carry-
-forward window merge in plans/relational.py::asof_click_before_error.)
+``asof_join``: the other classic time join, generalized (direction
+backward/forward/nearest, tolerance, exact-match toggle) — see its
+docstring. The fixed-shape special case predates it as the registered
+``plans/relational.py::asof_click_before_error`` query; the generalized
+operator is exercised by ``asof_nearest_events``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -113,4 +116,140 @@ def interval_overlap_join(
             & (F.col("_b") == F.floor(F.greatest(F.col(a_start), F.col(b_start)) / bucket_width))
         )
         .drop("_b")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    values: Sequence[str],
+    by: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance: int | None = None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Point-in-time (as-of) join: attach to each left row the right row
+    whose time is nearest under ``direction`` — the feature-store /
+    time-series join Spark lacks natively (pandas ``merge_asof``, kdb
+    ``aj``). Times are INTEGERS (e.g. epoch micros via
+    ``functions.epoch.event_micros``) so exactness and the ±1 exclusive-
+    bound shifts below are well-defined.
+
+    * ``backward``: latest right time <= left time (< when
+      ``allow_exact_matches=False``)
+    * ``forward``: earliest right time >= left time (> when exclusive)
+    * ``nearest``: whichever of those two candidates has the smaller
+      ``abs(dt)``; ties prefer backward (pandas semantics)
+    * ``tolerance``: matches farther than this many time units are
+      dropped (the left row survives with NULL values, merge_asof-style)
+
+    Scale shape — the union + carry-forward window merge, NOT a non-equi
+    join (Catalyst would plan that as a quadratic
+    BroadcastNestedLoopJoin): left rows and per-direction right copies
+    union into one relation, ONE shuffle on ``by`` + ONE sort by
+    (time, tag) computes both direction candidates (two frames over the
+    same WindowExec ordering), so cost is a sort-merge over
+    |left| + d·|right| skinny rows per key — linear, skew responding to
+    the usual key-salting levers. With ``by=()`` the window is a single
+    global partition: fine for dimension-sized inputs, wrong for corpus
+    scale (same caveat as merge_asof without ``by``).
+
+    Determinism: among right rows tied on the SAME time, backward picks
+    the one with the greatest ``(right_on, *values)`` tuple, forward the
+    least — pinned by sorting the union on the payload struct, so
+    results (and the DuckDB oracle) are exact, never
+    partition-order-dependent.
+
+    Output: every ``left`` column, the chosen right ``values`` (NULL
+    when unmatched), and ``asof_dt`` = right time − left time (NULL when
+    unmatched). ``left`` must not already contain ``values`` /
+    ``asof_dt`` names; rename right-side collisions before calling, as
+    with any join.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest (got {direction!r})")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0 (got {tolerance})")
+    clash = ({*values, "asof_dt"} & set(left.columns)) | ({left_on} & set(values))
+    if clash:
+        raise ValueError(f"output column collision with left side: {sorted(clash)}")
+    need_bwd = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
+    shift = 0 if allow_exact_matches else 1
+
+    payload = F.struct(
+        F.col(right_on).cast("long").alias("_rt"),
+        *[F.col(v) for v in values],
+    )
+    u = left.select(
+        *left.columns,
+        F.col(left_on).cast("long").alias("_at"),
+        F.lit(1).alias("_atag"),
+    )
+    order_cols: list[str] = []
+    if need_bwd:
+        u = u.unionByName(
+            right.select(
+                *by,
+                (F.col(right_on).cast("long") + F.lit(shift)).alias("_at"),
+                F.lit(0).alias("_atag"),
+                payload.alias("_abwd"),
+            ),
+            allowMissingColumns=True,
+        )
+        order_cols.append("_abwd")
+    if need_fwd:
+        u = u.unionByName(
+            right.select(
+                *by,
+                (F.col(right_on).cast("long") - F.lit(shift)).alias("_at"),
+                F.lit(2).alias("_atag"),
+                payload.alias("_afwd"),
+            ),
+            allowMissingColumns=True,
+        )
+        order_cols.append("_afwd")
+
+    order = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        "_at", "_atag", *order_cols
+    )
+    cands: dict[str, Column] = {}
+    if need_bwd:
+        cands["b"] = F.last("_abwd", ignorenulls=True).over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    if need_fwd:
+        cands["f"] = F.first("_afwd", ignorenulls=True).over(
+            order.rowsBetween(0, Window.unboundedFollowing)
+        )
+    u = u.select("*", *[c.alias(f"_a{k}") for k, c in cands.items()])
+    u = u.where(F.col("_atag") == 1)
+
+    def _ok(cand: Column) -> Column:
+        ok = cand.isNotNull()
+        if tolerance is not None:
+            ok = ok & (F.abs(cand["_rt"] - F.col("_at")) <= F.lit(tolerance))
+        return ok
+
+    if direction == "backward":
+        chosen = F.when(_ok(F.col("_ab")), F.col("_ab"))
+    elif direction == "forward":
+        chosen = F.when(_ok(F.col("_af")), F.col("_af"))
+    else:
+        b, f_ = F.col("_ab"), F.col("_af")
+        both = _ok(b) & _ok(f_)
+        db = F.col("_at") - b["_rt"]
+        df_ = f_["_rt"] - F.col("_at")
+        chosen = (
+            F.when(both & (db <= df_), b)
+            .when(both, f_)
+            .when(_ok(b), b)
+            .when(_ok(f_), f_)
+        )
+    return u.select(
+        *left.columns,
+        *[chosen[v].alias(v) for v in values],
+        (chosen["_rt"] - F.col("_at")).alias("asof_dt"),
     )

@@ -486,6 +486,68 @@ def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Generalized as-of join: nearest-within-tolerance via the asof_join
+# operator (direction/tolerance/exact-match parameterization the fixed
+# query above lacks; operators/joins.py::asof_join)
+# --------------------------------------------------------------------------
+_ASOF_TOL_US = 600_000_000  # 10 minutes
+
+
+@register(
+    "asof_nearest_events",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id AS error_id, epoch_us(ts) AS et
+  FROM events WHERE event_type = 'error'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT e.error_id, p.purchase_id, p.pt - e.et AS dt,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.error_id
+           ORDER BY abs(p.pt - e.et),
+                    CASE WHEN p.pt <= e.et THEN 0 ELSE 1 END,
+                    CASE WHEN p.pt <= e.et THEN -p.purchase_id ELSE p.purchase_id END
+         ) AS rn
+  FROM e JOIN p ON e.user_id = p.user_id AND abs(p.pt - e.et) <= {_ASOF_TOL_US}
+)
+SELECT e.user_id, e.error_id, c.purchase_id, c.dt AS asof_dt
+FROM e LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (error_id)
+""",
+    doc="generalized as-of join (operators/joins.py::asof_join): nearest purchase within ±10min of each error per user, backward-preferring ties — ONE shuffle + ONE sort computes both direction candidates (two frames over the same WindowExec); the oracle replays the tie-break (backward first, then max/min purchase_id by direction) over an explicit tolerance-bounded join",
+)
+def asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type", event_micros(ev, "ts").alias("tsu")
+    )
+    errors = base.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "tsu"
+    )
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("tsu").alias("ptsu"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = asof_join(
+        errors,
+        purchases,
+        left_on="tsu",
+        right_on="ptsu",
+        values=["purchase_id"],
+        by=["user_id"],
+        direction="nearest",
+        tolerance=_ASOF_TOL_US,
+    )
+    return out.select("user_id", "error_id", "purchase_id", "asof_dt")
+
+
+# --------------------------------------------------------------------------
 # Semi / anti joins (existence checks)
 # --------------------------------------------------------------------------
 @register(
