@@ -175,6 +175,13 @@ def asof_join(
     clash = ({*values, "asof_dt"} & set(left.columns)) | ({left_on} & set(values))
     if clash:
         raise ValueError(f"output column collision with left side: {sorted(clash)}")
+    # missing inputs would be SILENTLY null-filled by the unionByName
+    # merge (every row unmatched, no error) — refuse loudly instead
+    missing = [
+        f"left.{c}" for c in (*by, left_on) if c not in left.columns
+    ] + [f"right.{c}" for c in (*by, right_on, *values) if c not in right.columns]
+    if missing:
+        raise ValueError(f"asof_join input columns not found: {missing}")
     need_bwd = direction in ("backward", "nearest")
     need_fwd = direction in ("forward", "nearest")
     shift = 0 if allow_exact_matches else 1

@@ -408,3 +408,149 @@ def bloom_probe(
         F.when(F.col("bits").bitwiseAND(F.col("m")) != 0, 1).otherwise(0).alias("_h"),
     )
     return hit.groupBy(id_col).agg(F.min("_h").cast("long").alias("maybe_dup"))
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations: union / intersection / Jaccard across groups from
+# the mergeable k-minimum-values sketches (Beyer et al., SIGMOD'07)
+# ---------------------------------------------------------------------------
+KMV_PAIR_K = 256
+
+
+def kmv_pair_overlap(
+    df: DataFrame, key_col: str, group_col: str, k: int = KMV_PAIR_K
+) -> DataFrame:
+    """Distinct-set overlap between every pair of groups, estimated from
+    constant-size KMV sketches: for groups A, B the k smallest hashes of
+    A ∪ B are exactly the k smallest of (k-min(A) ∪ k-min(B)) — the
+    mergeability that makes this a sketch, not a join of corpora — so
+
+      union_est    = (k-1) * 2^52 / kth_smallest(merged)   [exact if < k]
+      jaccard_est  = |merged_k ∩ A ∩ B| / |merged_k|       (rho)
+      inter_est    = jaccard_est * union_est
+
+    Scale shape: the ONLY corpus-scale work is kmv_sketch's distinct-
+    projection shuffle + per-group partial top-k (WindowGroupLimit keeps
+    <= k rows per group per task BEFORE the exchange). Everything after
+    operates on #groups rows carrying k-element arrays (k*8 bytes each):
+    the pair stage is a #groups x #groups broadcast join on grp_a <
+    grp_b over group-count-sized relations — corpus-INDEPENDENT, the
+    declared-tiny nested loop (plan-hygiene allow-listed), with all
+    per-pair set math as JVM array expressions (array_union /
+    array_intersect / slice), no explode, no further shuffle.
+
+    Cross-engine exactness: 52-bit hashes are exact doubles; every
+    division has exactly-representable integer operands, so the DuckDB
+    oracle (kmv_pair_overlap_oracle_sql) reproduces the floats
+    bit-for-bit.
+
+    Output (one row per unordered group pair): grp_a, grp_b, n_a, n_b
+    (sketch sizes), k_eff, matched, union_est, jaccard_est, inter_est.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    h = portable_hash52(_key(key_col))
+    sg = (
+        df.select(F.col(group_col).alias("grp"), h.alias("_h"))
+        .dropDuplicates(["grp", "_h"])
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("_h").asc())
+    topk = sg.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    garr = topk.groupBy("grp").agg(
+        F.sort_array(F.collect_list("_h")).alias("hs"),
+        F.count(F.lit(1)).alias("n_in_sketch"),
+    )
+    a = garr.select(
+        F.col("grp").alias("grp_a"),
+        F.col("hs").alias("_hsa"),
+        F.col("n_in_sketch").alias("n_a"),
+    )
+    b = garr.select(
+        F.col("grp").alias("grp_b"),
+        F.col("hs").alias("_hsb"),
+        F.col("n_in_sketch").alias("n_b"),
+    )
+    merged = F.slice(F.array_sort(F.array_union("_hsa", "_hsb")), 1, k)
+    pairs = (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .withColumn("_m", merged)
+        .withColumn("k_eff", F.size("_m").cast("long"))
+        .withColumn(
+            "matched",
+            F.size(
+                F.array_intersect("_m", F.array_intersect("_hsa", "_hsb"))
+            ).cast("long"),
+        )
+    )
+    union_est = F.when(
+        F.col("k_eff") < k, F.col("k_eff").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(2**52)) / F.array_max("_m").cast("double")
+    )
+    jaccard_est = F.col("matched").cast("double") / F.col("k_eff").cast("double")
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        "k_eff",
+        "matched",
+        union_est.alias("union_est"),
+        jaccard_est.alias("jaccard_est"),
+        (jaccard_est * union_est).alias("inter_est"),
+    )
+
+
+def kmv_pair_overlap_oracle_sql(
+    key_expr: str,
+    group_expr: str,
+    table: str,
+    k: int = KMV_PAIR_K,
+    a_alias: str = "grp_a",
+    b_alias: str = "grp_b",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB mirror of ``kmv_pair_overlap`` (same md5-52 hashes, same
+    merged top-k, same exact-double estimate arithmetic; the array
+    expressions become an unnest + window re-rank)."""
+    return f"""
+WITH d AS (
+  SELECT DISTINCT {group_expr} AS grp,
+         CAST(('0x' || substr(md5({key_expr}), 1, 13)) AS BIGINT) AS h
+  FROM {table} WHERE {where}
+),
+r AS (SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d),
+s AS (SELECT grp, h FROM r WHERE rn <= {k}),
+n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY grp),
+g AS (SELECT DISTINCT grp FROM s),
+p AS (SELECT a.grp AS g1, b.grp AS g2 FROM g a JOIN g b ON a.grp < b.grp),
+u AS (
+  SELECT p.g1, p.g2, s.h,
+         MAX(CASE WHEN s.grp = p.g1 THEN 1 ELSE 0 END) AS ina,
+         MAX(CASE WHEN s.grp = p.g2 THEN 1 ELSE 0 END) AS inb
+  FROM p JOIN s ON s.grp = p.g1 OR s.grp = p.g2
+  GROUP BY p.g1, p.g2, s.h
+),
+m AS (
+  SELECT g1, g2, h, ina, inb,
+         ROW_NUMBER() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+  FROM u
+),
+t AS (
+  SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS k_eff, MAX(h) AS kth,
+         CAST(SUM(ina * inb) AS BIGINT) AS matched
+  FROM m WHERE rn <= {k} GROUP BY g1, g2
+),
+e AS (
+  SELECT g1, g2, k_eff, matched,
+         CASE WHEN k_eff < {k} THEN CAST(k_eff AS DOUBLE)
+              ELSE CAST({k - 1} AS DOUBLE) * {float(2**52):.1f} / CAST(kth AS DOUBLE)
+         END AS union_est,
+         CAST(matched AS DOUBLE) / CAST(k_eff AS DOUBLE) AS jaccard_est
+  FROM t
+)
+SELECT e.g1 AS {a_alias}, e.g2 AS {b_alias}, n1.n AS n_a, n2.n AS n_b,
+       e.k_eff, e.matched, e.union_est, e.jaccard_est,
+       e.jaccard_est * e.union_est AS inter_est
+FROM e JOIN n n1 ON n1.grp = e.g1 JOIN n n2 ON n2.grp = e.g2
+"""

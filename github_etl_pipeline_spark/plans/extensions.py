@@ -3161,6 +3161,41 @@ def kmv_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from github_etl_pipeline_spark.operators.sketches import (  # noqa: E402
+    kmv_pair_overlap_oracle_sql,
+)
+
+
+@register(
+    "kmv_source_overlap_documents",
+    oracle=kmv_pair_overlap_oracle_sql(
+        key_expr="word",
+        group_expr="source",
+        table=(
+            "(SELECT source, unnest(regexp_extract_all(lower(text),"
+            " '[a-z0-9]+')) AS word FROM documents)"
+        ),
+        a_alias="source_a",
+        b_alias="source_b",
+    ),
+    doc="KMV set operations (Beyer et al.): distinct-VOCABULARY union / intersection / Jaccard estimates for every source pair from mergeable k-minimum-values sketches — the only corpus-scale work is one distinct-projection shuffle + per-group partial top-k; the pair stage is a #sources x #sources broadcast join over k-element arrays (corpus-independent, allow-listed tiny nested loop) with all set math as JVM array expressions; exact-double arithmetic reproduced bit-for-bit by the oracle",
+)
+def kmv_source_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sketches import kmv_pair_overlap
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("word"),
+    )
+    out = kmv_pair_overlap(words, key_col="word", group_col="source")
+    return out.withColumnRenamed("grp_a", "source_a").withColumnRenamed(
+        "grp_b", "source_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE: the training loop's core relation (adjacent symbol-pair counts over
 # the word-frequency table) as a hash-checked query; the iterative argmax

@@ -153,6 +153,12 @@ def test_validation_raises(spark):
         asof_join(df, r, "t", "rt", ["val"], ["k"], tolerance=-1)
     with pytest.raises(ValueError, match="collision"):
         asof_join(df, r, "t", "rt", ["val"], ["k"])  # left already has val
+    # a by/time/value column missing from its side would be silently
+    # null-filled by the union merge — must refuse instead
+    with pytest.raises(ValueError, match="right.kk"):
+        asof_join(df.drop("val"), r, "t", "rt", ["val"], ["kk"])
+    with pytest.raises(ValueError, match="right.missing"):
+        asof_join(df.drop("val"), r, "t", "rt", ["missing"], ["k"])
 
 
 def test_single_shuffle_plan(spark):

@@ -54,7 +54,12 @@ SF_DIR = "/root/testdata/sf0.001"
 # (knn_graph_recall_floor's exact ground-truth side moved to the GEMM
 # mapInPandas path in r12 — no nested-loop join remains in its plan, so
 # it needs no allowance)
+#   kmv_source_overlap_documents — the pair stage joins the per-group
+#     sketch relation to itself on grp_a < grp_b: both sides are
+#     #sources-sized (k-element arrays), corpus-INDEPENDENT — the
+#     corpus-scale work is the sketch's equi-shuffle, not this join
 ALLOWED_NESTED_LOOP = {
+    "kmv_source_overlap_documents",
     "knn_graph_recall_tuned",
     "hybrid_rrf_search_documents",
     "ann_pq_recall_floor",
