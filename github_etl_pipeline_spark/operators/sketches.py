@@ -554,3 +554,88 @@ SELECT e.g1 AS {a_alias}, e.g2 AS {b_alias}, n1.n AS n_a, n2.n AS n_b,
        e.jaccard_est * e.union_est AS inter_est
 FROM e JOIN n n1 ON n1.grp = e.g1 JOIN n n2 ON n2.grp = e.g2
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact phi-heavy-hitters: CMS candidate prune + exact verify (the
+# two-pass pattern that finds frequent items over key spaces too large
+# to shuffle — Cormode & Muthukrishnan's sketch as a FILTER, with the
+# final answer exact)
+# ---------------------------------------------------------------------------
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    phi: float,
+    depth: int = CMS_DEPTH,
+    width: int | None = None,
+    max_width: int = 1 << 20,
+) -> DataFrame:
+    """All keys occurring in more than ``phi`` of the rows, with EXACT
+    counts — output (key, cnt) where cnt >= tau = ceil(phi * N).
+
+    Why not just groupBy(key).count(): for huge key spaces (positional
+    k-grams at 100 TB: ~N distinct keys) that shuffles the ENTIRE
+    occurrence stream. Here pass 1 builds a count-min sketch (one
+    exploded groupBy collapsing to depth*width partial rows per task —
+    constant-size, collected to the driver like the IVF centroids), and
+    pass 2 re-scans filtering on the sketch estimate AS AN EXPRESSION
+    (broadcast literal counter arrays, no join, no shuffle) so only
+    candidate occurrences reach the exact groupBy. CMS never
+    underestimates, so the candidate set is a SUPERSET of the true
+    heavy hitters and the exact verify makes the output EXACT — the
+    approximation affects cost, never the answer.
+
+    Sizing: with width >= 4/phi the per-counter noise floor (~N/width)
+    sits below tau/4, so non-heavy keys rarely pass and the candidate
+    shuffle stays O(phi^-1) distinct keys. The default derives width
+    from phi (next power of two, clamped to ``max_width`` = 8 MiB of
+    longs per row); a clamped width degrades pruning only, never
+    correctness. Scans ``df`` twice — persist the (usually derived)
+    key relation when its compute is heavy.
+
+    phi-HH is replication-invariant: duplicating the corpus c times
+    scales every count AND tau by c, so the answer set is stable across
+    scale tiers.
+    """
+    if not 0 < phi < 1:
+        raise ValueError(f"phi must be in (0, 1) (got {phi})")
+    if width is None:
+        width = 256
+        while width < 4 / phi and width < max_width:
+            width *= 2
+    import math
+
+    counters = [[0] * width for _ in range(depth)]
+    for r in cms_sketch(df, key_col, depth, width).collect():
+        counters[r["row"]][r["bucket"]] = r["cnt"]
+    n_total = sum(counters[0])
+    tau = max(1, math.ceil(phi * n_total))
+    key = _key(key_col)
+    # one SQL-parsed array literal per sketch row: F.lit(list) would
+    # round-trip EVERY element through Py4J (width=8192 took ~40 s of
+    # driver time building 32k Column objects; one parse is ~0.1 s)
+    lit_rows = [
+        F.expr(
+            f"cast(array({','.join(map(str, counters[i]))}) as array<bigint>)"
+        )
+        for i in range(depth)
+    ]
+    est = F.least(
+        *[
+            F.element_at(
+                lit_rows[i],
+                (
+                    portable_hash32(F.concat(F.lit(f"cms{i}:"), key)) % width
+                ).cast("int")
+                + 1,
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(key.alias("key"))
+        .where(est >= tau)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= tau)
+    )

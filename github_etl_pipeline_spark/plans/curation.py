@@ -117,6 +117,68 @@ def boilerplate_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# phi-heavy-hitter k-grams: CMS candidate prune + exact verify
+# (operators/sketches.py::cms_heavy_hitters). Non-vacuity is seeded:
+# every 3rd document gains a fixed disclaimer suffix whose 5-grams
+# recur at ~0.1% of the occurrence stream — above phi, so the seeded
+# boilerplate MUST surface at every scale (phi-HH is replication-
+# invariant) while organic grams pass only if genuinely heavy.
+# ---------------------------------------------------------------------------
+_HH_K, _HH_PHI, _HH_SEED_MOD = 5, 5e-4, 3
+_HH_DISCLAIMER = (
+    "this document is provided as is without warranty of any kind express or implied"
+)
+
+
+@register(
+    "heavy_grams_documents",
+    oracle=f"""
+WITH base AS (
+  SELECT CASE WHEN doc_id % {_HH_SEED_MOD} = 0
+              THEN text || ' {_HH_DISCLAIMER}' ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT COALESCE(regexp_extract_all(text, '{TOKEN_RE}'),
+                  CAST([] AS VARCHAR[])) AS w
+  FROM base
+),
+g AS (
+  SELECT array_to_string(w[i:i+{_HH_K - 1}], ' ') AS gram
+  FROM toks,
+       UNNEST(CASE WHEN len(w) >= {_HH_K}
+                   THEN range(1, len(w) - {_HH_K} + 2)
+                   ELSE CAST([] AS BIGINT[]) END) AS t(i)
+),
+t AS (SELECT GREATEST(1, CAST(CEIL({_HH_PHI!r} * COUNT(*)) AS BIGINT)) AS tau FROM g)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY gram
+HAVING COUNT(*) >= (SELECT tau FROM t)
+""",
+    doc=f"exact phi-heavy-hitter word {_HH_K}-grams (phi={_HH_PHI}): pass 1 builds a count-min sketch (constant-size partial agg, driver-collected like IVF centroids), pass 2 re-scans filtering on the CMS estimate as a broadcast-literal EXPRESSION so only candidate occurrences reach the exact groupBy — CMS never underestimates, so the output is EXACT (the oracle is a plain HAVING over true counts, no sketch mirror needed); seeded disclaimer grams prove non-vacuity at every tier",
+)
+def heavy_grams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.dedup import kgrams_of
+    from github_etl_pipeline_spark.operators.sketches import cms_heavy_hitters
+
+    docs = _docs(spark, sf_dir)
+    text = F.when(
+        F.col("doc_id") % _HH_SEED_MOD == 0,
+        F.concat(F.col("text"), F.lit(" " + _HH_DISCLAIMER)),
+    ).otherwise(F.col("text"))
+    toks = F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
+    grams_arr = F.when(F.size(toks) >= _HH_K, kgrams_of(toks, _HH_K)).otherwise(
+        F.array().cast("array<string>")
+    )
+    # the gram stream feeds BOTH sketch and verify passes — persist the
+    # skinny occurrence relation so the tokenize+zip shingling runs once
+    # (the harness's managed_caches sweep releases it after the query)
+    grams = docs.select(F.explode(grams_arr).alias("gram")).persist()
+    out = cms_heavy_hitters(grams, "gram", phi=_HH_PHI)
+    return out.select(F.col("key").alias("gram"), "cnt")
+
+
+# ---------------------------------------------------------------------------
 # Duplicate-span detection: maximal runs of token positions whose word
 # 5-gram occurs >= 2 times corpus-wide (substring-level dedup, Lee et
 # al. 2022 re-expressed relationally — see operators.curation.
