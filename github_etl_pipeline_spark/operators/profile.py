@@ -57,3 +57,142 @@ def profile_columns(df: DataFrame, raw: bool = False) -> DataFrame:
         f"stack({len(c.columns)}, {stack_args}) AS "
         "(column_name, n_nulls, n_distinct, min_s, max_s)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraint verification (the Deequ-style
+# check suite a 100-TB ingest runs BEFORE training): every single-table
+# constraint compiles to count_if aggregates evaluated in ONE pass over
+# ONE scan, melted to a row per check — no per-constraint jobs.
+# ---------------------------------------------------------------------------
+def complete(column: str, threshold: float = 1.0) -> dict:
+    """Fraction of rows with ``column`` non-null >= threshold."""
+    return {"kind": "complete", "column": column, "threshold": threshold}
+
+
+def primary_key(column: str) -> dict:
+    """Every non-null value distinct (distinct/count == 1)."""
+    return {"kind": "primary_key", "column": column, "threshold": 1.0}
+
+
+def in_set(column: str, values: list, threshold: float = 1.0) -> dict:
+    """Fraction of NON-NULL values inside ``values`` >= threshold
+    (nullability is `complete`'s job, not containment's)."""
+    return {"kind": "in_set", "column": column, "threshold": threshold,
+            "values": list(values)}
+
+
+def matches(column: str, regex: str, threshold: float = 1.0) -> dict:
+    """Fraction of non-null values matching ``regex`` (rlike / partial
+    match semantics, identical in DuckDB regexp_matches)."""
+    return {"kind": "matches", "column": column, "threshold": threshold,
+            "regex": regex}
+
+
+def between(column: str, lo, hi, threshold: float = 1.0) -> dict:
+    """Fraction of non-null values inside [lo, hi] >= threshold."""
+    return {"kind": "between", "column": column, "threshold": threshold,
+            "lo": lo, "hi": hi}
+
+
+def _check_name(c: dict) -> str:
+    k = c["kind"]
+    if k == "in_set":
+        return f"in_set({c['column']})"
+    if k == "matches":
+        return f"matches({c['column']})"
+    if k == "between":
+        return f"between({c['column']},{c['lo']},{c['hi']})"
+    return f"{k}({c['column']})"
+
+
+def check_constraints(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Evaluate every declarative check in ONE aggregate over ONE scan.
+
+    Output one row per check: (check, column_name, num, den, ratio,
+    threshold, passed) where ratio = num/den (exact-operand BIGINT ->
+    DOUBLE division, engine-identical) and passed = ratio >= threshold.
+    den counts the APPLICABLE rows (all rows for completeness, non-null
+    values otherwise) — a vacuous check (den = 0) reports ratio 1.0 and
+    passes, loudly visible via den in the report.
+
+    Scale shape: the whole suite is count_if/count_distinct expressions
+    inside one whole-stage-codegen aggregate — cost is one corpus scan
+    regardless of how many constraints run, output is |checks| rows.
+    Referential integrity needs a second relation and lives in
+    :func:`check_foreign_key` (same output shape, unionAll the reports).
+    """
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    aggs = []
+    for i, c in enumerate(checks):
+        col = F.col(c["column"])
+        k = c["kind"]
+        if k == "complete":
+            num, den = F.count(col), F.count(F.lit(1))
+        elif k == "primary_key":
+            num, den = F.count_distinct(col), F.count(col)
+        elif k == "in_set":
+            num = F.count_if(col.isin(c["values"]))
+            den = F.count(col)
+        elif k == "matches":
+            num = F.count_if(col.rlike(c["regex"]))
+            den = F.count(col)
+        elif k == "between":
+            num = F.count_if((col >= F.lit(c["lo"])) & (col <= F.lit(c["hi"])))
+            den = F.count(col)
+        else:
+            raise ValueError(f"unknown check kind {k!r}")
+        aggs += [num.alias(f"n{i}"), den.alias(f"d{i}")]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{_check_name(c)}', '{c['column']}', n{i}, d{i}, "
+        f"CAST({c['threshold']!r} AS DOUBLE)"
+        for i, c in enumerate(checks)
+    )
+    rows = wide.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS "
+        "(check, column_name, num, den, threshold)"
+    )
+    ratio = F.when(F.col("den") == 0, F.lit(1.0)).otherwise(
+        F.col("num").cast("double") / F.col("den").cast("double")
+    )
+    return rows.select(
+        "check",
+        "column_name",
+        "num",
+        "den",
+        ratio.alias("ratio"),
+        "threshold",
+        (ratio >= F.col("threshold")).alias("passed"),
+    )
+
+
+def check_foreign_key(
+    df: DataFrame, column: str, ref: DataFrame, ref_column: str,
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Referential-integrity check in the same report shape as
+    :func:`check_constraints`: fraction of non-null ``column`` values
+    with a match in ``ref.ref_column``. The distinct reference keys
+    join BROADCAST (dimension-sized by assumption); the fact side
+    aggregates in the same pass as the join — one scan each side."""
+    keys = ref.select(F.col(ref_column).alias("_fk")).dropDuplicates()
+    joined = df.select(F.col(column)).where(F.col(column).isNotNull()).join(
+        F.broadcast(keys), F.col(column) == F.col("_fk"), "left"
+    )
+    wide = joined.agg(
+        F.count("_fk").alias("num"), F.count(F.lit(1)).alias("den")
+    )
+    ratio = F.when(F.col("den") == 0, F.lit(1.0)).otherwise(
+        F.col("num").cast("double") / F.col("den").cast("double")
+    )
+    return wide.select(
+        F.lit(f"foreign_key({column})").alias("check"),
+        F.lit(column).alias("column_name"),
+        "num",
+        "den",
+        ratio.alias("ratio"),
+        F.lit(float(threshold)).alias("threshold"),
+        (ratio >= F.lit(float(threshold))).alias("passed"),
+    )

@@ -197,6 +197,87 @@ def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(fan_out(spark, _t(spark, sf_dir, "orders")))
 
 
+# ---------------------------------------------------------------------------
+# Declarative data-quality constraint verification (Deequ-style): the
+# ingest gate a training pipeline runs before accepting a table. All
+# single-table checks ride ONE aggregate over ONE scan; the FK check
+# adds one broadcast join; reports unionAll into one inventory.
+# The between(o_totalprice, 0, 250000, 0.95) check FAILS by design
+# (ratio ~0.50 at every tier) so the gate's failure path is continuously
+# hash-verified, not just its happy path.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_checks_orders",
+    oracle="""
+WITH r AS (
+  SELECT 'complete(o_custkey)' AS "check", 'o_custkey' AS column_name,
+         CAST(COUNT(o_custkey) AS BIGINT) AS num, CAST(COUNT(*) AS BIGINT) AS den,
+         CAST(1.0 AS DOUBLE) AS threshold
+  FROM orders
+  UNION ALL
+  SELECT 'primary_key(o_orderkey)', 'o_orderkey',
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT), CAST(COUNT(o_orderkey) AS BIGINT),
+         CAST(1.0 AS DOUBLE)
+  FROM orders
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)', 'o_orderstatus',
+         CAST(COUNT_IF(o_orderstatus IN ('F', 'O', 'P')) AS BIGINT),
+         CAST(COUNT(o_orderstatus) AS BIGINT), CAST(1.0 AS DOUBLE)
+  FROM orders
+  UNION ALL
+  SELECT 'matches(o_orderpriority)', 'o_orderpriority',
+         CAST(COUNT_IF(regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT),
+         CAST(COUNT(o_orderpriority) AS BIGINT), CAST(1.0 AS DOUBLE)
+  FROM orders
+  UNION ALL
+  SELECT 'between(o_totalprice,0,250000)', 'o_totalprice',
+         CAST(COUNT_IF(o_totalprice >= 0 AND o_totalprice <= 250000) AS BIGINT),
+         CAST(COUNT(o_totalprice) AS BIGINT), CAST(0.95 AS DOUBLE)
+  FROM orders
+  UNION ALL
+  SELECT 'foreign_key(o_custkey)', 'o_custkey',
+         CAST(COUNT_IF(o_custkey IN (SELECT c_custkey FROM customer)) AS BIGINT),
+         CAST(COUNT(o_custkey) AS BIGINT), CAST(1.0 AS DOUBLE)
+  FROM orders WHERE o_custkey IS NOT NULL
+)
+SELECT "check", column_name, num, den,
+       CASE WHEN den = 0 THEN 1.0
+            ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS ratio,
+       threshold,
+       (CASE WHEN den = 0 THEN 1.0
+             ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END) >= threshold
+         AS passed
+FROM r
+""",
+    doc="declarative data-quality gate (Deequ-style): completeness, primary-key distinctness, set containment, regex compliance, numeric bounds — ALL compiled into ONE whole-stage-codegen aggregate over ONE scan (cost independent of the number of constraints), plus a broadcast-join referential-integrity check unioned into the same report; one deliberately failing bound keeps the gate's failure path hash-verified",
+)
+def quality_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.profile import (
+        between,
+        check_constraints,
+        check_foreign_key,
+        complete,
+        in_set,
+        matches,
+        primary_key,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    single = check_constraints(
+        orders,
+        [
+            complete("o_custkey"),
+            primary_key("o_orderkey"),
+            in_set("o_orderstatus", ["F", "O", "P"]),
+            matches("o_orderpriority", "^[1-5]-"),
+            between("o_totalprice", 0, 250000, threshold=0.95),
+        ],
+    )
+    fk = check_foreign_key(orders, "o_custkey", customer, "c_custkey")
+    return single.unionAll(fk)
+
+
 @register(
     "window_rank_extras_events",
     oracle="""

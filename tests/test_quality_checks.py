@@ -1,0 +1,112 @@
+"""Declarative data-quality constraint verification
+(operators/profile.py::check_constraints / check_foreign_key)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from github_etl_pipeline_spark.operators.profile import (
+    between,
+    check_constraints,
+    check_foreign_key,
+    complete,
+    in_set,
+    matches,
+    primary_key,
+)
+
+
+@pytest.fixture()
+def table(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4, 4],          # duplicate id -> PK fails
+                "status": ["A", "A", "B", "C", "Z"],  # Z outside set
+                "code": ["x-1", "x-2", "y-3", "bad", "x-5"],
+                "price": [10.0, 20.0, -5.0, 30.0, None],  # one negative, one null
+            }
+        )
+    )
+
+
+def _rows(df):
+    return {r["check"]: r for r in df.collect()}
+
+
+def test_check_report_values(table):
+    rep = _rows(
+        check_constraints(
+            table,
+            [
+                complete("price", threshold=0.9),
+                primary_key("id"),
+                in_set("status", ["A", "B", "C"]),
+                matches("code", "^[xy]-"),
+                between("price", 0, 100, threshold=0.75),
+            ],
+        )
+    )
+    assert len(rep) == 5
+    c = rep["complete(price)"]
+    assert (c["num"], c["den"], c["ratio"], c["passed"]) == (4, 5, 0.8, False)
+    pk = rep["primary_key(id)"]
+    assert (pk["num"], pk["den"], pk["passed"]) == (4, 5, False)
+    s = rep["in_set(status)"]
+    assert (s["num"], s["den"], s["passed"]) == (4, 5, False)
+    m = rep["matches(code)"]
+    assert (m["num"], m["den"], m["passed"]) == (4, 5, False)
+    b = rep["between(price,0,100)"]
+    assert (b["num"], b["den"], b["ratio"], b["passed"]) == (3, 4, 0.75, True)
+
+
+def test_vacuous_check_passes_loudly(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [None, None]}, dtype="float64"))
+    r = _rows(check_constraints(df, [between("v", 0, 1)]))["between(v,0,1)"]
+    assert (r["num"], r["den"], r["ratio"], r["passed"]) == (0, 0, 1.0, True)
+
+
+def test_foreign_key(spark):
+    fact = spark.createDataFrame(
+        pd.DataFrame({"fk": [1, 1, 2, 9, None]}, dtype="Int64")
+    )
+    dim = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3]}))
+    r = check_foreign_key(fact, "fk", dim, "k").collect()[0]
+    # nulls are not applicable; 3 of 4 non-null values resolve
+    assert (r["num"], r["den"], r["passed"]) == (3, 4, False)
+    assert r["ratio"] == 0.75
+
+
+def test_single_scan_plan(spark, tmp_path):
+    """However many constraints run, the suite is ONE aggregate over ONE
+    scan — constraint count must not multiply scans."""
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2], "b": ["x", "y"], "c": [0.5, 1.5]})
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = (
+        check_constraints(
+            df,
+            [
+                complete("a"),
+                primary_key("a"),
+                in_set("b", ["x", "y"]),
+                matches("b", "^[a-z]$"),
+                between("c", 0, 1),
+            ],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": [1]}))
+    with pytest.raises(ValueError, match="non-empty"):
+        check_constraints(df, [])
+    with pytest.raises(ValueError, match="unknown check kind"):
+        check_constraints(df, [{"kind": "nope", "column": "a", "threshold": 1.0}])
