@@ -60,16 +60,39 @@ def cms_sketch(
     key_col: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-min sketch of the key column: (row, bucket, cnt) with at most
     ``depth * width`` rows, built by one exploded groupBy — the partial
     aggregation collapses each task's contribution to sketch size before
-    the shuffle."""
-    e = df.select(F.explode(_cms_keys_expr(_key(key_col), depth, width)).alias("rb"))
+    the shuffle.
+
+    ``weight_col`` switches counts to weighted sums (each occurrence
+    contributes its NON-NEGATIVE integer weight — negative weights would
+    break CMS's never-underestimates guarantee, integer weights keep the
+    counters exact): the classic generalization that turns frequency
+    sketching into e.g. per-key revenue/token-mass sketching."""
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    if weight_col is not None:
+        # a negative weight would silently break the never-underestimates
+        # guarantee (and with it heavy-hitter completeness) — fail the job
+        # loudly instead (codegen branch, no extra pass)
+        w = F.when(w >= 0, w).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"cms_sketch: negative weight in {weight_col}: "),
+                    w.cast("string"),
+                )
+            )
+        )
+    e = df.select(
+        F.explode(_cms_keys_expr(_key(key_col), depth, width)).alias("rb"),
+        w.cast("long").alias("_w"),
+    )
     return (
-        e.select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        e.select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"), "_w")
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 
@@ -569,9 +592,17 @@ def cms_heavy_hitters(
     depth: int = CMS_DEPTH,
     width: int | None = None,
     max_width: int = 1 << 20,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """All keys occurring in more than ``phi`` of the rows, with EXACT
     counts — output (key, cnt) where cnt >= tau = ceil(phi * N).
+
+    ``weight_col`` switches occurrences to NON-NEGATIVE integer weights
+    throughout (sketch, N, and the exact verify all sum the weight):
+    phi then bounds each key's share of total MASS — revenue
+    concentration, per-key token mass — instead of row count. The
+    no-underestimate argument is unchanged because weighted CMS
+    counters only ever add non-negative mass.
 
     Why not just groupBy(key).count(): for huge key spaces (positional
     k-grams at 100 TB: ~N distinct keys) that shuffles the ENTIRE
@@ -606,7 +637,7 @@ def cms_heavy_hitters(
     import math
 
     counters = [[0] * width for _ in range(depth)]
-    for r in cms_sketch(df, key_col, depth, width).collect():
+    for r in cms_sketch(df, key_col, depth, width, weight_col=weight_col).collect():
         counters[r["row"]][r["bucket"]] = r["cnt"]
     n_total = sum(counters[0])
     tau = max(1, math.ceil(phi * n_total))
@@ -632,10 +663,11 @@ def cms_heavy_hitters(
             for i in range(depth)
         ]
     )
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
     return (
-        df.select(key.alias("key"))
+        df.select(key.alias("key"), w.cast("long").alias("_w"))
         .where(est >= tau)
         .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
         .where(F.col("cnt") >= tau)
     )

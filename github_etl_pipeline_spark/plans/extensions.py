@@ -2446,6 +2446,37 @@ def cms_user_purchase_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "user_key").select("user_key", "est_count", "exact_count")
 
 
+# weighted phi-heavy-hitters: same CMS-prune + exact-verify machinery as
+# heavy_grams_documents, but occurrences carry integer-cent MASS — phi
+# bounds each key's share of total value, the revenue-concentration /
+# token-mass form of the question. Output EXACT for the same reason
+# (weighted CMS with non-negative weights never underestimates).
+_HVAL_PHI = 0.05
+
+
+@register(
+    "heavy_value_event_types",
+    oracle=f"""
+WITH w AS (
+  SELECT event_type AS key, CAST(round(value * 100) AS BIGINT) AS wt FROM events
+),
+t AS (SELECT GREATEST(1, CAST(CEIL({_HVAL_PHI!r} * SUM(wt)) AS BIGINT)) AS tau FROM w)
+SELECT key, CAST(SUM(wt) AS BIGINT) AS cnt
+FROM w GROUP BY key
+HAVING SUM(wt) >= (SELECT tau FROM t)
+""",
+    doc=f"WEIGHTED exact phi-heavy-hitters (phi={_HVAL_PHI}): keys above phi of total integer-cent event VALUE, via the same CMS-prune + exact-verify two-pass as heavy_grams_documents with per-occurrence mass (weighted non-negative CMS keeps the never-underestimates superset guarantee; negative weights fail the job loudly); oracle is a plain weighted HAVING",
+)
+def heavy_value_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sketches import cms_heavy_hitters
+
+    w = read_table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.round(F.col("value") * 100).cast("long").alias("wt"),
+    )
+    return cms_heavy_hitters(w, "event_type", phi=_HVAL_PHI, weight_col="wt")
+
+
 @register(
     "hll_registers_events",
     oracle="""

@@ -96,3 +96,40 @@ def test_candidate_prune_reaches_the_plan(spark, tmp_path):
         .toString()
     )
     assert "element_at" in plan, plan
+
+
+def test_weighted_matches_exact(spark):
+    """weight_col switches occurrences to mass: output must equal the
+    plain weighted HAVING at ceil(phi * total_mass)."""
+    import numpy as np
+    from pyspark.sql import functions as F2
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame(
+        {
+            "k": [f"key{r}" for r in rng.zipf(1.4, size=20_000) % 500],
+            "w": rng.integers(0, 1_000, size=20_000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    phi = 0.01
+    total = int(pdf["w"].sum())
+    tau = max(1, math.ceil(phi * total))
+    exact = {
+        (r["k"], r["cnt"])
+        for r in df.groupBy("k")
+        .agg(F2.sum("w").alias("cnt"))
+        .where(F2.col("cnt") >= tau)
+        .collect()
+    }
+    got = {
+        (r["key"], r["cnt"])
+        for r in cms_heavy_hitters(df, "k", phi, weight_col="w").collect()
+    }
+    assert got == exact and got
+
+
+def test_negative_weight_fails_loudly(spark):
+    df = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"], "w": [5, -1]}))
+    with pytest.raises(Exception, match="negative weight"):
+        cms_heavy_hitters(df, "k", 0.1, weight_col="w").collect()
