@@ -671,3 +671,35 @@ def cms_heavy_hitters(
         .agg(F.sum("_w").alias("cnt"))
         .where(F.col("cnt") >= tau)
     )
+
+
+def cms_join_size(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches (the
+    AMS/Count-Min inner-product estimator, Cormode & Muthukrishnan §4.2):
+    |A ⋈ B| <= est = min over rows of Σ_bucket cntA[b]·cntB[b], because
+    every true match lands in the same bucket on every row while
+    collisions only ADD mass — the estimate NEVER undercounts, making it
+    a safe admission gate (e.g. refuse or re-plan a join whose estimated
+    output explodes) computed WITHOUT running the join.
+
+    Scale shape: one constant-size sketch aggregate per side (map-side
+    combined), then a (row, bucket) equi-join of two <= depth*width-row
+    relations and a depth-row min — cost independent of either input's
+    size beyond the two scans. One row out: (est_join_rows).
+    """
+    sa = cms_sketch(a, a_key, depth, width)
+    sb = cms_sketch(b, b_key, depth, width)
+    dots = (
+        sa.withColumnRenamed("cnt", "ca")
+        .join(sb.withColumnRenamed("cnt", "cb"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return dots.agg(F.min("dot").alias("est_join_rows"))

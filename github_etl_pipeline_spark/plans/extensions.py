@@ -2477,6 +2477,55 @@ def heavy_value_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(w, "event_type", phi=_HVAL_PHI, weight_col="wt")
 
 
+# CMS inner-product join-size estimation (AMS-style): priced without
+# running the join, never an undercount — the admission gate a planner
+# consults before committing to a join strategy. width 16384 puts the
+# collision term n_a*n_b/width near the true size at sf0.01.
+_JSZ_W = 16_384
+_JSZ_HASH = "CAST(('0x' || substr(md5('cms' || row || ':' || k), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "join_size_estimate_orders",
+    oracle=f"""
+WITH d AS (SELECT unnest(range(0, 4)) AS row),
+ka AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+kb AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+sa AS (SELECT row, {_JSZ_HASH} % {_JSZ_W} AS bucket, CAST(COUNT(*) AS BIGINT) AS ca
+       FROM ka CROSS JOIN d GROUP BY 1, 2),
+sb AS (SELECT row, {_JSZ_HASH} % {_JSZ_W} AS bucket, CAST(COUNT(*) AS BIGINT) AS cb
+       FROM kb CROSS JOIN d GROUP BY 1, 2),
+dots AS (SELECT sa.row, CAST(SUM(sa.ca * sb.cb) AS BIGINT) AS dot
+         FROM sa JOIN sb USING (row, bucket) GROUP BY sa.row),
+est AS (SELECT MIN(dot) AS est_join_rows FROM dots),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT est.est_join_rows, ex.exact_join_rows,
+       CAST(est.est_join_rows AS DOUBLE) / CAST(ex.exact_join_rows AS DOUBLE)
+         AS over_ratio
+FROM est CROSS JOIN ex
+""",
+    doc=f"equi-join cardinality estimate from two count-min sketches (AMS/CM inner product, 4x{_JSZ_W}): est = min over rows of sum(cntA*cntB) NEVER undercounts — the join-admission gate computed from two constant-size sketch aggregates + a (row,bucket) join of sketch-sized relations, no join executed; reported beside the exact count so the overestimate factor is continuously measured",
+)
+def join_size_estimate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.sketches import cms_join_size
+
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    est = cms_join_size(o, "o_orderkey", l, "l_orderkey", width=_JSZ_W)
+    exact = o.join(l, o.o_orderkey == l.l_orderkey).agg(
+        F.count(F.lit(1)).alias("exact_join_rows")
+    )
+    return est.crossJoin(exact).select(
+        "est_join_rows",
+        "exact_join_rows",
+        (
+            F.col("est_join_rows").cast("double")
+            / F.col("exact_join_rows").cast("double")
+        ).alias("over_ratio"),
+    )
+
+
 @register(
     "hll_registers_events",
     oracle="""

@@ -58,7 +58,10 @@ SF_DIR = "/root/testdata/sf0.001"
 #     sketch relation to itself on grp_a < grp_b: both sides are
 #     #sources-sized (k-element arrays), corpus-INDEPENDENT — the
 #     corpus-scale work is the sketch's equi-shuffle, not this join
+#   join_size_estimate_orders — composes the 1-row sketch estimate with
+#     the 1-row exact count (1x1 crossJoin, rollup.py-style)
 ALLOWED_NESTED_LOOP = {
+    "join_size_estimate_orders",
     "kmv_source_overlap_documents",
     "knn_graph_recall_tuned",
     "hybrid_rrf_search_documents",
