@@ -175,3 +175,64 @@ def test_single_shuffle_plan(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_global_asof_without_by(spark):
+    """by=() is the single-partition (dimension-sized) mode: still
+    correct, documented as wrong for corpus scale."""
+    left = spark.createDataFrame(pd.DataFrame({"t": [10, 25, 40]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"rt": [5, 20, 35], "val": [1, 2, 3]})
+    )
+    rows = {r["t"]: r["val"] for r in
+            asof_join(left, right, "t", "rt", ["val"]).collect()}
+    assert rows == {10: 1, 25: 2, 40: 3}
+
+
+# ---------------------------------------------------------------------------
+# Property test: merge_asof parity on ARBITRARY integer time sets
+# (unique times per key keep tie rules out of scope — those are pinned
+# by the deterministic hand cases above)
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def asof_instance(draw):
+    times = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=2, max_size=40, unique=True,
+        )
+    )
+    cut = draw(st.integers(min_value=1, max_value=len(times) - 1))
+    direction = draw(st.sampled_from(["backward", "forward", "nearest"]))
+    tolerance = draw(st.sampled_from([None, 0, 7, 100]))
+    allow = draw(st.booleans())
+    return times[:cut], times[cut:], direction, tolerance, allow
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(inst=asof_instance())
+def test_merge_asof_parity_property(spark, inst):
+    lt, rt, direction, tolerance, allow = inst
+    left = pd.DataFrame(
+        {"k": 1, "t": pd.array(lt, dtype="int64"),
+         "lid": np.arange(len(lt), dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": 1, "rt": pd.array(rt, dtype="int64"),
+         "val": np.arange(100, 100 + len(rt), dtype=np.int64)}
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            "t", "rt", ["val"], ["k"], direction, tolerance, allow,
+        )
+        .select("lid", "val")
+        .toPandas().sort_values("lid").reset_index(drop=True)
+        .astype({"val": "float64"})
+    )
+    exp = _expected(left, right, direction, tolerance, allow)
+    pd.testing.assert_frame_equal(got, exp, check_like=True)
