@@ -106,31 +106,65 @@ def _check_name(c: dict) -> str:
     return f"{k}({c['column']})"
 
 
+def distinctness(column: str, threshold: float) -> dict:
+    """distinct/count(non-null) >= threshold — the relaxed form of
+    :func:`primary_key` (which is distinctness at exactly 1.0)."""
+    return {"kind": "distinctness", "column": column, "threshold": threshold}
+
+
+def mean_at_least(column: str, bound: float) -> dict:
+    """Column mean >= bound. The mean is decimal-exact: sum through
+    DECIMAL(18,6) (order-independent), one double division by the
+    non-null count — engine-identical, unlike native avg() over doubles.
+    In the report, ``ratio`` holds the OBSERVED MEAN and ``threshold``
+    the bound."""
+    return {"kind": "mean_at_least", "column": column, "threshold": bound}
+
+
+def mean_at_most(column: str, bound: float) -> dict:
+    """Column mean <= bound (see :func:`mean_at_least` for exactness)."""
+    return {"kind": "mean_at_most", "column": column, "threshold": bound}
+
+
+def row_count_at_least(n: int) -> dict:
+    """Table has at least ``n`` rows. ``ratio`` holds the observed row
+    count; column_name reports '*'."""
+    return {"kind": "row_count_at_least", "column": "*", "threshold": float(n)}
+
+
 def check_constraints(df: DataFrame, checks: list[dict]) -> DataFrame:
     """Evaluate every declarative check in ONE aggregate over ONE scan.
 
     Output one row per check: (check, column_name, num, den, ratio,
-    threshold, passed) where ratio = num/den (exact-operand BIGINT ->
-    DOUBLE division, engine-identical) and passed = ratio >= threshold.
-    den counts the APPLICABLE rows (all rows for completeness, non-null
-    values otherwise) — a vacuous check (den = 0) reports ratio 1.0 and
-    passes, loudly visible via den in the report.
+    threshold, passed). For ratio-kind checks (complete / primary_key /
+    distinctness / in_set / matches / between) ratio = num/den
+    (exact-operand BIGINT -> DOUBLE division, engine-identical) and
+    passed = ratio >= threshold; den counts the APPLICABLE rows (all
+    rows for completeness, non-null values otherwise) — a vacuous check
+    (den = 0) reports ratio 1.0 and passes, loudly visible via den in
+    the report. For METRIC-kind checks, ratio holds the observed metric:
+    mean_at_least / mean_at_most report the decimal-exact mean (num =
+    den = the non-null support; empty support passes vacuously),
+    row_count_at_least reports the row count (passed = count >= n).
 
-    Scale shape: the whole suite is count_if/count_distinct expressions
-    inside one whole-stage-codegen aggregate — cost is one corpus scan
-    regardless of how many constraints run, output is |checks| rows.
-    Referential integrity needs a second relation and lives in
-    :func:`check_foreign_key` (same output shape, unionAll the reports).
+    Scale shape: the whole suite is count_if / count_distinct /
+    decimal-sum expressions inside one whole-stage-codegen aggregate —
+    cost is one corpus scan regardless of how many constraints run,
+    output is |checks| rows. Referential integrity needs a second
+    relation and lives in :func:`check_foreign_key` (same output shape,
+    unionAll the reports).
     """
     if not checks:
         raise ValueError("checks must be non-empty")
     aggs = []
     for i, c in enumerate(checks):
-        col = F.col(c["column"])
         k = c["kind"]
+        col = F.col(c["column"]) if c["column"] != "*" else None
+        ratio = None  # default: num/den with the den-0 guard
+        op = ">="
         if k == "complete":
             num, den = F.count(col), F.count(F.lit(1))
-        elif k == "primary_key":
+        elif k in ("primary_key", "distinctness"):
             num, den = F.count_distinct(col), F.count(col)
         elif k == "in_set":
             num = F.count_if(col.isin(c["values"]))
@@ -141,30 +175,43 @@ def check_constraints(df: DataFrame, checks: list[dict]) -> DataFrame:
         elif k == "between":
             num = F.count_if((col >= F.lit(c["lo"])) & (col <= F.lit(c["hi"])))
             den = F.count(col)
+        elif k in ("mean_at_least", "mean_at_most"):
+            num = den = F.count(col)
+            mean = F.sum(col.cast("decimal(18,6)")).cast("double") / F.count(
+                col
+            ).cast("double")
+            # empty support -> vacuous pass at the bound itself
+            ratio = F.when(F.count(col) == 0, F.lit(float(c["threshold"]))).otherwise(
+                mean
+            )
+            op = ">=" if k == "mean_at_least" else "<="
+        elif k == "row_count_at_least":
+            num = den = F.count(F.lit(1))
+            ratio = F.count(F.lit(1)).cast("double")
         else:
             raise ValueError(f"unknown check kind {k!r}")
-        aggs += [num.alias(f"n{i}"), den.alias(f"d{i}")]
+        if ratio is None:
+            ratio = F.when(den == 0, F.lit(1.0)).otherwise(
+                num.cast("double") / den.cast("double")
+            )
+        passed = ratio >= F.lit(float(c["threshold"])) if op == ">=" else (
+            ratio <= F.lit(float(c["threshold"]))
+        )
+        aggs += [
+            num.alias(f"n{i}"),
+            den.alias(f"d{i}"),
+            ratio.alias(f"r{i}"),
+            passed.alias(f"p{i}"),
+        ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{_check_name(c)}', '{c['column']}', n{i}, d{i}, "
-        f"CAST({c['threshold']!r} AS DOUBLE)"
+        f"'{_check_name(c)}', '{c['column']}', n{i}, d{i}, r{i}, "
+        f"CAST({c['threshold']!r} AS DOUBLE), p{i}"
         for i, c in enumerate(checks)
     )
-    rows = wide.selectExpr(
+    return wide.selectExpr(
         f"stack({len(checks)}, {stack_args}) AS "
-        "(check, column_name, num, den, threshold)"
-    )
-    ratio = F.when(F.col("den") == 0, F.lit(1.0)).otherwise(
-        F.col("num").cast("double") / F.col("den").cast("double")
-    )
-    return rows.select(
-        "check",
-        "column_name",
-        "num",
-        "den",
-        ratio.alias("ratio"),
-        "threshold",
-        (ratio >= F.col("threshold")).alias("passed"),
+        "(check, column_name, num, den, ratio, threshold, passed)"
     )
 
 

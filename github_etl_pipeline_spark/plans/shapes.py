@@ -278,6 +278,75 @@ def quality_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return single.unionAll(fk)
 
 
+# ---------------------------------------------------------------------------
+# Metric-kind quality checks: observed-value gates (decimal-exact means,
+# distinctness fraction, row count) in the same one-pass report shape.
+# mean_at_most(l_quantity, 25) and distinctness(l_partkey, 0.5) FAIL by
+# design at every tier (~25.4 and ~0.03 observed), keeping the metric
+# failure path hash-verified alongside quality_checks_orders' bound.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_metrics_lineitem",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(l_quantity) AS BIGINT) AS n,
+         CASE WHEN COUNT(l_quantity) = 0 THEN NULL
+              ELSE CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(COUNT(l_quantity) AS DOUBLE) END AS mean_q,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS pk_distinct,
+         CAST(COUNT(l_partkey) AS BIGINT) AS pk_n,
+         CAST(COUNT(*) AS BIGINT) AS rows_n
+  FROM lineitem
+),
+r AS (
+  SELECT 'mean_at_least(l_quantity)' AS "check", 'l_quantity' AS column_name,
+         n AS num, n AS den,
+         COALESCE(mean_q, 20.0) AS ratio, CAST(20.0 AS DOUBLE) AS threshold,
+         COALESCE(mean_q, 20.0) >= 20.0 AS passed
+  FROM m
+  UNION ALL
+  SELECT 'mean_at_most(l_quantity)', 'l_quantity', n, n,
+         COALESCE(mean_q, 25.0), CAST(25.0 AS DOUBLE),
+         COALESCE(mean_q, 25.0) <= 25.0
+  FROM m
+  UNION ALL
+  SELECT 'distinctness(l_partkey)', 'l_partkey', pk_distinct, pk_n,
+         CASE WHEN pk_n = 0 THEN 1.0
+              ELSE CAST(pk_distinct AS DOUBLE) / CAST(pk_n AS DOUBLE) END,
+         CAST(0.5 AS DOUBLE),
+         (CASE WHEN pk_n = 0 THEN 1.0
+               ELSE CAST(pk_distinct AS DOUBLE) / CAST(pk_n AS DOUBLE) END) >= 0.5
+  FROM m
+  UNION ALL
+  SELECT 'row_count_at_least(*)', '*', rows_n, rows_n,
+         CAST(rows_n AS DOUBLE), CAST(1000.0 AS DOUBLE),
+         CAST(rows_n AS DOUBLE) >= 1000.0
+  FROM m
+)
+SELECT * FROM r
+""",
+    doc="metric-kind quality gates in the same one-pass report: decimal-exact mean bounds (sum through DECIMAL(18,6), one double division — order-independent, engine-identical, unlike native avg over doubles), distinctness fraction, and row-count floor; two checks fail by design at every tier so the metric failure path stays hash-verified",
+)
+def quality_metrics_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.profile import (
+        check_constraints,
+        distinctness,
+        mean_at_least,
+        mean_at_most,
+        row_count_at_least,
+    )
+
+    return check_constraints(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            mean_at_least("l_quantity", 20.0),
+            mean_at_most("l_quantity", 25.0),
+            distinctness("l_partkey", 0.5),
+            row_count_at_least(1000),
+        ],
+    )
+
+
 @register(
     "window_rank_extras_events",
     oracle="""

@@ -110,3 +110,43 @@ def test_validation(spark):
         check_constraints(df, [])
     with pytest.raises(ValueError, match="unknown check kind"):
         check_constraints(df, [{"kind": "nope", "column": "a", "threshold": 1.0}])
+
+
+def test_metric_kinds(spark):
+    from github_etl_pipeline_spark.operators.profile import (
+        distinctness,
+        mean_at_least,
+        mean_at_most,
+        row_count_at_least,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [10.0, 20.0, None, 30.0], "g": [1, 1, 2, 2]})
+    )
+    rep = _rows(
+        check_constraints(
+            df,
+            [
+                mean_at_least("v", 15.0),   # mean = 20.0 -> pass
+                mean_at_most("v", 15.0),    # 20.0 > 15 -> fail
+                distinctness("g", 0.75),    # 2 distinct / 4 -> 0.5 fail
+                row_count_at_least(4),      # 4 rows -> pass
+            ],
+        )
+    )
+    m = rep["mean_at_least(v)"]
+    assert (m["num"], m["den"], m["ratio"], m["passed"]) == (3, 3, 20.0, True)
+    assert rep["mean_at_most(v)"]["passed"] is False
+    d = rep["distinctness(g)"]
+    assert (d["ratio"], d["passed"]) == (0.5, False)
+    rc = rep["row_count_at_least(*)"]
+    assert (rc["ratio"], rc["passed"]) == (4.0, True)
+
+
+def test_metric_kinds_vacuous(spark):
+    from github_etl_pipeline_spark.operators.profile import mean_at_least
+
+    df = spark.createDataFrame(pd.DataFrame({"v": [None, None]}, dtype="float64"))
+    r = _rows(check_constraints(df, [mean_at_least("v", 7.0)]))["mean_at_least(v)"]
+    # empty support: observed pinned to the bound itself -> vacuous pass
+    assert (r["num"], r["den"], r["ratio"], r["passed"]) == (0, 0, 7.0, True)
