@@ -1,0 +1,157 @@
+"""Frequent-itemset mining and association rules, DataFrame-native.
+
+Market-basket analysis over (basket, item) incidence relations: frequent
+single items, Apriori-pruned frequent pairs, and association-rule metrics
+(support / confidence / lift). The extension-surface analytics family the
+relational block lacks — co-occurrence mining is the standard "what ships
+together" warehouse question, and the same machinery mines token/tag
+co-occurrence in training corpora (documents x shingles, media x labels).
+
+Why not ``pyspark.ml.fpm.FPGrowth``: MLlib's FP-Growth collects
+conditional FP-trees per partition suffix and its results are arrays in
+a model object — not a relational plan, not oracle-checkable, and the
+tree build is RDD-based. Pair mining expressed AS A JOIN stays inside
+Catalyst/AQE (runtime-sized exchanges, skew splitting), yields exact
+counts, and covers the overwhelmingly common k<=2 case; the docstring of
+:func:`frequent_pairs` gives the SON-style extension path for k>2.
+
+Scale shape (100 TB):
+  * The incidence relation is corpus-scale but 2 columns; distinct() is
+    ONE shuffle on (basket, item) — map-side partial dedup applies.
+  * Apriori bound makes the prune broadcastable BY CONSTRUCTION: at
+    relative support theta, an item needs theta*n baskets, and total
+    incidences are avg_basket*n, so at most avg_basket/theta items are
+    frequent (e.g. 10-item baskets at 1% support -> <= 1000 survivors)
+    regardless of corpus size. The frequent-singleton list is therefore
+    always a small broadcast, and the pair self-join runs over the
+    PRUNED incidence relation only.
+  * The pair self-join shuffles once on basket; a basket with m frequent
+    items emits C(m,2) rows, so a pathological mega-basket is the skew
+    risk — ``max_basket_items`` drops baskets above a bound (dropped
+    count is observable via basket_sizes(); mirrors the standard
+    practice of capping promiscuous baskets, which carry no signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def basket_items(
+    df: DataFrame, basket_col: str, item_col: str, max_basket_items: int | None = None
+) -> DataFrame:
+    """Distinct (basket, item) incidence relation; optionally drop
+    baskets with more than ``max_basket_items`` distinct items (the
+    skew guard — C(m,2) pair blowup grows quadratically in m)."""
+    items = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket_items is not None:
+        n = F.count(F.lit(1)).over(Window.partitionBy("basket"))
+        items = (
+            items.withColumn("_m", n).filter(F.col("_m") <= max_basket_items).drop("_m")
+        )
+    return items
+
+
+def basket_sizes(items: DataFrame) -> DataFrame:
+    """Distribution of distinct items per basket — the skew profile that
+    sizes ``max_basket_items`` (one groupBy(basket) + one groupBy(size))."""
+    per = items.groupBy("basket").agg(F.count(F.lit(1)).alias("n_items"))
+    return per.groupBy("n_items").agg(F.count(F.lit(1)).alias("n_baskets"))
+
+
+def _with_n_baskets(items: DataFrame) -> DataFrame:
+    """Attach the scalar basket count as a column via a 1-row cross join
+    (broadcast nested loop of ONE row — no driver action, the whole
+    mining job stays a single lazy plan)."""
+    nb = items.select("basket").distinct().agg(F.count(F.lit(1)).alias("n_baskets"))
+    return items.crossJoin(F.broadcast(nb))
+
+
+def frequent_items(
+    items: DataFrame, min_support: float
+) -> DataFrame:
+    """Items appearing in >= ceil(min_support * n_baskets) baskets.
+
+    Output (item, item_cnt, n_baskets); one groupBy(item) over the
+    incidence relation. The Apriori bound caps the result at
+    avg_basket_size / min_support rows — broadcastable at any corpus
+    size (module docstring)."""
+    with_n = _with_n_baskets(items)
+    cnt = with_n.groupBy("item", "n_baskets").agg(
+        F.count(F.lit(1)).alias("item_cnt")
+    )
+    minc = F.ceil(F.lit(min_support) * F.col("n_baskets").cast("double"))
+    return cnt.filter(F.col("item_cnt") >= minc).select(
+        "item", "item_cnt", "n_baskets"
+    )
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Apriori-pruned frequent pair mining with association-rule metrics.
+
+    Returns one row per unordered frequent pair (item_a < item_b):
+    (item_a, item_b, pair_cnt, support, conf_a_b, conf_b_a, lift),
+    support/confidence/lift as 6dp doubles from exact BIGINT operands
+    (engine-identical: fixed IEEE expression tree, half-up round).
+
+      support  = pair_cnt / n_baskets
+      conf_a_b = P(b | a) = pair_cnt / item_cnt_a   (and symmetrically)
+      lift     = conf_a_b / (item_cnt_b / n_baskets)  -- >1 means the
+                 pair co-occurs more than independence predicts
+
+    Plan: incidence distinct (1 shuffle) -> frequent-singleton prune
+    (broadcast semi-join; Apriori guarantees the list is small, module
+    docstring) -> pair self-join on basket (1 shuffle over the PRUNED
+    relation) -> groupBy(pair) -> support filter -> two broadcast joins
+    attaching singleton counts for the rule metrics. Monotonicity
+    (support(pair) <= support(item)) makes the prune EXACT, not a
+    heuristic. For k>2 itemsets, iterate: join frequent k-itemsets with
+    frequent singletons per basket and re-filter (SON/Apriori) — each
+    level is the same bounded-broadcast + one-shuffle shape.
+    """
+    items = basket_items(df, basket_col, item_col, max_basket_items)
+    freq = frequent_items(items, min_support)  # small by Apriori bound
+    pruned = items.join(F.broadcast(freq.select("item")), "item")
+    a = pruned.select(F.col("basket"), F.col("item").alias("item_a"))
+    b = pruned.select(F.col("basket"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    ca = freq.select(
+        F.col("item").alias("item_a"),
+        F.col("item_cnt").alias("cnt_a"),
+        "n_baskets",
+    )
+    cb = freq.select(F.col("item").alias("item_b"), F.col("item_cnt").alias("cnt_b"))
+    out = pairs.join(F.broadcast(ca), "item_a").join(F.broadcast(cb), "item_b")
+    n = F.col("n_baskets").cast("double")
+    pc = F.col("pair_cnt").cast("double")
+    minc = F.ceil(F.lit(min_support) * n)
+    return (
+        out.filter(F.col("pair_cnt") >= minc)
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            F.round(pc / n, 6).alias("support"),
+            F.round(pc / F.col("cnt_a").cast("double"), 6).alias("conf_a_b"),
+            F.round(pc / F.col("cnt_b").cast("double"), 6).alias("conf_b_a"),
+            F.round(
+                (pc / F.col("cnt_a").cast("double"))
+                / (F.col("cnt_b").cast("double") / n),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -1788,3 +1788,50 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
     "nor cube) with GROUPING() disambiguation of the NULL-vs-'ALL' cells: one "
     "Expand + one aggregate shuffle, identical SQL on both engines",
 )
+
+
+# --------------------------------------------------------------------------
+# Association mining (round 13): Apriori-pruned frequent pair mining with
+# rule metrics — the market-basket family (operators/itemsets.py). The
+# same machinery mines token/tag co-occurrence in training corpora.
+# --------------------------------------------------------------------------
+@register(
+    "frequent_brand_pairs_lineitem",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM items),
+freq AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS item_cnt
+  FROM items GROUP BY item
+  HAVING COUNT(*) >= CEIL(0.02 * (SELECT n_baskets FROM nb))
+),
+pruned AS (SELECT i.basket, i.item FROM items i JOIN freq USING (item)),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+  FROM pruned a JOIN pruned b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, pair_cnt,
+       ROUND(CAST(pair_cnt AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support,
+       ROUND(CAST(pair_cnt AS DOUBLE) / CAST(fa.item_cnt AS DOUBLE), 6) AS conf_a_b,
+       ROUND(CAST(pair_cnt AS DOUBLE) / CAST(fb.item_cnt AS DOUBLE), 6) AS conf_b_a,
+       ROUND((CAST(pair_cnt AS DOUBLE) / CAST(fa.item_cnt AS DOUBLE))
+             / (CAST(fb.item_cnt AS DOUBLE) / CAST(n_baskets AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN freq fa ON item_a = fa.item
+JOIN freq fb ON item_b = fb.item
+CROSS JOIN nb
+WHERE pair_cnt >= CEIL(0.02 * n_baskets)
+""",
+    doc="Apriori-pruned frequent pair mining with association-rule metrics (support / confidence both directions / lift, 6dp doubles from exact BIGINT operands) over order baskets x part brands at 2% relative support: incidence distinct (1 shuffle) -> frequent-singleton broadcast prune (Apriori bound caps survivors at avg_basket/theta items regardless of corpus size, so the broadcast NEVER outgrows the cluster) -> pair self-join on basket over the PRUNED relation (1 shuffle) -> pair aggregate + two broadcast metric joins; monotonicity makes the prune exact, and the n_baskets scalar rides a 1-row broadcast cross join so the whole mining job is one lazy plan with no driver action",
+)
+def frequent_brand_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.itemsets import frequent_pairs
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return frequent_pairs(joined, "l_orderkey", "p_brand", min_support=0.02)
