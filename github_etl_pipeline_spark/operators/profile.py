@@ -243,3 +243,62 @@ def check_foreign_key(
         F.lit(float(threshold)).alias("threshold"),
         (ratio >= F.lit(float(threshold))).alias("passed"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list,
+    k: int,
+    sensitive_col: str,
+    l_diversity: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier columns.
+
+    A row is re-identifiable when its quasi-identifier combination (the
+    columns an adversary can link from outside data) is shared by fewer
+    than ``k`` rows; a group is sensitive-value-poor when it holds fewer
+    than ``l_diversity`` distinct values of ``sensitive_col`` (homogeneity
+    attack: the adversary learns the sensitive value without pinpointing
+    the row). This is the release-gate audit for training corpora built
+    from user-linked records — run it before export, after
+    :func:`~github_etl_pipeline_spark.operators.text.redact_pii` handles
+    free text.
+
+    ONE summary row — tier-robust (never vacuous, counts are counts):
+      n_rows, n_groups, n_violating_groups (size < k), rows_at_risk
+      (rows in violating groups), risk_fraction = rows_at_risk/n_rows
+      (6dp), retained_fraction after suppressing violating groups,
+      min/max_group_size, n_low_diversity_groups (< l_diversity distinct
+      sensitive values), min_l_diversity.
+
+    Scale shape: groupBy(quasi_cols) with count + count_distinct(sensitive)
+    is ONE shuffle on the quasi-identifier (map-side partials; the
+    count_distinct re-expands within the same agg), then a second tiny
+    aggregate over one row per GROUP (already << corpus). Suppression /
+    generalization itself stays with the caller: a semi-join of the
+    violating keys (small by definition when risk is low) or a coarser
+    quasi-identifier bucketing re-audited through this same report.
+    """
+    quasi = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    groups = df.groupBy(*quasi).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct(F.col(sensitive_col)).alias("_l"),
+    )
+    n_rows = F.sum("_n")
+    at_risk = F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(F.lit(0)))
+    return groups.agg(
+        n_rows.alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(F.col("_n") < k).alias("n_violating_groups"),
+        at_risk.alias("rows_at_risk"),
+        F.round(at_risk.cast("double") / n_rows.cast("double"), 6).alias(
+            "risk_fraction"
+        ),
+        F.round(
+            (n_rows - at_risk).cast("double") / n_rows.cast("double"), 6
+        ).alias("retained_fraction"),
+        F.min("_n").alias("min_group_size"),
+        F.max("_n").alias("max_group_size"),
+        F.count_if(F.col("_l") < l_diversity).alias("n_low_diversity_groups"),
+        F.min("_l").alias("min_l_diversity"),
+    )

@@ -385,3 +385,60 @@ def window_rank_extras_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.where(F.col("rn") <= 50).select(
         "event_type", "event_id", "pct_rank", "cume", "second_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy governance: k-anonymity / l-diversity release-gate audit
+# (operators/profile.py::k_anonymity_report). Quasi-identifier =
+# (event_type, event day, value bucket); sensitive = user_id. ONE summary
+# row so the query is never vacuous at any tier (at larger SFs the same
+# quasi-identifier groups GROW, so the violating-group list would thin
+# out; the counts always remain).
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity_events",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CAST(FLOOR(value / 50.0) AS BIGINT) AS value_bucket,
+         CAST(COUNT(*) AS BIGINT) AS _n,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS _l
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(_n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE _n < 5) AS BIGINT) AS n_violating_groups,
+       CAST(SUM(CASE WHEN _n < 5 THEN _n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN _n < 5 THEN _n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(_n) AS DOUBLE), 6) AS risk_fraction,
+       ROUND(CAST(SUM(_n) - SUM(CASE WHEN _n < 5 THEN _n ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(_n) AS DOUBLE), 6) AS retained_fraction,
+       CAST(MIN(_n) AS BIGINT) AS min_group_size,
+       CAST(MAX(_n) AS BIGINT) AS max_group_size,
+       CAST(COUNT(*) FILTER (WHERE _l < 2) AS BIGINT) AS n_low_diversity_groups,
+       CAST(MIN(_l) AS BIGINT) AS min_l_diversity
+FROM g
+""",
+    doc="k-anonymity / l-diversity release-gate audit (k=5, l=2) over quasi-identifier (event_type, event day, value bucket) with user_id sensitive: ONE shuffle on the quasi-identifier computing group size + distinct-sensitive count in the same aggregate, then a tiny group-level rollup to a single summary row (n_rows, violating groups, rows_at_risk, risk/retained fractions 6dp, min/max group size, low-diversity groups) — the pre-export privacy gate for user-linked training corpora, paired with redact_pii for free text; day derives from event_micros (physical-type-drift-proof), bucket from FLOOR of a double division (engine-identical)",
+)
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.functions.epoch import bucket_div_sql, event_micros
+    from github_etl_pipeline_spark.operators.profile import k_anonymity_report
+
+    ev = _t(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        event_micros(ev, "ts").alias("tsu"),
+        F.floor(F.col("value") / F.lit(50.0)).alias("value_bucket"),
+        "user_id",
+    ).select(
+        "event_type",
+        F.expr(bucket_div_sql("tsu", 86400000000)).alias("day"),
+        "value_bucket",
+        "user_id",
+    )
+    return k_anonymity_report(
+        qi, ["event_type", "day", "value_bucket"], k=5, sensitive_col="user_id"
+    )

@@ -150,3 +150,37 @@ def test_metric_kinds_vacuous(spark):
     r = _rows(check_constraints(df, [mean_at_least("v", 7.0)]))["mean_at_least(v)"]
     # empty support: observed pinned to the bound itself -> vacuous pass
     assert (r["num"], r["den"], r["ratio"], r["passed"]) == (0, 0, 7.0, True)
+
+
+def test_k_anonymity_report(spark):
+    from github_etl_pipeline_spark.operators.profile import k_anonymity_report
+
+    # groups: (a: 3 rows, 2 users) ok; (b: 2 rows, 1 user) violates k=3
+    # and l=2; (c: 4 rows, 1 user) meets k but fails diversity
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "qi": ["a", "a", "a", "b", "b", "c", "c", "c", "c"],
+                "u": [1, 2, 1, 3, 3, 4, 4, 4, 4],
+            }
+        )
+    )
+    r = k_anonymity_report(df, ["qi"], k=3, sensitive_col="u").collect()[0]
+    assert (r["n_rows"], r["n_groups"]) == (9, 3)
+    assert (r["n_violating_groups"], r["rows_at_risk"]) == (1, 2)
+    assert r["risk_fraction"] == round(2 / 9, 6)
+    assert r["retained_fraction"] == round(7 / 9, 6)
+    assert (r["min_group_size"], r["max_group_size"]) == (2, 4)
+    assert (r["n_low_diversity_groups"], r["min_l_diversity"]) == (2, 1)
+
+
+def test_k_anonymity_all_safe(spark):
+    from github_etl_pipeline_spark.operators.profile import k_anonymity_report
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"qi": ["a"] * 5, "u": [1, 2, 3, 4, 5]})
+    )
+    r = k_anonymity_report(df, ["qi"], k=5, sensitive_col="u").collect()[0]
+    assert (r["n_violating_groups"], r["rows_at_risk"], r["risk_fraction"]) == (0, 0, 0.0)
+    assert r["retained_fraction"] == 1.0
+    assert r["min_l_diversity"] == 5
