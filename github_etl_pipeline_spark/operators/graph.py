@@ -671,3 +671,154 @@ def pagerank_topk(
         .where(F.col("pos") <= topk)
         .select("pos", id_col, "pr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / clustering coefficients — the graph-structure
+# quality signal for the k-NN similarity graph. MEASURED regime
+# separation (r13, n=1000 d=64, k=3): over the EXACT k-NN graph
+# (exact_knn_edges), avg local cc reads 0.144 on 10 tight Gaussian
+# clusters vs 0.025 on uniform-random vectors — a 5.7x contrast, the
+# regime detector for whether cell-local recall can hold. Over the
+# IVF cell-local build the same corpora read 0.17 vs 0.11: intra-cell
+# edges close wedges by construction, INFLATING random-regime
+# transitivity and compressing the contrast. So: detect the regime on
+# the exact graph of a sample (cheap via the GEMM path), and profile
+# the consumed approximate graph with the same summary to see what
+# PageRank/LPA actually operate on.
+# ---------------------------------------------------------------------------
+def symmetrize_undirected(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Directed (src, dst) -> distinct undirected (a, b) with a < b.
+    One shuffle (the distinct); self-loops dropped."""
+    s, d = F.col(src_col), F.col(dst_col)
+    return (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    return (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def triangle_nodes(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle participation over the undirected graph:
+    (node, d, triangles, local_cc) for every node with >= 1 edge;
+    local_cc = 2*t / (d*(d-1)) rounded 9dp (0.0 where d < 2).
+
+    DEGREE-ORDERED orientation (not id-ordered): every undirected edge
+    points from its (degree, id)-smaller endpoint, so each node's
+    out-degree is bounded by O(sqrt(m)) (the arboricity argument behind
+    the classic MR triangle algorithm) and the wedge self-join emits
+    sum C(outdeg, 2) <= O(m^1.5) rows TOTAL — independent of hub
+    in-degree. This matters precisely for k-NN graphs: out-degree is k
+    by construction but a hub vector appears in MANY nodes' top-k, so
+    undirected degree is unbounded and id-ordering would hand the
+    whole C(hub_deg, 2) wedge blowup to whichever hub has a low id.
+
+    Plan: symmetrize (1 shuffle) -> two degree-attach joins -> oriented
+    wedge self-join on the shared LOW endpoint (1 shuffle on u) ->
+    closing-edge semi-join against the undirected relation (1 shuffle)
+    -> explode each triangle to its 3 members -> count per node. Every
+    relation after the wedge join is bounded by the m^1.5 envelope.
+    """
+    und = symmetrize_undirected(edges, src_col, dst_col).persist()
+    deg = _degrees(und)
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("_db"))
+    e = und.join(da, "a").join(db, "b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oe = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("dv"),
+    )
+    e1 = oe.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = oe.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedge = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = und.select(F.col("a").alias("_ca"), F.col("b").alias("_cb"))
+    tri = wedge.join(
+        closing,
+        (F.least("v1", "v2") == F.col("_ca"))
+        & (F.greatest("v1", "v2") == F.col("_cb")),
+        "leftsemi",
+    )
+    tn = (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.join(tn, "node", "left").select(
+        "node",
+        "d",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(F.col("d") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("triangles", F.lit(0)).cast("double")
+                / (F.col("d") * (F.col("d") - F.lit(1))).cast("double"),
+                9,
+            )
+        )
+        .alias("local_cc"),
+    )
+    return out
+
+
+def triangle_summary(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """ONE-row graph-structure report over the undirected graph:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_cc, avg_local_cc).
+
+    global_cc = 3*triangles / wedges (wedges = sum C(d,2), the closed-
+    wedge fraction); avg_local_cc = mean of the 9dp per-node local
+    coefficients, summed through DECIMAL(18,9) so the mean is order-
+    independent and engine-identical (each term <= 1, so the decimal
+    holds 1e9 nodes with headroom). n_nodes counts nodes with >= 1
+    edge. Built on :func:`triangle_nodes` (same bounded-wedge plan) +
+    one extra global aggregate."""
+    nodes = triangle_nodes(edges, src_col, dst_col)
+    # stage 1: exact BIGINT / DECIMAL aggregates only (no double sums)
+    agg = nodes.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").alias("_sum_d"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+        F.sum("triangles").alias("_tri3"),  # 3x (each triangle at 3 members)
+        F.sum(F.col("local_cc").cast("decimal(18,9)")).alias("_sum_cc"),
+    )
+    # stage 2: derived doubles from the single exact row
+    n_tri = F.expr("_tri3 div 3")
+    return agg.select(
+        "n_nodes",
+        F.expr("_sum_d div 2").alias("n_edges"),
+        "n_wedges",
+        n_tri.alias("n_triangles"),
+        F.round(
+            F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                F.lit(3.0)
+                * n_tri.cast("double")
+                / F.col("n_wedges").cast("double")
+            ),
+            6,
+        ).alias("global_cc"),
+        F.round(
+            F.col("_sum_cc").cast("double") / F.col("n_nodes").cast("double"), 6
+        ).alias("avg_local_cc"),
+    )

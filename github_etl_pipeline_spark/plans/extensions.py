@@ -2041,6 +2041,83 @@ def lpa_communities_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Graph structure profiling: triangle counting / clustering coefficients
+# over the SAME k-NN similarity graph PageRank and LPA consume. Measured
+# (r13, tests/test_triangles.py): on the EXACT graph avg local cc
+# separates clustered vs random corpora 0.144 vs 0.025 (the regime
+# detector for whether cell-local recall can hold); on the cell-local
+# build the contrast compresses to 0.17 vs 0.11 because intra-cell edges
+# close wedges by construction. This registered query profiles the
+# CONSUMED approximate graph; regime detection runs the same summary
+# over exact_knn_edges of a sample (GEMM path).
+# ---------------------------------------------------------------------------
+def _triangle_oracle() -> str:
+    return f"""
+WITH {_ivf_ctes(n_centroids_sql=_SEMDEDUP_CELLS_SQL)},
+{_knn_edges_cte(3)},
+und AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src != dst GROUP BY 1, 2
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node
+),
+oe AS MATERIALIZED (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN u.b ELSE u.a END AS v,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b) THEN db.d ELSE da.d END AS dv
+  FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b
+),
+tri AS MATERIALIZED (
+  SELECT e1.u AS u, e1.v AS v1, e2.v AS v2
+  FROM oe e1 JOIN oe e2 ON e1.u = e2.u
+  WHERE (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+    AND EXISTS (SELECT 1 FROM und t
+                WHERE t.a = LEAST(e1.v, e2.v) AND t.b = GREATEST(e1.v, e2.v))
+),
+tn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT u AS node FROM tri UNION ALL
+        SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)
+  GROUP BY node
+),
+pernode AS (
+  SELECT deg.node, deg.d, COALESCE(tn.t, 0) AS t,
+         CASE WHEN deg.d < 2 THEN 0.0
+              ELSE ROUND(2.0 * CAST(COALESCE(tn.t, 0) AS DOUBLE)
+                         / CAST(deg.d * (deg.d - 1) AS DOUBLE), 9) END AS local_cc
+  FROM deg LEFT JOIN tn USING (node)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+       CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+       CAST(SUM(t) // 3 AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN SUM(d * (d - 1) // 2) = 0 THEN 0.0
+             ELSE 3.0 * CAST(SUM(t) // 3 AS DOUBLE)
+                  / CAST(SUM(d * (d - 1) // 2) AS DOUBLE) END, 6) AS global_cc,
+       ROUND(CAST(SUM(CAST(local_cc AS DECIMAL(18,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS avg_local_cc
+FROM pernode
+"""
+
+
+@register(
+    "triangle_stats_similarity_graph",
+    oracle=_triangle_oracle(),
+    doc="triangle count + clustering coefficients over the IVF-built k-NN similarity graph (same edge build as pagerank/LPA): DEGREE-ORDERED edge orientation bounds every node's out-degree by O(sqrt(m)) (arboricity), so the wedge self-join emits <= O(m^1.5) rows TOTAL regardless of hub in-degree — the skew that matters for k-NN graphs, where out-degree is k by construction but hub vectors appear in many top-k lists; plan = symmetrize distinct + 2 degree joins + wedge self-join on the low endpoint + closing-edge semi-join + explode-to-members count; one summary row (n_nodes/edges/wedges/triangles, global_cc = closed-wedge fraction, avg_local_cc through an exact DECIMAL(18,9) sum). Profiles the CONSUMED approximate graph; for corpus-regime detection run the same summary over exact_knn_edges of a sample — measured avg_local_cc separates clustered/random 0.144 vs 0.025 on the exact graph but only 0.17 vs 0.11 cell-locally (intra-cell edges inflate transitivity). Oracle unrolls the k-means, the graph build, the orientation, and the wedge closure",
+)
+def triangle_stats_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.graph import (
+        knn_graph_ivf,
+        triangle_summary,
+    )
+
+    return triangle_summary(knn_graph_ivf(_emb_raw(spark, sf_dir), k=3))
+
+
+# ---------------------------------------------------------------------------
 # k-NN graph recall floor (VERDICT r11 #1): the IVF/LSH/PQ recall-floor
 # pattern applied to the graph build itself. PageRank and LPA consume the
 # cell-local (n_probe=1) approximate graph; this query measures, per exact
