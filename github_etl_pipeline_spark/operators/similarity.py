@@ -1006,3 +1006,103 @@ def cosine_topk_gemm(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (Gonzalez farthest-first traversal): diverse
+# subset selection — the coverage-oriented complement of semdedup
+# (which REMOVES redundancy; this PICKS the spanning representatives,
+# the "facility location" curation primitive for eval-set construction
+# and diverse fine-tuning subsets). Greedy k-center is a provable
+# 2-approximation of the optimal covering radius.
+# ---------------------------------------------------------------------------
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-first traversal in cosine distance: (pos, id, radius).
+
+    Round 1 seeds at the smallest id (deterministic, engine-portable);
+    each later round picks the point with the LARGEST min-distance to
+    the chosen set (9dp-rounded cosine distance, ties -> lower id) and
+    emits it with ``radius`` = that distance, so row k's radius is the
+    covering radius the first k-1 centers achieve — the classic
+    monotone coverage curve, read directly off the output.
+
+    Scale shape: per round, ONE corpus pass updating the running
+    min-distance against the single new center (a collected 1-row
+    vector embedded as an array literal — driver-bounded by
+    construction, k rows total) + one TakeOrdered(1) argmax; k rounds
+    total, over a persisted narrow (id, vec, norm, mind) relation. The
+    min-distance update is incremental — each round compares against
+    ONE center, never re-scanning the chosen set, so total cost is
+    O(k * n * dim) with NO quadratic term. The dot products ride the
+    JVM fold expression (fine at one center per round); a GEMM batch
+    variant only pays off when selecting thousands of centers.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = (
+        emb.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .withColumn("_nv", norm_expr(F.col("_v")))
+        .persist()
+    )
+
+    def _center_lit(row) -> tuple[Column, Column]:
+        arr = F.expr(
+            "array(" + ",".join(repr(float(x)) for x in row["_v"]) + ")"
+        )
+        return arr, F.lit(float(row["_nv"]))
+
+    first = base.orderBy(F.asc("_id")).limit(1).collect()[0]
+    cv, cnv = _center_lit(first)
+    cur = base.select(
+        "_id",
+        "_v",
+        "_nv",
+        F.round(
+            F.lit(1.0) - dot_expr(F.col("_v"), cv) / (F.col("_nv") * cnv), 9
+        ).alias("_mind"),
+    )
+    out_rows = [(1, first["_id"], None)]
+    chosen = [first["_id"]]
+    for pos in range(2, k + 1):
+        cur = cur.persist()
+        # exclude already-chosen ids: duplicate vectors sit at distance 0
+        # and must not re-select a center (k ids -> a tiny isin literal)
+        top = (
+            cur.filter(~F.col("_id").isin(chosen))
+            .orderBy(F.desc("_mind"), F.asc("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # k exceeds the corpus: emit what exists
+            break
+        nxt = top[0]
+        out_rows.append((pos, nxt["_id"], float(nxt["_mind"])))
+        chosen.append(nxt["_id"])
+        cv, cnv = _center_lit(nxt)
+        prev = cur
+        cur = cur.select(
+            "_id",
+            "_v",
+            "_nv",
+            F.least(
+                F.col("_mind"),
+                F.round(
+                    F.lit(1.0) - dot_expr(F.col("_v"), cv) / (F.col("_nv") * cnv),
+                    9,
+                ),
+            ).alias("_mind"),
+        )
+        prev.unpersist()
+    base.unpersist()
+    spark = emb.sparkSession
+    id_type = emb.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out_rows, f"pos INT, {id_col} {id_type}, radius DOUBLE"
+    )

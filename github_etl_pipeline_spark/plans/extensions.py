@@ -3706,3 +3706,58 @@ def containment_gram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_gram_pairs(
         corpus, threshold=_CGRAM_THRESHOLD, max_doc_freq=_CGRAM_MAX_DF
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (Gonzalez farthest-first): diverse spanning
+# representatives — the coverage complement of semdedup's redundancy
+# removal. The oracle unrolls all 8 greedy rounds (seed -> min-distance
+# CTE -> excluded argmax -> incremental LEAST update), mirroring the
+# operator's incremental one-center-per-round min-distance maintenance.
+# ---------------------------------------------------------------------------
+_KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int = _KCENTER_K) -> str:
+    ctes = [
+        "en AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+        "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "CAST(embedding AS DOUBLE[]))) AS nv FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id, v, nv FROM en ORDER BY vec_id ASC LIMIT 1)",
+        "d1 AS MATERIALIZED (SELECT en.vec_id, en.v, en.nv, "
+        "ROUND(1 - list_dot_product(en.v, c1.v)/(en.nv*c1.nv), 9) AS mind "
+        "FROM en CROSS JOIN c1)",
+    ]
+    for j in range(2, k + 1):
+        excl = " AND ".join(
+            f"vec_id != (SELECT vec_id FROM c{i})" for i in range(1, j)
+        )
+        ctes.append(
+            f"c{j} AS MATERIALIZED (SELECT vec_id, v, nv, mind FROM d{j - 1} "
+            f"WHERE {excl} ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+        )
+        if j < k:
+            ctes.append(
+                f"d{j} AS MATERIALIZED (SELECT d.vec_id, d.v, d.nv, "
+                f"LEAST(d.mind, ROUND(1 - list_dot_product(d.v, c.v)/(d.nv*c.nv), 9)) AS mind "
+                f"FROM d{j - 1} d CROSS JOIN c{j} c)"
+            )
+    selects = [
+        "SELECT 1 AS pos, (SELECT vec_id FROM c1) AS vec_id, CAST(NULL AS DOUBLE) AS radius"
+    ]
+    for j in range(2, k + 1):
+        selects.append(
+            f"SELECT {j}, (SELECT vec_id FROM c{j}), (SELECT mind FROM c{j})"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "kcenter_coreset_embeddings",
+    oracle=_kcenter_oracle(),
+    doc=f"k-center greedy coreset (Gonzalez farthest-first, {_KCENTER_K} centers, 9dp cosine distance, ties -> lower id): diverse spanning representatives with the provable 2-approximation of the optimal covering radius — the coverage-oriented curation primitive (eval-set seeds, diverse fine-tuning subsets) complementing semdedup's redundancy removal; row k's radius IS the covering radius of the first k-1 centers, so the output reads as the monotone coverage curve. Per round: ONE corpus pass updating the running min-distance against the single new center (collected 1-row vector as an array literal — driver-bounded, k rows total) + one TakeOrdered(1) argmax; incremental maintenance means NO quadratic term, O(k*n*dim) total; duplicate vectors sit at distance 0 and are excluded from re-selection by id. Oracle unrolls all rounds",
+)
+def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.similarity import kcenter_coreset
+
+    return kcenter_coreset(_emb_raw(spark, sf_dir), k=_KCENTER_K)
