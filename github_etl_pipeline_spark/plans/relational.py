@@ -1835,3 +1835,47 @@ def frequent_brand_pairs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = li.join(part, li.l_partkey == part.p_partkey)
     return frequent_pairs(joined, "l_orderkey", "p_brand", min_support=0.02)
+
+
+# --------------------------------------------------------------------------
+# Warehouse dimension maintenance (round 13): type-2 SCD rebuild from a
+# change log in ONE key shuffle (operators/diff.py::scd2_intervals) —
+# lag() detects state changes, lead() closes half-open [from, to)
+# validity intervals, both windows sharing one (key, order) exchange.
+# --------------------------------------------------------------------------
+@register(
+    "scd2_user_status_events",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type AS status, epoch_us(ts) AS tsu, event_id FROM events
+),
+m AS (
+  SELECT *,
+         LAG(status) OVER w AS prev,
+         ROW_NUMBER() OVER w AS rn
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+),
+v AS (
+  SELECT user_id, status, tsu AS valid_from, event_id
+  FROM m WHERE rn = 1 OR prev IS DISTINCT FROM status
+)
+SELECT user_id, status, valid_from,
+       LEAD(valid_from) OVER w2 AS valid_to,
+       LEAD(valid_from) OVER w2 IS NULL AS is_current
+FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+""",
+    doc="type-2 slowly-changing dimension REBUILT from the event log in ONE shuffle on the business key (user_id; status = event_type, effective time = event micros, event_id tiebreak): lag() detects attribute changes (null-safe struct compare -- re-stating an unchanged state opens NO new version, the standard SCD2 ingestion dedup), lead() closes half-open [valid_from, valid_to) intervals, NULL valid_to marks the current version; both windows share one (key, order) partitioning so Catalyst plans a single exchange + sort -- vs the textbook per-batch MERGE join; incremental maintenance composes with snapshot_diff over only the affected keys",
+)
+def scd2_user_status_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.diff import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        event_micros(ev, "ts").alias("tsu"),
+        "event_id",
+    )
+    return scd2_intervals(
+        e, ["user_id"], ["status"], "tsu", tiebreak_cols=["event_id"]
+    )
