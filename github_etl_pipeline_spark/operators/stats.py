@@ -157,3 +157,50 @@ def pool_extended_stats(parsed: DataFrame, k: int = 10, rounding: str = "bankers
         out = out.join(samples, "source_file", "left")
 
     return out
+
+
+def streak_summary(
+    df: DataFrame, key_cols: list[str], seq_col: str
+) -> DataFrame:
+    """Gaps-and-islands: per key, runs of CONSECUTIVE integer sequence
+    values (days, hours, epochs — caller buckets first). Output one row
+    per key: (keys..., n_active, n_streaks, longest_streak,
+    longest_streak_start) where longest_streak_start is the sequence
+    value opening the earliest longest run (deterministic tie-break).
+
+    The classic formulation: within a key, distinct sequence values get
+    row_number(); ``seq - rn`` is constant exactly along a consecutive
+    run, so grouping by it labels the islands with zero self-joins.
+
+    Scale shape: distinct (key, seq) is one shuffle; the row_number
+    window repartitions on the key alone (second, post-dedup exchange
+    over the already-collapsed narrow relation — |keys x active seqs|
+    rows, not corpus rows); the island groupBy and the final per-key
+    rollup both ride the window's hash(key) partitioning, so no further
+    exchange. Heavy keys cost one sort of their active-seq list, never
+    an array collect.
+    """
+    keys = [F.col(c) for c in key_cols]
+    d = df.select(*keys, F.col(seq_col).cast("long").alias("_seq")).distinct()
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_seq").asc())
+    grp = (F.col("_seq") - F.row_number().over(w)).alias("_grp")
+    islands = (
+        d.select(*keys, "_seq", grp)
+        .groupBy(*key_cols, "_grp")
+        .agg(
+            F.count(F.lit(1)).alias("_len"),
+            F.min("_seq").alias("_start"),
+        )
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(
+        F.col("_len").desc(), F.col("_start").asc()
+    )
+    ranked = islands.withColumn("_rk", F.row_number().over(w2))
+    return ranked.groupBy(*key_cols).agg(
+        F.sum("_len").alias("n_active"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("_len").alias("longest_streak"),
+        F.min(F.when(F.col("_rk") == 1, F.col("_start"))).alias(
+            "longest_streak_start"
+        ),
+    )

@@ -1879,3 +1879,41 @@ def scd2_user_status_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(
         e, ["user_id"], ["status"], "tsu", tiebreak_cols=["event_id"]
     )
+
+
+@register(
+    "activity_streaks_events",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS seq FROM events
+),
+g AS (
+  SELECT user_id, seq,
+         seq - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq ASC) AS grp
+  FROM d
+),
+i AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+         MIN(seq) AS start FROM g GROUP BY user_id, grp
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY len DESC, start ASC) AS rk
+  FROM i
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       MIN(CASE WHEN rk = 1 THEN start END) AS longest_streak_start
+FROM r GROUP BY user_id
+""",
+    doc="gaps-and-islands consecutive-day activity streaks per user (operators/stats.py::streak_summary): distinct (user, day) -> seq - row_number() labels consecutive runs with ZERO self-joins (the classic islands trick) -> island lengths -> per-user rollup with the earliest longest run's start; the dedup is one shuffle, the window repartitions the already-collapsed narrow relation on the key, and the island groupBy + rollup + rank all ride that same hash(user) partitioning -- heavy users cost one sort of their day list, never an array collect",
+)
+def activity_streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.stats import streak_summary
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", event_micros(ev, "ts").alias("tsu")).select(
+        "user_id", F.expr(bucket_div_sql("tsu", 86400000000)).alias("day")
+    )
+    return streak_summary(e, ["user_id"], "day")

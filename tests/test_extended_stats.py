@@ -1,6 +1,7 @@
 """M6: README-era extended statistics vs the worked example
 (README.md:53-105 for Pool_0201_395.pol — values verified in SURVEY §5)."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -104,3 +105,34 @@ def test_bm25_ranked_retrieval_matches_reference_formula(spark):
         assert abs(got[d] - score(d)) < 1e-9, (d, got[d], score(d))
     # doc 1 carries both terms -> outranks the single-term docs
     assert got[1] > got[2]
+
+
+def test_streak_summary(spark):
+    from github_etl_pipeline_spark.operators.stats import streak_summary
+
+    rows = [
+        # u: days 1,2,3 | 7 | 9,10 -> longest 3 from 1; dup day 2 ignored
+        ("u", 1), ("u", 2), ("u", 2), ("u", 3), ("u", 7), ("u", 9), ("u", 10),
+        # v: two runs of equal length 2 -> earliest start wins (4)
+        ("v", 4), ("v", 5), ("v", 8), ("v", 9),
+        # w: single day
+        ("w", 42),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "day"]))
+    out = {r["k"]: r for r in streak_summary(df, ["k"], "day").collect()}
+    assert (out["u"]["n_active"], out["u"]["n_streaks"]) == (6, 3)
+    assert (out["u"]["longest_streak"], out["u"]["longest_streak_start"]) == (3, 1)
+    assert (out["v"]["longest_streak"], out["v"]["longest_streak_start"]) == (2, 4)
+    assert (out["w"]["n_active"], out["w"]["n_streaks"], out["w"]["longest_streak"]) == (1, 1, 1)
+    assert out["w"]["longest_streak_start"] == 42
+
+
+def test_streak_negative_days(spark):
+    # pre-epoch sequence values: consecutive negatives still chain
+    from github_etl_pipeline_spark.operators.stats import streak_summary
+
+    df = spark.createDataFrame(
+        pd.DataFrame([("u", -3), ("u", -2), ("u", 0)], columns=["k", "day"])
+    )
+    r = streak_summary(df, ["k"], "day").collect()[0]
+    assert (r["longest_streak"], r["longest_streak_start"], r["n_streaks"]) == (2, -3, 2)
