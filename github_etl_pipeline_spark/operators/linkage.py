@@ -1,0 +1,100 @@
+"""Probabilistic record linkage (Fellegi-Sunter) with blocking.
+
+Entity resolution ACROSS two relations — the cross-table sibling of the
+dedup family (which resolves within one corpus): candidate pairs from an
+equality-blocking join, per-field agreement comparators (exact,
+character-n-gram Jaccard, numeric proximity), and the Fellegi-Sunter
+log-likelihood-ratio score sum(log2(m_i/u_i)) over agreeing fields +
+sum(log2((1-m_i)/(1-u_i))) over disagreeing ones, thresholded into
+match/non-match. m = P(agree | same entity), u = P(agree | different
+entities) — supplied by the caller (from labeled pairs or domain
+knowledge; EM estimation is the standard unsupervised extension and
+would iterate exactly this scoring plan).
+
+Engine-portability: the log2 weights are computed ONCE in Python and
+embedded as literals (6dp) — never evaluated by engine libm, so Spark
+and any SQL oracle agree bit-for-bit; Jaccard similarities are
+single-division doubles rounded 6dp from exact set-size integers.
+
+Scale shape (100 TB): the ONLY corpus-scale operation is the blocking
+equi-join (one shuffle per side on the block key); scoring is a pure
+projection over candidate pairs. Candidate volume is sum_b |L_b|*|R_b|,
+so BLOCKING SELECTIVITY IS THE SCALE KNOB: a fixed-cardinality key
+degrades O(n^2/B) as the corpus grows — block on high-cardinality
+stable prefixes (or LSH/sorted-neighborhood keys) so block SIZE stays
+bounded as n grows, exactly like the dedup family's banding. Skewed
+blocks are visible via a groupBy(block).count() profile and split with
+the standard salting levers.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_ngram_set(col: str, n: int = 3) -> Column:
+    """DISTINCT character n-grams of a string column (SQL-generated, no
+    UDF); strings shorter than n contribute themselves as one gram."""
+    grams = (
+        f"CASE WHEN length({col}) < {n} THEN array({col}) "
+        f"ELSE transform(sequence(1, length({col}) - {n - 1}), "
+        f"i -> substring({col}, i, {n})) END"
+    )
+    return F.array_distinct(F.expr(grams))
+
+
+def jaccard_sim(a_col: str, b_col: str, n: int = 3) -> Column:
+    """Character-n-gram Jaccard |A&B| / |A|B| as a 6dp double from exact
+    integer set sizes (union via |A|+|B|-|A&B| — operands are DISTINCT
+    gram arrays, so the size arithmetic is exact)."""
+    a, b = char_ngram_set(a_col, n), char_ngram_set(b_col, n)
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.round(
+        F.when(union == 0, F.lit(0.0)).otherwise(
+            inter.cast("double") / union.cast("double")
+        ),
+        6,
+    )
+
+
+def fs_weights(m: float, u: float) -> tuple[float, float]:
+    """(agreement, disagreement) log2 weights, rounded 6dp in PYTHON so
+    both engines consume identical literals."""
+    if not (0.0 < u < m < 1.0):
+        raise ValueError("need 0 < u < m < 1")
+    return (round(math.log2(m / u), 6), round(math.log2((1 - m) / (1 - u)), 6))
+
+
+def fs_score(agreements: list[tuple[Column, float, float]]) -> Column:
+    """Fellegi-Sunter match score: per (agree_flag, m, u) add the
+    agreement weight when the flag holds else the disagreement weight;
+    6dp-rounded sum of 6dp literals."""
+    total = F.lit(0.0)
+    for flag, m, u in agreements:
+        wa, wd = fs_weights(m, u)
+        total = total + F.when(flag, F.lit(wa)).otherwise(F.lit(wd))
+    return F.round(total, 6)
+
+
+def link_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    score: Column,
+    threshold: float,
+    select: list | None = None,
+) -> DataFrame:
+    """Equality-blocking candidate join + score filter. ``left`` and
+    ``right`` must already expose the block columns under the same
+    names; ``score`` is built from ``fs_score`` over comparator columns
+    of the joined relation. One shuffle per side on the block key;
+    everything downstream is a projection."""
+    cand = left.join(right, block_cols)
+    out = cand.withColumn("score", score).filter(
+        F.col("score") >= F.lit(float(threshold))
+    )
+    return out.select(*select) if select else out

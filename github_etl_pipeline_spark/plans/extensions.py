@@ -3761,3 +3761,147 @@ def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.operators.similarity import kcenter_coreset
 
     return kcenter_coreset(_emb_raw(spark, sf_dir), k=_KCENTER_K)
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (operators/linkage.py): Fellegi-Sunter
+# scoring over blocked candidate pairs — entity resolution ACROSS two
+# relations (the cross-table sibling of the dedup family). The "incoming
+# batch" is a seeded deterministic corruption of every 7th customer
+# (md5-synthesized address/phone fields, portable to the oracle): drop
+# the address's 3rd char, overwrite the phone's 8th char, shift the
+# balance 0.5 — so ground truth is known and the match set is exact.
+# ---------------------------------------------------------------------------
+_FS_FIELDS = {  # (m, u) per comparator
+    "addr": (0.95, 0.01),
+    "phone": (0.9, 0.001),
+    "bal": (0.9, 0.05),
+}
+_FS_THRESHOLD = 5.0
+
+
+def _linkage_oracle() -> str:
+    from github_etl_pipeline_spark.operators.linkage import fs_weights
+
+    (waa, wda), (wap, wdp), (wab, wdb) = (
+        fs_weights(*_FS_FIELDS["addr"]),
+        fs_weights(*_FS_FIELDS["phone"]),
+        fs_weights(*_FS_FIELDS["bal"]),
+    )
+    return f"""
+WITH l AS (
+  SELECT c_custkey AS left_id, c_nationkey AS nation,
+         md5(CAST(c_custkey AS VARCHAR)) AS addr,
+         substr(md5('p' || CAST(c_custkey AS VARCHAR)), 1, 12) AS phone,
+         c_acctbal AS bal
+  FROM customer
+),
+r AS (
+  SELECT left_id + 1000000 AS right_id, nation,
+         substr(addr, 1, 2) || substr(addr, 4) AS r_addr,
+         substr(phone, 1, 7) || '0' || substr(phone, 9) AS r_phone,
+         bal + 0.5 AS r_bal
+  FROM l WHERE left_id % 7 = 0
+),
+cand AS (
+  SELECT l.left_id, r.right_id, l.addr, r.r_addr,
+         l.phone = r.r_phone AS agree_phone_b,
+         ABS(l.bal - r.r_bal) <= 1.0 AS agree_bal_b
+  FROM l JOIN r ON l.nation = r.nation
+              AND substr(l.addr, 1, 2) = substr(r.r_addr, 1, 2)
+),
+g AS (
+  SELECT *,
+    list_distinct(list_transform(range(1, length(addr) - 1),
+                                 i -> substr(addr, i, 3))) AS ga,
+    list_distinct(list_transform(range(1, length(r_addr) - 1),
+                                 i -> substr(r_addr, i, 3))) AS gb
+  FROM cand
+),
+sc AS (
+  SELECT left_id, right_id, agree_phone_b, agree_bal_b,
+    ROUND(CASE WHEN len(ga) + len(gb) - len(list_intersect(ga, gb)) = 0 THEN 0.0
+          ELSE CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+               / CAST(len(ga) + len(gb) - len(list_intersect(ga, gb)) AS DOUBLE)
+          END, 6) >= 0.6 AS agree_addr_b
+  FROM g
+)
+SELECT left_id, right_id,
+       CAST(agree_addr_b AS INT) AS agree_addr,
+       CAST(agree_phone_b AS INT) AS agree_phone,
+       CAST(agree_bal_b AS INT) AS agree_bal,
+       ROUND(0.0 + (CASE WHEN agree_addr_b THEN {waa} ELSE {wda} END)
+                 + (CASE WHEN agree_phone_b THEN {wap} ELSE {wdp} END)
+                 + (CASE WHEN agree_bal_b THEN {wab} ELSE {wdb} END), 6) AS score
+FROM sc
+WHERE ROUND(0.0 + (CASE WHEN agree_addr_b THEN {waa} ELSE {wda} END)
+                + (CASE WHEN agree_phone_b THEN {wap} ELSE {wdp} END)
+                + (CASE WHEN agree_bal_b THEN {wab} ELSE {wdb} END), 6) >= {_FS_THRESHOLD}
+"""
+
+
+@register(
+    "record_linkage_customers",
+    oracle=_linkage_oracle(),
+    doc=f"Fellegi-Sunter probabilistic record linkage with blocking (operators/linkage.py): candidate pairs from an equality-blocking join on (nation, 2-char address prefix) -- the prefix survives the seeded corruption, and blocking selectivity is the scale knob (fixed-cardinality keys degrade O(n^2/B); high-cardinality stable prefixes keep block size bounded, the dedup family's banding argument) -- then per-field agreement (char-3-gram Jaccard >= 0.6 on the address, exact phone, balance within 1.0) weighted by log2 likelihood ratios COMPUTED IN PYTHON and embedded as identical literals in both engines (never engine libm), summed and thresholded at {_FS_THRESHOLD}; the incoming batch is every 7th customer deterministically corrupted (drop addr char 3, overwrite phone char 8, +0.5 balance), so the expected match set is exact: one pair per corrupted row, each surviving via addr+bal agreement with phone disagreeing unless the overwritten digit collides",
+)
+def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from github_etl_pipeline_spark.operators.linkage import (
+        fs_score,
+        jaccard_sim,
+        link_blocked,
+    )
+
+    cust = read_table(spark, sf_dir, "customer")
+    l = cust.select(
+        F.col("c_custkey").alias("left_id"),
+        F.col("c_nationkey").alias("nation"),
+        F.md5(F.col("c_custkey").cast("string")).alias("addr"),
+        F.substring(
+            F.md5(F.concat(F.lit("p"), F.col("c_custkey").cast("string"))), 1, 12
+        ).alias("phone"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    r = (
+        l.filter(F.col("left_id") % 7 == 0)
+        .select(
+            (F.col("left_id") + 1000000).alias("right_id"),
+            "nation",
+            F.concat(
+                F.expr("substring(addr, 1, 2)"), F.expr("substring(addr, 4)")
+            ).alias("r_addr"),
+            F.concat(
+                F.expr("substring(phone, 1, 7)"),
+                F.lit("0"),
+                F.expr("substring(phone, 9)"),
+            ).alias("r_phone"),
+            (F.col("bal") + F.lit(0.5)).alias("r_bal"),
+        )
+    )
+    lb = l.withColumn("blk", F.expr("substring(addr, 1, 2)"))
+    rb = r.withColumn("blk", F.expr("substring(r_addr, 1, 2)"))
+    agree_addr = jaccard_sim("addr", "r_addr") >= F.lit(0.6)
+    agree_phone = F.col("phone") == F.col("r_phone")
+    agree_bal = F.abs(F.col("bal") - F.col("r_bal")) <= F.lit(1.0)
+    score = fs_score(
+        [
+            (agree_addr, *_FS_FIELDS["addr"]),
+            (agree_phone, *_FS_FIELDS["phone"]),
+            (agree_bal, *_FS_FIELDS["bal"]),
+        ]
+    )
+    return link_blocked(
+        lb,
+        rb,
+        ["nation", "blk"],
+        score,
+        _FS_THRESHOLD,
+        select=[
+            "left_id",
+            "right_id",
+            agree_addr.cast("int").alias("agree_addr"),
+            agree_phone.cast("int").alias("agree_phone"),
+            agree_bal.cast("int").alias("agree_bal"),
+            "score",
+        ],
+    )
