@@ -3905,3 +3905,76 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitoring: chi-square term-distribution divergence of one
+# source against the rest of the corpus — the mix-monitoring counterpart
+# of dsir/top_terms (which score documents/terms WITHIN a distribution).
+# Log-free by design: the chi-square statistic is pure +-*/ arithmetic on
+# BIGINT counts, engine-identical where KL/JS divergence would ride
+# last-ulp-divergent libm logs.
+# ---------------------------------------------------------------------------
+_DRIFT_SRC = "src0"
+_DRIFT_TOPK = 20
+
+
+@register(
+    "term_drift_documents",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(text, '{{TOKEN_RE}}')) AS term FROM documents
+),
+per AS (
+  SELECT term,
+         CAST(COUNT(*) FILTER (WHERE source = '{_DRIFT_SRC}') AS BIGINT) AS n_src,
+         CAST(COUNT(*) FILTER (WHERE source != '{_DRIFT_SRC}') AS BIGINT) AS n_rest
+  FROM tok GROUP BY term
+),
+tot AS (
+  SELECT CAST(SUM(n_src) AS BIGINT) AS a_tot, CAST(SUM(n_rest) AS BIGINT) AS b_tot
+  FROM per
+),
+sc AS (
+  SELECT term, n_src, n_rest,
+         ROUND(
+           ((CAST(n_src AS DOUBLE) - ea) * (CAST(n_src AS DOUBLE) - ea)) / ea
+         + ((CAST(n_rest AS DOUBLE) - eb) * (CAST(n_rest AS DOUBLE) - eb)) / eb, 6) AS chi2
+  FROM (
+    SELECT term, n_src, n_rest,
+           CAST(n_src + n_rest AS DOUBLE) * (CAST(a_tot AS DOUBLE) / CAST(a_tot + b_tot AS DOUBLE)) AS ea,
+           CAST(n_src + n_rest AS DOUBLE) * (CAST(b_tot AS DOUBLE) / CAST(a_tot + b_tot AS DOUBLE)) AS eb
+    FROM per CROSS JOIN tot
+  )
+)
+SELECT term, n_src, n_rest, chi2 FROM sc
+ORDER BY chi2 DESC, term ASC LIMIT {_DRIFT_TOPK}
+""".replace("{TOKEN_RE}", TOKEN_RE),
+    doc=f"chi-square term-drift report of source '{_DRIFT_SRC}' vs the rest of the corpus (top-{_DRIFT_TOPK} divergent terms): ONE tokenize pass -> per-term (n_src, n_rest) via two count_ifs in one aggregate -> totals as a second aggregate over the SKINNY per-term relation (never a second corpus scan) broadcast back by a 1-row cross join -> pure-arithmetic 2x2 chi-square (x*x, no pow, no log -- engine-identical where KL/JS would diverge on libm) -> TakeOrderedAndProject; the corpus-mix monitoring gate: run per source after each ingest batch and alert on new high-chi2 terms",
+)
+def term_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "source",
+        F.explode(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).alias("term"),
+    )
+    per = tok.groupBy("term").agg(
+        F.count_if(F.col("source") == _DRIFT_SRC).alias("n_src"),
+        F.count_if(F.col("source") != _DRIFT_SRC).alias("n_rest"),
+    )
+    tot = per.agg(
+        F.sum("n_src").alias("a_tot"), F.sum("n_rest").alias("b_tot")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    a = F.col("n_src").cast("double")
+    b = F.col("n_rest").cast("double")
+    at = F.col("a_tot").cast("double")
+    bt = F.col("b_tot").cast("double")
+    ea = (F.col("n_src") + F.col("n_rest")).cast("double") * (at / (at + bt))
+    eb = (F.col("n_src") + F.col("n_rest")).cast("double") * (bt / (at + bt))
+    chi2 = F.round(((a - ea) * (a - ea)) / ea + ((b - eb) * (b - eb)) / eb, 6)
+    return (
+        j.select("term", "n_src", "n_rest", chi2.alias("chi2"))
+        .orderBy(F.col("chi2").desc(), F.col("term").asc())
+        .limit(_DRIFT_TOPK)
+    )
