@@ -733,7 +733,12 @@ def triangle_nodes(
     relation after the wedge join is bounded by the m^1.5 envelope.
     """
     und = symmetrize_undirected(edges, src_col, dst_col).persist()
-    deg = _degrees(und)
+    # deg is referenced three times (two orientation joins + the final
+    # rollup) and oe twice (both wedge sides): persist both, or every
+    # reference re-derives its whole lineage at runtime — the exchange
+    # audit read 54 for the registered query before these persists,
+    # 15 after (PLANS.md)
+    deg = _degrees(und).persist()
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("_da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("_db"))
     e = und.join(da, "a").join(db, "b")
@@ -744,7 +749,7 @@ def triangle_nodes(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("dv"),
-    )
+    ).persist()
     e1 = oe.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
     e2 = oe.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
     wedge = e1.join(e2, "u").filter(

@@ -196,7 +196,16 @@ def _count_exchanges(jplan, seen_cached) -> int:
     if name.startswith("InMemoryTableScan"):
         try:
             rel = jplan.relation()
-            key = rel.hashCode()
+            # dedup by the shared CachedRDDBuilder, NOT the relation:
+            # every IMTS reference wraps its own InMemoryRelation copy
+            # (withOutput remaps attribute ids), so rel.hashCode()
+            # differs per reference and the fill-plan was double-counted
+            # for every multi-referenced cache (measured r13:
+            # frequent_brand_pairs read 29 that way, 13 real)
+            try:
+                key = rel.cacheBuilder().hashCode()
+            except Exception:
+                key = rel.hashCode()
             if key not in seen_cached:
                 seen_cached.add(key)
                 n += _count_exchanges(rel.cachedPlan(), seen_cached)
