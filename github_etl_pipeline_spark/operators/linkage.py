@@ -98,3 +98,20 @@ def link_blocked(
         F.col("score") >= F.lit(float(threshold))
     )
     return out.select(*select) if select else out
+
+
+def jaccard_sim_grams(a_grams: Column, b_grams: Column) -> Column:
+    """Jaccard over PRE-COMPUTED distinct-gram array columns — project
+    :func:`char_ngram_set` onto each SIDE before the blocking join so
+    every record's grams are built once, not once per candidate pair
+    (at block size b the per-pair form does b x the gram work; measured
+    on record_linkage_customers' r13 probe, gram precompute + selective
+    blocking turned an alpha ~1.8 tier step linear)."""
+    inter = F.size(F.array_intersect(a_grams, b_grams))
+    union = F.size(a_grams) + F.size(b_grams) - inter
+    return F.round(
+        F.when(union == 0, F.lit(0.0)).otherwise(
+            inter.cast("double") / union.cast("double")
+        ),
+        6,
+    )

@@ -3798,7 +3798,7 @@ WITH l AS (
 ),
 r AS (
   SELECT left_id + 1000000 AS right_id, nation,
-         substr(addr, 1, 2) || substr(addr, 4) AS r_addr,
+         substr(addr, 1, 6) || substr(addr, 8) AS r_addr,
          substr(phone, 1, 7) || '0' || substr(phone, 9) AS r_phone,
          bal + 0.5 AS r_bal
   FROM l WHERE left_id % 7 = 0
@@ -3808,7 +3808,7 @@ cand AS (
          l.phone = r.r_phone AS agree_phone_b,
          ABS(l.bal - r.r_bal) <= 1.0 AS agree_bal_b
   FROM l JOIN r ON l.nation = r.nation
-              AND substr(l.addr, 1, 2) = substr(r.r_addr, 1, 2)
+              AND substr(l.addr, 1, 3) = substr(r.r_addr, 1, 3)
 ),
 g AS (
   SELECT *,
@@ -3843,12 +3843,13 @@ WHERE ROUND(0.0 + (CASE WHEN agree_addr_b THEN {waa} ELSE {wda} END)
 @register(
     "record_linkage_customers",
     oracle=_linkage_oracle(),
-    doc=f"Fellegi-Sunter probabilistic record linkage with blocking (operators/linkage.py): candidate pairs from an equality-blocking join on (nation, 2-char address prefix) -- the prefix survives the seeded corruption, and blocking selectivity is the scale knob (fixed-cardinality keys degrade O(n^2/B); high-cardinality stable prefixes keep block size bounded, the dedup family's banding argument) -- then per-field agreement (char-3-gram Jaccard >= 0.6 on the address, exact phone, balance within 1.0) weighted by log2 likelihood ratios COMPUTED IN PYTHON and embedded as identical literals in both engines (never engine libm), summed and thresholded at {_FS_THRESHOLD}; the incoming batch is every 7th customer deterministically corrupted (drop addr char 3, overwrite phone char 8, +0.5 balance), so the expected match set is exact: one pair per corrupted row, each surviving via addr+bal agreement with phone disagreeing unless the overwritten digit collides",
+    doc=f"Fellegi-Sunter probabilistic record linkage with blocking (operators/linkage.py): candidate pairs from an equality-blocking join on (nation, 3-char address prefix; the corruption sits past the prefix so true pairs always co-block) -- blocking selectivity is the scale knob, MEASURED: the first cut blocked on a 2-char prefix and probed alpha 1.3-1.8 across tiers (the fixed-cardinality O(n^2/B) degradation the module docstring predicts); the 3-char prefix plus per-record gram precompute (char_ngram_set projected onto each SIDE before the join, not per candidate pair) restores near-linear tier steps -- then per-field agreement (char-3-gram Jaccard >= 0.6 on the address, exact phone, balance within 1.0) weighted by log2 likelihood ratios COMPUTED IN PYTHON and embedded as identical literals in both engines (never engine libm), summed and thresholded at {_FS_THRESHOLD}; the incoming batch is every 7th customer deterministically corrupted (drop addr char 7, overwrite phone char 8, +0.5 balance), so the expected match set is exact: one pair per corrupted row, each surviving via addr+bal agreement with phone disagreeing unless the overwritten digit collides",
 )
 def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from github_etl_pipeline_spark.operators.linkage import (
+        char_ngram_set,
         fs_score,
-        jaccard_sim,
+        jaccard_sim_grams,
         link_blocked,
     )
 
@@ -3868,7 +3869,7 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("left_id") + 1000000).alias("right_id"),
             "nation",
             F.concat(
-                F.expr("substring(addr, 1, 2)"), F.expr("substring(addr, 4)")
+                F.expr("substring(addr, 1, 6)"), F.expr("substring(addr, 8)")
             ).alias("r_addr"),
             F.concat(
                 F.expr("substring(phone, 1, 7)"),
@@ -3878,9 +3879,13 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bal") + F.lit(0.5)).alias("r_bal"),
         )
     )
-    lb = l.withColumn("blk", F.expr("substring(addr, 1, 2)"))
-    rb = r.withColumn("blk", F.expr("substring(r_addr, 1, 2)"))
-    agree_addr = jaccard_sim("addr", "r_addr") >= F.lit(0.6)
+    lb = l.withColumn("blk", F.expr("substring(addr, 1, 3)")).withColumn(
+        "_ga", char_ngram_set("addr")
+    )
+    rb = r.withColumn("blk", F.expr("substring(r_addr, 1, 3)")).withColumn(
+        "_gb", char_ngram_set("r_addr")
+    )
+    agree_addr = jaccard_sim_grams(F.col("_ga"), F.col("_gb")) >= F.lit(0.6)
     agree_phone = F.col("phone") == F.col("r_phone")
     agree_bal = F.abs(F.col("bal") - F.col("r_bal")) <= F.lit(1.0)
     score = fs_score(
