@@ -74,7 +74,23 @@ from github_etl_pipeline_spark.plans import training  # noqa: F401
 # fewest lifetime green rows.
 # ---------------------------------------------------------------------------
 DRIVER_SAMPLE_PRIORITY = [
-    # never driver-checked (registered r13):
+    # never driver-checked (registered r13) — the 9 extension-block
+    # queries from the r13 continuation session lead, then the 3 from
+    # the r13 verdict tasks; 12 never-checked names take precedence
+    # over rotation because they have ZERO driver evidence. With the
+    # driver's 50-name prefix, 38 of the 50 r10-stale names fit behind
+    # them; the 12 tail r10-stale + the 3 trailing 6-green names roll
+    # to r14 (recompute newest-green over CORRECTNESS_r01-r13 as
+    # always: lead r14 with whatever r10-stale names remain).
+    "quality_metrics_lineitem",
+    "frequent_brand_pairs_lineitem",
+    "k_anonymity_events",
+    "triangle_stats_similarity_graph",
+    "kcenter_coreset_embeddings",
+    "scd2_user_status_events",
+    "activity_streaks_events",
+    "record_linkage_customers",
+    "term_drift_documents",
     "knn_graph_recall_tuned",
     "containment_gram_documents",
     "dim_ambiguity_guard_synth",

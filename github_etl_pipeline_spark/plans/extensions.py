@@ -3854,6 +3854,12 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cust = read_table(spark, sf_dir, "customer")
+    # persist the synthesized left relation: it feeds BOTH sides (the
+    # corrupted batch derives from it) so the md5 field synthesis runs
+    # once per row, and the blocking join's IsNotNull(block-key) filter
+    # applies above the cache instead of Catalyst pushing the whole md5
+    # chain into the parquet scan's DataFilters (the duplication
+    # test_plan_hygiene hunts)
     l = cust.select(
         F.col("c_custkey").alias("left_id"),
         F.col("c_nationkey").alias("nation"),
@@ -3862,7 +3868,7 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(F.lit("p"), F.col("c_custkey").cast("string"))), 1, 12
         ).alias("phone"),
         F.col("c_acctbal").alias("bal"),
-    )
+    ).persist()
     r = (
         l.filter(F.col("left_id") % 7 == 0)
         .select(

@@ -61,6 +61,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #   join_size_estimate_orders — composes the 1-row sketch estimate with
 #     the 1-row exact count (1x1 crossJoin, rollup.py-style)
 ALLOWED_NESTED_LOOP = {
+    # 1-row scalar-attach cross joins (n_baskets / corpus totals ride a
+    # broadcast of ONE aggregate row so the whole job stays a lazy plan
+    # with no driver action) — the nested-loop side is a single row
+    "frequent_brand_pairs_lineitem",
+    "term_drift_documents",
     "join_size_estimate_orders",
     "kmv_source_overlap_documents",
     "knn_graph_recall_tuned",
