@@ -564,9 +564,13 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.col(id_col),
         F.explode(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)).alias("tok"),
     ).select(id_col, portable_hash48(F.col("tok")).alias("h"))
+    # branchless vote: (bit * 2 - 1) is exactly when(bit==1, 1).otherwise(-1)
+    # for the non-null h this hash chain guarantees, and the arithmetic form
+    # measures ~4x faster through the 48-accumulator codegen'd aggregate
+    # (guide §1.2 per-task work; r13 probe: 3.14s -> 0.80s at sf0.1)
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
         ).alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
