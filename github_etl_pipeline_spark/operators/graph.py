@@ -151,33 +151,110 @@ def knn_graph_ivf(
             _prebuilt=(centroids, cells),
         )
         n_probe = kw["n_probe"]
+    # Candidate scoring runs as a per-cell GEMM (r13 optimization): the
+    # previous form joined cells to the probe side on cell and evaluated
+    # one expression-tree dot per candidate pair, then window-sorted the
+    # FULL candidate relation by src (n x n_probe x cell_size rows, two
+    # exchanges + a sort at candidate scale) — the exact shape the r12
+    # exact_knn_edges probe measured at 216s/alpha 1.33 at the 100x tier
+    # before its GEMM rewrite. Here each cell's members arrive as ONE
+    # Arrow group (a single exchange on cell, 3 narrow columns), the
+    # within-cell cosine matrix is one BLAS matmul (row-chunked to bound
+    # memory on a skewed cell), and per-row top-k comes out of the same
+    # total order the expression form used: float64 promotion, 9dp
+    # rounding BEFORE ranking, ties -> lower dst (the cosine_topk_gemm
+    # determinism contract — the group is pre-sorted by id so a stable
+    # argsort breaks rounded ties by ascending dst). Self-pairs are
+    # dropped AFTER ranking k+1 (ids are unique per group, so removing
+    # the self row from a sorted prefix of k+1 leaves exactly the
+    # self-excluded top-k).
     if n_probe == 1:
-        # cell-local: the assignment IS the (single) probe
-        qcells = cells.select(
-            F.col("cell"),
-            F.col(id_col).alias("src"),
-            F.col(vec_col).alias("_qv"),
-            F.col("_ne").alias("_nq"),
+        # cell-local: the assignment IS the (single) probe; every src's
+        # whole candidate set lives in its own group, so the per-cell
+        # top-k is final — no global re-rank pass at all
+        def cell_topk(pdf):
+            import numpy as np
+            import pandas as pd
+
+            if len(pdf) < 2:
+                return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                     "dst": pd.Series([], dtype="int64")})
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+            ids = pdf[id_col].to_numpy()
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nm = np.sqrt((M * M).sum(axis=1))
+            kk = min(k + 1, len(ids))
+            srcs, dsts = [], []
+            for lo in range(0, len(M), 256):
+                Mc, nc = M[lo : lo + 256], nm[lo : lo + 256]
+                S = np.round((Mc @ M.T) / (nc[:, None] * nm[None, :]), 9)
+                idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+                for i in range(len(Mc)):
+                    sid = ids[lo + i]
+                    nbrs = ids[idx[i]]
+                    nbrs = nbrs[nbrs != sid][:k]
+                    srcs.extend([sid] * len(nbrs))
+                    dsts.extend(nbrs.tolist())
+            return pd.DataFrame({"src": srcs, "dst": dsts})
+
+        return (
+            cells.select(F.col("cell"), F.col(id_col), F.col(vec_col))
+            .groupBy("cell")
+            .applyInPandas(cell_topk, "src long, dst long")
         )
-    else:
-        assign_probe = _nearest_cells_udf(centroids, n_probe)
-        qcells = emb.select(
-            F.col(id_col).alias("src"),
-            F.col(vec_col).alias("_qv"),
-            norm_expr(F.col(vec_col)).alias("_nq"),
-            F.explode(assign_probe(F.col(vec_col))).alias("cell"),
+
+    # multi-probe: corpus members and probing queries cogroup per cell;
+    # each (src, cell) emits a LOCAL top-k under the shared total order,
+    # and the global per-src top-k re-ranks only n x n_probe x k rows
+    assign_probe = _nearest_cells_udf(centroids, n_probe)
+    qside = emb.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(assign_probe(F.col(vec_col))).alias("cell"),
+    )
+    corp = cells.select(F.col("cell"), F.col(id_col), F.col(vec_col))
+
+    def cell_topk_q(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series([], dtype="int64"),
+                "dst": pd.Series([], dtype="int64"),
+                "_cos": pd.Series([], dtype="float64"),
+            }
         )
-    cand = cells.join(qcells, "cell").where(F.col(id_col) != F.col("src"))
-    scored = cand.select(
-        "src",
-        F.col(id_col).alias("dst"),
-        F.round(
-            dot_expr(F.col(vec_col), F.col("_qv")) / (F.col("_ne") * F.col("_nq")), 9
-        ).alias("_cos"),
+        if not len(left) or not len(right):
+            return empty
+        left = left.sort_values(id_col, kind="mergesort")
+        ids = left[id_col].to_numpy()
+        M = np.stack(left[vec_col].to_numpy()).astype(np.float64)
+        nm = np.sqrt((M * M).sum(axis=1))
+        qids = right["src"].to_numpy()
+        kk = min(k + 1, len(ids))
+        srcs, dsts, sims = [], [], []
+        for lo in range(0, len(right), 256):
+            Q = np.stack(right["_qv"].to_numpy()[lo : lo + 256]).astype(np.float64)
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            S = np.round((Q @ M.T) / (qn[:, None] * nm[None, :]), 9)
+            idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            for i in range(len(Q)):
+                sid = qids[lo + i]
+                sel = idx[i][ids[idx[i]] != sid][:k]
+                srcs.extend([sid] * len(sel))
+                dsts.extend(ids[sel].tolist())
+                sims.extend(S[i][sel].tolist())
+        return pd.DataFrame({"src": srcs, "dst": dsts, "_cos": sims})
+
+    local = (
+        corp.groupBy("cell")
+        .cogroup(qside.groupBy("cell"))
+        .applyInPandas(cell_topk_q, "src long, dst long, _cos double")
     )
     w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst").asc())
     return (
-        scored.withColumn("_r", F.row_number().over(w))
+        local.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= k)
         .select("src", "dst")
     )

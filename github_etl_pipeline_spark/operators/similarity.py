@@ -285,14 +285,17 @@ def _nearest_cells_udf(centroids: list[tuple[int, list[float]]], n: int):
         for lo in range(0, len(M), 1024):
             Mc, vc = M[lo : lo + 1024], vn[lo : lo + 1024]
             S = (Mc @ C.T) / (vc[:, None] * cn[None, :])
-            # in-place 9dp rounding: bit-identical to np.round(S, 9)
-            # (same multiply/rint/divide algorithm) but ~20x faster —
-            # np.round was the dominant assignment cost at scale
+            # in-place scaled rounding: rint(S*1e9) orders EXACTLY like
+            # the 9dp-rounded cosine (dividing by the positive constant
+            # 1e9 is strictly monotone, and distinct rint integers stay
+            # distinct through the division: |x-y| >= 1 at |x| <= ~1e9 is
+            # ~1e7 ulps), so the argmax/argsort below need no third
+            # elementwise pass over the n x K matrix (r13; np.round
+            # itself was already replaced r11 — it was ~20x the matmul)
             # (self-contained in the closure: module refs don't ship to
             # Python workers when the driver cwd isn't the repo root)
             np.multiply(S, 1e9, out=S)
             np.rint(S, out=S)
-            np.divide(S, 1e9, out=S)
             if nn == 1:
                 # argmax = first (lowest-id) max — identical to the
                 # stable argsort's row head, without sorting all
@@ -337,45 +340,65 @@ def _lloyd_refine(
         cvecs = [list(map(float, v)) for _, v in centroids]
 
         def partials(batches):
+            # mapInArrow form (r13): the embedding column's list<double>
+            # values are ONE contiguous Arrow buffer per batch, so the
+            # n x dim matrix is a zero-copy reshape instead of an
+            # np.stack over n per-row objects, and the partial sums go
+            # back out through ListArray.from_arrays over one flat
+            # float64 buffer instead of hit x dim Python float lists —
+            # the pandas boundary was ~2/3 of a 4.2s iteration at the
+            # 100x tier (guide §4.2). Arithmetic (chunking, op order,
+            # add.at accumulation order) is unchanged, so the partial
+            # sums — and therefore the refined centroids — are
+            # bit-identical to the pandas form.
+            import pyarrow as pa
+
             C = np.asarray(cvecs, dtype=np.float64)
             cn = np.linalg.norm(C, axis=1)
             cn[cn == 0] = 1.0
             sums = np.zeros((len(cvecs), C.shape[1]))
             counts = np.zeros(len(cvecs), dtype=np.int64)
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                M = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+                col = rb.column(0)
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                M = flat.reshape(rb.num_rows, -1).astype(np.float64, copy=False)
                 vn = np.linalg.norm(M, axis=1)
                 vn[vn == 0] = 1.0
-                # row-chunked + in-place rint rounding — same output as
-                # the whole-batch np.round form; see _nearest_cells_udf
-                # for both rationales (reclaim-stall cap, 20x rounding)
+                # row-chunked + in-place scaled rounding — argmax of
+                # rint(S*1e9) == argmax of the 9dp-rounded cosine; see
+                # _nearest_cells_udf for the monotonicity argument and
+                # the reclaim-stall chunking rationale
                 for lo in range(0, len(M), 1024):
                     Mc, vc = M[lo : lo + 1024], vn[lo : lo + 1024]
                     S = (Mc @ C.T) / (vc[:, None] * cn[None, :])
                     np.multiply(S, 1e9, out=S)
                     np.rint(S, out=S)
-                    np.divide(S, 1e9, out=S)
                     a = np.argmax(S, axis=1)  # first max -> lower cid
                     np.add.at(sums, a, Mc)
                     np.add.at(counts, a, 1)
             hit = np.nonzero(counts)[0]
-            # yield NOTHING for an empty partition: an all-empty yield
-            # builds pd.DataFrame({"s": []}) whose empty column defaults
-            # to float64, and Arrow refuses float64 -> array<double>
-            # ("NumPyConverter doesn't implement list<double>"). Empty
-            # partitions are routine once the scan keeps its native
-            # splits (a single-row-group file splits into
-            # size/defaultParallelism byte ranges, all but one empty).
+            # yield NOTHING for an empty partition (routine once the
+            # scan keeps its native splits: a single-row-group file
+            # splits into size/defaultParallelism byte ranges, all but
+            # one empty)
             if hit.size == 0:
                 return
-            yield pd.DataFrame(
-                {
-                    "cell": [cids[i] for i in hit],
-                    "cnt": counts[hit],
-                    "s": [sums[i].tolist() for i in hit],
-                }
+            dim_ = C.shape[1]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([cids[i] for i in hit], pa.int32()),
+                    pa.array(counts[hit], pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(
+                            np.arange(0, (hit.size + 1) * dim_, dim_, dtype=np.int64),
+                            pa.int32(),
+                        ),
+                        pa.array(sums[hit].ravel(), pa.float64()),
+                    ),
+                ],
+                ["cell", "cnt", "s"],
             )
 
         # Arrow toPandas + one vectorized scatter-add instead of a
@@ -386,7 +409,7 @@ def _lloyd_refine(
         # 20s pass). np.add.at accumulates in the same partition-major
         # row order the collect loop used, and the means round to 6dp,
         # so refined centroids are unchanged.
-        pdf = emb.select(vec_col).mapInPandas(
+        pdf = emb.select(vec_col).mapInArrow(
             partials, "cell int, cnt long, s array<double>"
         ).toPandas()
         kmax = 1 + max((int(c) for c, _ in centroids), default=-1)
