@@ -1054,78 +1054,99 @@ def kcenter_coreset(
     covering radius the first k-1 centers achieve — the classic
     monotone coverage curve, read directly off the output.
 
-    Scale shape: per round, ONE corpus pass updating the running
-    min-distance against the single new center (a collected 1-row
-    vector embedded as an array literal — driver-bounded by
-    construction, k rows total) + one TakeOrdered(1) argmax; k rounds
-    total, over a persisted narrow (id, vec, norm, mind) relation. The
-    min-distance update is incremental — each round compares against
-    ONE center, never re-scanning the chosen set, so total cost is
-    O(k * n * dim) with NO quadratic term. The dot products ride the
-    JVM fold expression (fine at one center per round); a GEMM batch
-    variant only pays off when selecting thousands of centers.
+    Scale shape (r13 rework): per round, ONE mapInArrow GEMM pass over a
+    persisted narrow (id, vec) relation recomputes each row's
+    min-distance against ALL centers chosen so far and emits one
+    farthest-candidate row per Arrow batch — a bounded collect, no
+    corpus-sized shuffle, and crucially NO per-round corpus cache
+    rewrite. The previous incremental form kept a running ``_mind``
+    column, which meant persisting a fresh (id, 64-dim vec, mind)
+    relation EVERY round — the per-round cache write of the vector
+    column dominated (measured 41.7s at the 100x tier after its cache
+    lifetimes were fixed; this form reads 10-13s). The recompute trade
+    is O(k^2 * n * dim) BLAS flops vs O(k * n * dim) — at the coreset
+    sizes this operator serves (tens of centers) the flops are
+    negligible next to one corpus cache write; selecting thousands of
+    centers would want the running-mind form back, with the mind column
+    cached NARROW and the vectors re-read from the base relation.
+
+    Per-center distances are scaled-rint rounded (order- and
+    value-identical to the 9dp round — see _nearest_cells_udf) before
+    the min, matching the previous per-center F.round(..., 9) exactly;
+    ties across rows break to the lower id in both the per-batch and
+    the driver-side reduce.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    base = (
-        emb.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
-        )
-        .withColumn("_nv", norm_expr(F.col("_v")))
-        .persist()
-    )
+    import numpy as np
 
-    def _center_lit(row) -> tuple[Column, Column]:
-        arr = F.expr(
-            "array(" + ",".join(repr(float(x)) for x in row["_v"]) + ")"
-        )
-        return arr, F.lit(float(row["_nv"]))
+    base = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).persist()
 
     first = base.orderBy(F.asc("_id")).limit(1).collect()[0]
-    cv, cnv = _center_lit(first)
-    cur = base.select(
-        "_id",
-        "_v",
-        "_nv",
-        F.round(
-            F.lit(1.0) - dot_expr(F.col("_v"), cv) / (F.col("_nv") * cnv), 9
-        ).alias("_mind"),
-    )
     out_rows = [(1, first["_id"], None)]
-    chosen = [first["_id"]]
+    chosen: list = [first["_id"]]
+    centers: list = [[float(x) for x in first["_v"]]]
+    id_type = emb.schema[id_col].dataType.simpleString()
+
     for pos in range(2, k + 1):
-        cur = cur.persist()
-        # exclude already-chosen ids: duplicate vectors sit at distance 0
-        # and must not re-select a center (k ids -> a tiny isin literal)
-        top = (
-            cur.filter(~F.col("_id").isin(chosen))
-            .orderBy(F.desc("_mind"), F.asc("_id"))
-            .limit(1)
-            .collect()
-        )
-        if not top:  # k exceeds the corpus: emit what exists
+        cvecs = [list(c) for c in centers]
+        excl = list(chosen)
+
+        def farthest(batches):
+            import numpy as np
+            import pandas as pd
+            import pyarrow as pa
+
+            C = np.asarray(cvecs, dtype=np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            best_m, best_id, best_v = None, None, None
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                ids = rb.column(0).to_numpy(zero_copy_only=False)
+                flat = rb.column(1).flatten().to_numpy(zero_copy_only=False)
+                M = flat.reshape(rb.num_rows, -1).astype(np.float64, copy=False)
+                vn = np.sqrt((M * M).sum(axis=1))
+                keep = ~np.isin(ids, excl)
+                if not keep.any():
+                    continue
+                for lo in range(0, len(M), 1024):
+                    kc = keep[lo : lo + 1024]
+                    if not kc.any():
+                        continue
+                    Mc, vc = M[lo : lo + 1024][kc], vn[lo : lo + 1024][kc]
+                    idc = ids[lo : lo + 1024][kc]
+                    S = 1.0 - (Mc @ C.T) / (vc[:, None] * cn[None, :])
+                    np.multiply(S, 1e9, out=S)
+                    np.rint(S, out=S)
+                    mind = S.min(axis=1)
+                    m = mind.max()
+                    j = int(np.flatnonzero(mind == m)[np.argmin(idc[mind == m])])
+                    cand = idc[j]
+                    if best_m is None or m > best_m or (m == best_m and cand < best_id):
+                        best_m, best_id, best_v = m, cand, Mc[j].tolist()
+            if best_id is None:
+                return
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {"_id": [best_id], "_ms": [float(best_m)], "_v": [best_v]}
+                )
+            )
+
+        cand_rows = base.mapInArrow(
+            farthest, f"_id {id_type}, _ms double, _v array<double>"
+        ).collect()
+        if not cand_rows:  # k exceeds the corpus: emit what exists
             break
-        nxt = top[0]
-        out_rows.append((pos, nxt["_id"], float(nxt["_mind"])))
+        nxt = min(cand_rows, key=lambda r: (-r["_ms"], r["_id"]))
+        radius = float(nxt["_ms"]) / 1e9
+        out_rows.append((pos, nxt["_id"], radius))
         chosen.append(nxt["_id"])
-        cv, cnv = _center_lit(nxt)
-        prev = cur
-        cur = cur.select(
-            "_id",
-            "_v",
-            "_nv",
-            F.least(
-                F.col("_mind"),
-                F.round(
-                    F.lit(1.0) - dot_expr(F.col("_v"), cv) / (F.col("_nv") * cnv),
-                    9,
-                ),
-            ).alias("_mind"),
-        )
-        prev.unpersist()
+        centers.append([float(x) for x in nxt["_v"]])
     base.unpersist()
     spark = emb.sparkSession
-    id_type = emb.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
         out_rows, f"pos INT, {id_col} {id_type}, radius DOUBLE"
     )
