@@ -27,7 +27,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from github_etl_pipeline_spark.functions.hashing import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     NUM_MINHASHES,
+    minhash_coeffs,
     minhash_perm,
     portable_hash32,
     portable_hash48,
@@ -234,20 +238,81 @@ def minhash_signature(
     ``num_hashes`` selects a longer permutation family (same generating
     formulas — functions/hashing.py::minhash_coeffs) for recall-tuned
     banding; each extra permutation is one (a*h+b)%P fold over the
-    already-hashed shingle array, arithmetic only, no extra md5."""
+    already-hashed shingle array, arithmetic only, no extra md5.
+
+    The permutation folds run as ONE vectorized mapInArrow pass (r13):
+    the expression form evaluated ``num_hashes`` interpreted
+    array-transform lambdas per document (ArrayTransform does not
+    whole-stage-codegen), measured ~2.7s at sf0.1 for the 114-hash tuned
+    family where the numpy segment-min reads ~0.3s. Arithmetic is exact
+    int64 in both engines: a <= 2*num_hashes+1 and h < 2^32 keep a*h+b
+    far inside int64, and the dividend is non-negative so Java's
+    sign-follows-dividend %% and numpy's sign-follows-divisor %% agree.
+    NULL signatures for empty shingle sets are preserved via the Arrow
+    validity mask."""
+    a_co, b_co = (
+        (MINHASH_A, MINHASH_B)
+        if num_hashes == NUM_MINHASHES
+        else minhash_coeffs(num_hashes)
+    )
     sh = hash_array_or_shingles(df, text_col, k)
     out = df.select(F.col(id_col), sh.alias("_sh"))
+    id_type = out.schema[id_col].dataType.simpleString()
 
-    def sig(i: int):
-        # closure keeps the lambda unary — F.transform treats a binary
-        # lambda as (element, index)
-        return F.when(
-            F.size("_sh") > 0,
-            F.array_min(F.transform("_sh", lambda h: minhash_perm(h, i, num_hashes))),
-        ).alias(f"sig_{i}")
+    def sigs(batches):
+        import numpy as np
+        import pyarrow as pa
 
-    extra = [F.size("_sh").alias("_n")] if with_size else []
-    return out.select(id_col, *[sig(i) for i in range(num_hashes)], *extra)
+        A = np.asarray(a_co, dtype=np.int64)[None, :]
+        B = np.asarray(b_co, dtype=np.int64)[None, :]
+        H = A.shape[1]
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0)
+            col = rb.column(1)
+            # normalize offsets for a sliced array; flatten() skips null
+            # rows' (empty) segments consistently with equal offsets
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            lens = offs[1:] - offs[:-1]
+            res = np.zeros((rb.num_rows, H), dtype=np.int64)
+            nonempty = np.flatnonzero(lens > 0)
+            # doc-chunked so the (shingles x H) permutation matrix stays
+            # bounded (~90 MB at 100k shingles x 114 hashes)
+            pos = 0
+            while pos < len(nonempty):
+                # always take at least one doc so a single huge shingle
+                # set cannot stall the chunk walk
+                end = pos + 1
+                s0 = offs[nonempty[pos]]
+                while end < len(nonempty) and offs[nonempty[end] + 1] - s0 <= 100_000:
+                    end += 1
+                rows = nonempty[pos:end]
+                s1 = offs[rows[-1] + 1]
+                mat = (flat[s0:s1, None] * A + B) % MINHASH_P
+                res[rows] = np.minimum.reduceat(mat, offs[rows] - s0, axis=0)
+                pos = end
+            mask = lens == 0
+            arrs = [ids]
+            names = [id_col]
+            for i in range(H):
+                arrs.append(pa.array(res[:, i], pa.int64(), mask=mask))
+                names.append(f"sig_{i}")
+            if with_size:
+                arrs.append(pa.array(lens, pa.int64()))
+                names.append("_n")
+            yield pa.RecordBatch.from_arrays(arrs, names)
+
+    schema = ", ".join(
+        [f"{id_col} {id_type}"]
+        + [f"sig_{i} long" for i in range(num_hashes)]
+        + (["_n long"] if with_size else [])
+    )
+    return out.mapInArrow(sigs, schema)
 
 
 def _validate_banding(n_sigs: int, bands: int) -> int:
