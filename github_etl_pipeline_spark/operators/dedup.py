@@ -282,18 +282,24 @@ def minhash_signature(
             res = np.zeros((rb.num_rows, H), dtype=np.int64)
             nonempty = np.flatnonzero(lens > 0)
             # doc-chunked so the (shingles x H) permutation matrix stays
-            # bounded (~90 MB at 100k shingles x 114 hashes)
+            # small (~18 MB at 20k shingles x 114 hashes): 32 concurrent
+            # workers each holding ~100 MB of short-lived large arrays
+            # trip the kernel-reclaim stalls documented on
+            # _nearest_cells_udf; in-place += / %= keep it to ONE
+            # allocation per chunk
             pos = 0
             while pos < len(nonempty):
                 # always take at least one doc so a single huge shingle
                 # set cannot stall the chunk walk
                 end = pos + 1
                 s0 = offs[nonempty[pos]]
-                while end < len(nonempty) and offs[nonempty[end] + 1] - s0 <= 100_000:
+                while end < len(nonempty) and offs[nonempty[end] + 1] - s0 <= 20_000:
                     end += 1
                 rows = nonempty[pos:end]
                 s1 = offs[rows[-1] + 1]
-                mat = (flat[s0:s1, None] * A + B) % MINHASH_P
+                mat = flat[s0:s1, None] * A
+                mat += B
+                mat %= MINHASH_P
                 res[rows] = np.minimum.reduceat(mat, offs[rows] - s0, axis=0)
                 pos = end
             mask = lens == 0
