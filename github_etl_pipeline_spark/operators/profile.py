@@ -38,17 +38,27 @@ def _canonical(df: DataFrame, raw: bool) -> DataFrame:
 
 def profile_columns(df: DataFrame, raw: bool = False) -> DataFrame:
     """(column_name, n_nulls, n_distinct, min_s, max_s) for every column
-    of ``df`` — one aggregate pass + zero-shuffle unpivot."""
+    of ``df`` — two aggregate passes + zero-shuffle unpivot.
+
+    The distinct counts and the plain aggregates run as SEPARATE
+    aggregates whose single-row results cross-join (r13): mixing
+    count_distinct with plain aggs in one agg makes Catalyst route every
+    plain agg through the multi-distinct Expand (rows x columns
+    intermediate, each plain agg re-evaluated gid-guarded on every
+    slice) — measured 6.2s at sf0.1/orders where the two split
+    aggregates cost 1.0s + 0.85s. Expressions are unchanged, so the
+    report is value-identical; the extra scan is the cheap part of
+    either plan."""
     c = _canonical(df, raw)
-    aggs = []
+    plain, dist = [], []
     for col in c.columns:
-        aggs += [
+        plain += [
             (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"),
-            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
             F.min(col).cast("string").alias(f"{col}__min"),
             F.max(col).cast("string").alias(f"{col}__max"),
         ]
-    wide = c.agg(*aggs)
+        dist.append(F.count_distinct(F.col(col)).alias(f"{col}__distinct"))
+    wide = c.agg(*plain).crossJoin(c.agg(*dist))
     stack_args = ", ".join(
         f"'{col}', `{col}__nulls`, `{col}__distinct`, `{col}__min`, `{col}__max`"
         for col in c.columns
