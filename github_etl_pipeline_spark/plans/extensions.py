@@ -2585,13 +2585,33 @@ FROM est CROSS JOIN ex
     doc=f"equi-join cardinality estimate from two count-min sketches (AMS/CM inner product, 4x{_JSZ_W}): est = min over rows of sum(cntA*cntB) NEVER undercounts — the join-admission gate computed from two constant-size sketch aggregates + a (row,bucket) join of sketch-sized relations, no join executed; reported beside the exact count so the overestimate factor is continuously measured",
 )
 def join_size_estimate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from github_etl_pipeline_spark.operators.sketches import cms_join_size
+    from github_etl_pipeline_spark.operators.sketches import cms_sketch
 
     o = read_table(spark, sf_dir, "orders")
     l = read_table(spark, sf_dir, "lineitem")
-    est = cms_join_size(o, "o_orderkey", l, "l_orderkey", width=_JSZ_W)
-    exact = o.join(l, o.o_orderkey == l.l_orderkey).agg(
-        F.count(F.lit(1)).alias("exact_join_rows")
+    # r13: lineitem carries ~4 rows per orderkey, so both the sketch and
+    # the exact count pre-aggregate it to ONE persisted (key, cnt)
+    # relation — the weighted sketch is value-identical (bucket counts
+    # sum the same occurrences) with 4x fewer md5 evaluations, and the
+    # exact join count is SUM(cnt) over keys matching orders (identical
+    # to COUNT(*) of the row join; 7.6s -> 4.0s at the x30 tier).
+    # cache contract: harness sweeps per query (ADVICE r8)
+    lc = (
+        l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_cl")).persist()
+    )
+    sa = cms_sketch(o, "o_orderkey", 4, _JSZ_W)
+    sb = cms_sketch(lc, "l_orderkey", 4, _JSZ_W, weight_col="_cl")
+    dots = (
+        sa.withColumnRenamed("cnt", "ca")
+        .join(sb.withColumnRenamed("cnt", "cb"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").alias("est_join_rows"))
+    exact = (
+        o.select("o_orderkey")
+        .join(lc, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.sum("_cl").cast("long").alias("exact_join_rows"))
     )
     return est.crossJoin(exact).select(
         "est_join_rows",
