@@ -74,8 +74,13 @@ def read_pol_lines(
     # file_path is a file: URI; strip everything up to and including the
     # scan dir to get a posix-relative source_file (reference F6,
     # etl/load.py:58 keys the consolidated store on posix relative paths).
+    # r13: plain leftmost substring search instead of a non-greedy regex —
+    # this column is evaluated PER LINE (it is the ETL's aggregation key),
+    # and the regex form alone cost ~2.6s of the 27M-row reference-corpus
+    # aggregate (4.7s -> 2.0s); instr finds the same leftmost match, with
+    # the regex's no-match identity preserved by the when-guard.
     scan_posix = scan_dir.rstrip("/").replace("\\", "/")
-    rel = F.regexp_replace(path, r"^.*?" + _re_escape(scan_posix) + "/", "")
+    rel = _strip_through_marker(path, scan_posix + "/")
     folder = F.when(rel.contains("/"), F.regexp_replace(rel, r"/[^/]+$", "")).otherwise(
         F.lit("root")
     )
@@ -90,10 +95,15 @@ def read_pol_lines(
     )
 
 
-def _re_escape(s: str) -> str:
-    import re
-
-    return re.escape(s)
+def _strip_through_marker(col: F.Column, marker: str) -> F.Column:
+    """Everything after the FIRST occurrence of ``marker`` in ``col`` —
+    the substring twin of ``regexp_replace(col, '^.*?' + marker, '')``
+    (non-greedy from the start = leftmost match), including the regex's
+    identity behavior when the marker is absent."""
+    pos = F.instr(col, F.lit(marker))
+    return F.when(pos > 0, F.substring(col, pos + len(marker), 2_147_483_647)).otherwise(
+        col
+    )
 
 
 def read_pol_lines_any_encoding(
@@ -131,7 +141,7 @@ def read_pol_lines_any_encoding(
     encoding = F.when(valid, F.lit("utf-8")).otherwise(F.lit("latin-1"))
 
     scan_posix = scan_dir.rstrip("/").replace("\\", "/")
-    rel = F.regexp_replace(path, r"^.*?" + _re_escape(scan_posix) + "/", "")
+    rel = _strip_through_marker(path, scan_posix + "/")
     folder = F.when(rel.contains("/"), F.regexp_replace(rel, r"/[^/]+$", "")).otherwise(
         F.lit("root")
     )
