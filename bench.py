@@ -263,24 +263,39 @@ def main() -> None:
             extras["pool_etl_rows_per_sec"] = round(n_rows / cold)
             extras["pool_etl_rows_per_sec_warm"] = round(n_rows / warm)
 
-        print(
-            json.dumps(
-                {
-                    "metric": "suite_seconds",
-                    "value": round(sum(timings.values()), 3),
-                    "unit": "sec",
-                    "queries": timings,
-                    "sf": sf,
-                    "reps": reps,
-                    "loadavg_start": [round(x, 2) for x in loadavg_start],
-                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                    "waited_for_idle_sec": waited_for_idle,
-                    "page_cache_warmed": page_cache_warmed,
-                    "reruns": reruns,
-                    **extras,
-                }
-            )
+        line = json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "reps": reps,
+                "loadavg_start": [round(x, 2) for x in loadavg_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                "waited_for_idle_sec": waited_for_idle,
+                "page_cache_warmed": page_cache_warmed,
+                "reruns": reruns,
+                **extras,
+            }
         )
+        print(line)
+        # side-channel copy of the SAME object (VERDICT r13 #7): the r12
+        # round lost its driver-side comparison because the captured
+        # stdout tail was truncated before the one-line JSON; a file
+        # write cannot be orphaned by a tail capture. Additions-only —
+        # the printed line/methodology is unchanged; best-effort so a
+        # read-only checkout never fails the bench.
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+                ),
+                "w",
+            ) as fh:
+                fh.write(line + "\n")
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

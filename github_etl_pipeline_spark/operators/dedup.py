@@ -278,6 +278,15 @@ def minhash_signature(
             flat = col.flatten().to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
             )
+            # ADVICE r13: flatten() skips null slots, so the offset walk
+            # below is only aligned when every null slot carries equal
+            # offsets (true for Spark-produced batches). If a producer
+            # ever violates that, fail loudly instead of silently
+            # misaligning every subsequent document's signature.
+            assert len(flat) == offs[-1], (
+                f"list offsets ({offs[-1]}) disagree with flattened "
+                f"values ({len(flat)}): null slot with non-empty range"
+            )
             lens = offs[1:] - offs[:-1]
             res = np.zeros((rb.num_rows, H), dtype=np.int64)
             nonempty = np.flatnonzero(lens > 0)
@@ -297,10 +306,27 @@ def minhash_signature(
                     end += 1
                 rows = nonempty[pos:end]
                 s1 = offs[rows[-1] + 1]
-                mat = flat[s0:s1, None] * A
-                mat += B
-                mat %= MINHASH_P
-                res[rows] = np.minimum.reduceat(mat, offs[rows] - s0, axis=0)
+                if end == pos + 1 and s1 - s0 > 20_000:
+                    # ADVICE r13: a SINGLE document over the chunk cap
+                    # (e.g. 1M distinct shingles) would allocate an
+                    # unbounded (shingles x H) matrix in one shot —
+                    # exactly the peak-allocation mode the cap exists to
+                    # avoid. Fold its shingle range in cap-sized
+                    # sub-slices with a running np.minimum instead;
+                    # min is associative, so the signature is identical.
+                    r = rows[0]
+                    acc = np.full(H, np.iinfo(np.int64).max, dtype=np.int64)
+                    for lo in range(s0, s1, 20_000):
+                        mat = flat[lo : min(lo + 20_000, s1), None] * A
+                        mat += B
+                        mat %= MINHASH_P
+                        np.minimum(acc, mat.min(axis=0), out=acc)
+                    res[r] = acc
+                else:
+                    mat = flat[s0:s1, None] * A
+                    mat += B
+                    mat %= MINHASH_P
+                    res[rows] = np.minimum.reduceat(mat, offs[rows] - s0, axis=0)
                 pos = end
             mask = lens == 0
             arrs = [ids]
@@ -309,7 +335,15 @@ def minhash_signature(
                 arrs.append(pa.array(res[:, i], pa.int64(), mask=mask))
                 names.append(f"sig_{i}")
             if with_size:
-                arrs.append(pa.array(lens, pa.int64()))
+                # NULL-array mask (VERDICT r13 seam #3): the expression
+                # form's F.size emitted NULL for a NULL shingle array
+                # but 0 for an EMPTY one; an unmasked pa.array(lens)
+                # emitted 0 for both — latent drift for any future
+                # NULL-text caller (banding guards consume _n). The sig
+                # mask (lens == 0) is WIDER on purpose: empty sets also
+                # get NULL signatures.
+                null_mask = col.is_null().to_numpy(zero_copy_only=False)
+                arrs.append(pa.array(lens, pa.int64(), mask=null_mask))
                 names.append("_n")
             yield pa.RecordBatch.from_arrays(arrs, names)
 

@@ -168,6 +168,11 @@ def knn_graph_ivf(
     # dropped AFTER ranking k+1 (ids are unique per group, so removing
     # the self row from a sorted prefix of k+1 leaves exactly the
     # self-excluded top-k).
+    # ADVICE r13: derive the edge schema from the id column's actual
+    # type (the kcenter_coreset device) instead of hardcoding bigint —
+    # a string/int32-id corpus must not fail with a schema mismatch
+    id_t = emb.schema[id_col].dataType.simpleString()
+
     if n_probe == 1:
         # cell-local: the assignment IS the (single) probe; every src's
         # whole candidate set lives in its own group, so the per-cell
@@ -177,12 +182,17 @@ def knn_graph_ivf(
             import pandas as pd
 
             if len(pdf) < 2:
-                return pd.DataFrame({"src": pd.Series([], dtype="int64"),
-                                     "dst": pd.Series([], dtype="int64")})
+                return pd.DataFrame({"src": pd.Series([], dtype="object"),
+                                     "dst": pd.Series([], dtype="object")})
             pdf = pdf.sort_values(id_col, kind="mergesort")
             ids = pdf[id_col].to_numpy()
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             nm = np.sqrt((M * M).sum(axis=1))
+            # zero-norm guard (ADVICE r13): 0/0 cosines would rank as
+            # NaN; force the degenerate norm to 1.0 so zero vectors
+            # score 0.0 deterministically — the same rule
+            # _nearest_cells_udf / _lloyd_refine apply
+            nm[nm == 0] = 1.0
             kk = min(k + 1, len(ids))
             srcs, dsts = [], []
             for lo in range(0, len(M), 256):
@@ -200,7 +210,7 @@ def knn_graph_ivf(
         return (
             cells.select(F.col("cell"), F.col(id_col), F.col(vec_col))
             .groupBy("cell")
-            .applyInPandas(cell_topk, "src long, dst long")
+            .applyInPandas(cell_topk, f"src {id_t}, dst {id_t}")
         )
 
     # multi-probe: corpus members and probing queries cogroup per cell;
@@ -220,8 +230,8 @@ def knn_graph_ivf(
 
         empty = pd.DataFrame(
             {
-                "src": pd.Series([], dtype="int64"),
-                "dst": pd.Series([], dtype="int64"),
+                "src": pd.Series([], dtype="object"),
+                "dst": pd.Series([], dtype="object"),
                 "_cos": pd.Series([], dtype="float64"),
             }
         )
@@ -231,12 +241,15 @@ def knn_graph_ivf(
         ids = left[id_col].to_numpy()
         M = np.stack(left[vec_col].to_numpy()).astype(np.float64)
         nm = np.sqrt((M * M).sum(axis=1))
+        # zero-norm guard (ADVICE r13) — see cell_topk
+        nm[nm == 0] = 1.0
         qids = right["src"].to_numpy()
         kk = min(k + 1, len(ids))
         srcs, dsts, sims = [], [], []
         for lo in range(0, len(right), 256):
             Q = np.stack(right["_qv"].to_numpy()[lo : lo + 256]).astype(np.float64)
             qn = np.sqrt((Q * Q).sum(axis=1))
+            qn[qn == 0] = 1.0
             S = np.round((Q @ M.T) / (qn[:, None] * nm[None, :]), 9)
             idx = np.argsort(-S, axis=1, kind="stable")[:, :kk]
             for i in range(len(Q)):
@@ -250,7 +263,7 @@ def knn_graph_ivf(
     local = (
         corp.groupBy("cell")
         .cogroup(qside.groupBy("cell"))
-        .applyInPandas(cell_topk_q, "src long, dst long, _cos double")
+        .applyInPandas(cell_topk_q, f"src {id_t}, dst {id_t}, _cos double")
     )
     w = Window.partitionBy("src").orderBy(F.col("_cos").desc(), F.col("dst").asc())
     return (
@@ -381,7 +394,17 @@ def knn_probe_recall_sweep(
     candidate relation, so sweeping 4 rungs costs barely more than
     measuring one. All rungs share the ranking contract of
     ``knn_graph_ivf`` (9dp-rounded cosine, ties -> lower id), so rung p
-    equals the full build at n_probe=p restricted to the sampled srcs."""
+    equals the full build at n_probe=p restricted to the sampled srcs.
+
+    Ulp caveat (ADVICE r13): this sweep scores candidates with the JVM
+    expression fold while the build scores with BLAS + scaled-rint; the
+    rung-p == build-at-p identity relies on the shared 9dp rounding
+    absorbing the fold-vs-BLAS summation ulps (~1e-15 at unit norms,
+    ~1e7x inside the 1e-9 grid). Only a cosine landing EXACTLY on a
+    rounding boundary could diverge — never observed on real-magnitude
+    data, and tests/test_determinism_contract.py pins the shared
+    contract — but a tuner calibrated at such a boundary would be
+    calibrated against a ranking the build does not produce."""
     from pyspark import StorageLevel
 
     probes = tuple(sorted(set(int(p) for p in probes)))
