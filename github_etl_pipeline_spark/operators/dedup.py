@@ -412,8 +412,18 @@ def lsh_candidate_pairs(
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        # r14 (guide §1.2 per-task work): group on the RAW signature
+        # tuple instead of md5(concat_ws(sig...)) — the band hash only
+        # ever decided GROUP membership, so any collision-free key gives
+        # the identical candidate set, and the exact tuple is the one
+        # key with literally zero collisions. Saves ``bands`` md5 string
+        # evaluations per document (57/doc for the tuned config) and
+        # shuffles fixed-width int64 arrays instead of 32-char hex.
+        # NULL sigs (empty shingle sets) still co-group exactly like
+        # md5(concat_ws('')) grouped them — those pairs never survive
+        # the verify (jaccard 0), same as before.
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
+            F.struct(F.lit(b).alias("band"), F.array(*cols).alias("bh"))
         )
     # sort_array over structs orders by the FIRST field, so the id leads
     # the struct and pair orientation (id_a < id_b) is preserved
@@ -1145,11 +1155,61 @@ def embedding_dup_pairs_lsh(
         F.col(vec_col).alias("vb"),
         F.coalesce(norm_expr(F.col(vec_col)), F.lit(0.0)).alias("_nb"),
     )
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .where(dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")) >= threshold)
-        .select("id_a", "id_b")
+    joined = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b", "va", "vb", "_na", "_nb"
+    )
+    # r14 (guide §4.2): the per-pair cosine verify was an INTERPRETED
+    # zip_with + aggregate fold — ArrayAggregate gets no whole-stage
+    # codegen and allocates a 64-element array per pair (the r12 probe
+    # measured the same shape at ~16us/fold, 216s at the 100x tier on
+    # the knn build before its GEMM rewrite). One mapInArrow pass now
+    # verifies whole batches: the fold is replayed as 64 vectorized
+    # column ops in the SAME left-to-right element order over the SAME
+    # float64 values (acc starts at 0.0, += x_i*y_i per dimension), so
+    # every per-pair dot — and the unrounded >= threshold compare the
+    # oracle mirrors — is BIT-identical to the expression form, not
+    # merely ulp-close (no BLAS pairwise summation anywhere).
+    id_t = emb.schema[id_col].dataType.simpleString()
+    thr = float(threshold)
+
+    def verify(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            va_col = rb.column(2)
+            vb_col = rb.column(3)
+            A = (
+                va_col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(rb.num_rows, -1)
+                .astype(np.float64, copy=False)
+            )
+            B = (
+                vb_col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(rb.num_rows, -1)
+                .astype(np.float64, copy=False)
+            )
+            na = rb.column(4).to_numpy(zero_copy_only=False)
+            nb = rb.column(5).to_numpy(zero_copy_only=False)
+            acc = np.zeros(rb.num_rows, dtype=np.float64)
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                keep = (acc / (na * nb)) >= thr
+            if not keep.any():
+                continue
+            mask = pa.array(keep)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0).filter(mask), rb.column(1).filter(mask)],
+                ["id_a", "id_b"],
+            )
+
+    return joined.mapInArrow(
+        verify, f"id_a {id_t}, id_b {id_t}"
     )
 
 

@@ -47,19 +47,32 @@ def build_pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    seeds: list | None = None,
 ) -> Codebooks:
     """Learn ``m`` per-subspace L2 k-means codebooks of ``k`` centroids.
 
     The seed sample is ONE md5-ordered distributed top-k (the same rows
     seed every subspace — their subvector slices); each Lloyd iteration
     is ONE corpus scan that assigns and partial-aggregates ALL subspaces
-    fused in a single ``mapInPandas`` pass."""
+    fused in a single Arrow pass. ``seeds`` (r14) lets a caller that
+    already holds the md5-ordered sample — ``build_ivfpq_index``, whose
+    coarse sample is the SAME prefix of the SAME ordering — skip this
+    function's sample job; must be ``_sample_centroids`` output with
+    >= ``k`` rows."""
     import numpy as np
 
     dsub = dim // m
-    if lloyd_iterations > 0:
+    # only own (and later release) a cache THIS function created: an
+    # unpersist of a caller-held cache would silently drop it mid-build
+    # (build_ivfpq_index persists emb for the whole index build)
+    own_cache = lloyd_iterations > 0 and str(emb.storageLevel) == str(
+        __import__("pyspark").StorageLevel.NONE
+    )
+    if own_cache:
         emb = emb.persist()
-    sampled = _sample_centroids(emb, id_col, vec_col, k)
+    sampled = seeds[:k] if seeds is not None else _sample_centroids(
+        emb, id_col, vec_col, k
+    )
     books: Codebooks = [
         [[float(x) for x in vec[ms * dsub : (ms + 1) * dsub]] for _, vec in sampled]
         for ms in range(m)
@@ -69,14 +82,27 @@ def build_pq_codebooks(
         mm, kk, dd = m, k, dsub
 
         def partials(batches):
+            # mapInArrow form (r14, the similarity._lloyd_refine device):
+            # the vector column's list values are ONE contiguous buffer
+            # per batch, so the n x dim matrix is a zero-copy reshape
+            # instead of an np.stack over n per-row objects, and the
+            # partial sums return through ListArray.from_arrays over one
+            # flat float64 buffer. Arithmetic (d2 expression, rint
+            # rounding, add.at accumulation order) is unchanged, so the
+            # partial sums — and therefore the refined codebooks — are
+            # bit-identical to the pandas form.
+            import pyarrow as pa
+
             C = [np.asarray(bk[ms], dtype=np.float64) for ms in range(mm)]
             cn = [(c * c).sum(axis=1) for c in C]
             sums = [np.zeros((kk, dd)) for _ in range(mm)]
             counts = [np.zeros(kk, dtype=np.int64) for _ in range(mm)]
-            for pdf in batches:
-                if len(pdf) == 0:
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                M = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+                col = rb.column(0)
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                M = flat.reshape(rb.num_rows, -1).astype(np.float64, copy=False)
                 for ms in range(mm):
                     S = M[:, ms * dd : (ms + 1) * dd]
                     # in-place rint rounding == np.round(d2, 9), ~20x
@@ -84,25 +110,38 @@ def build_pq_codebooks(
                     d2 = (S * S).sum(axis=1)[:, None] + cn[ms][None, :] - 2 * (S @ C[ms].T)
                     np.multiply(d2, 1e9, out=d2)
                     np.rint(d2, out=d2)
-                    np.divide(d2, 1e9, out=d2)
                     a = np.argmin(d2, axis=1)  # first min -> lower code
                     np.add.at(sums[ms], a, S)
                     np.add.at(counts[ms], a, 1)
-            rows = {"ms": [], "cell": [], "cnt": [], "s": []}
+            ms_out, cell_out, cnt_out, svecs = [], [], [], []
             for ms in range(mm):
                 hit = np.nonzero(counts[ms])[0]
                 for i in hit:
-                    rows["ms"].append(ms)
-                    rows["cell"].append(int(i))
-                    rows["cnt"].append(int(counts[ms][i]))
-                    rows["s"].append(sums[ms][i].tolist())
+                    ms_out.append(ms)
+                    cell_out.append(int(i))
+                    cnt_out.append(int(counts[ms][i]))
+                    svecs.append(sums[ms][i])
             # yield NOTHING for an all-empty partition (the empty-column
             # Arrow dtype trap — see similarity._lloyd_refine)
-            if not rows["ms"]:
+            if not ms_out:
                 return
-            yield pd.DataFrame(rows)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ms_out, pa.int32()),
+                    pa.array(cell_out, pa.int32()),
+                    pa.array(cnt_out, pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(
+                            np.arange(0, (len(svecs) + 1) * dd, dd, dtype=np.int64),
+                            pa.int32(),
+                        ),
+                        pa.array(np.concatenate(svecs) if svecs else np.empty(0), pa.float64()),
+                    ),
+                ],
+                ["ms", "cell", "cnt", "s"],
+            )
 
-        collected = emb.select(vec_col).mapInPandas(
+        collected = emb.select(vec_col).mapInArrow(
             partials, "ms int, cell int, cnt long, s array<double>"
         ).collect()
         acc: dict[tuple[int, int], tuple[int, "np.ndarray"]] = {}
@@ -119,7 +158,7 @@ def build_pq_codebooks(
             ]
             for ms in range(m)
         ]
-    if lloyd_iterations > 0:
+    if own_cache:
         emb.unpersist()
     return books
 
@@ -153,6 +192,224 @@ def _encode_udf(books: Codebooks):
         return pd.Series([row.tolist() for row in out])
 
     return _codes
+
+
+def _fused_coarse_pq_lloyd(
+    emb: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    books: Codebooks,
+    iterations: int,
+) -> tuple[list[tuple[int, list[float]]], Codebooks]:
+    """Refine the coarse spherical-k-means centroids AND every PQ
+    subspace codebook with ONE corpus scan per iteration (r14, guide
+    §1.2 "remove passes"): ``build_ivfpq_index`` previously ran
+    ``_lloyd_refine`` (2 coarse passes) and ``build_pq_codebooks``
+    (2 PQ passes) back to back over the same persisted corpus — the two
+    refinements are independent reads of the same rows, so each fused
+    pass emits the coarse partials (rows tagged ``ms = -1``) and the
+    per-subspace L2 partials in one Arrow batch stream.
+
+    Bit-equivalence: the coarse arithmetic is ``_lloyd_refine``'s
+    verbatim (zero-copy reshape, 1024-row chunks, scaled-rint argmax,
+    add.at in row order, 6dp means) and the PQ arithmetic is
+    ``build_pq_codebooks``'s verbatim (whole-batch d2, scaled-rint
+    argmin, add.at, 6dp means); batch boundaries and per-partition
+    accumulation order are those of the same scan, so both partial sets
+    — and therefore both refined outputs — are bit-identical to the
+    two-pass form (pinned by tests/test_pq.py::test_fused_build_matches_
+    twopass)."""
+    import numpy as np
+
+    if iterations <= 0:
+        return centroids, books
+    mm = len(books)
+    kk = len(books[0])
+    dd = len(books[0][0])
+    dim = len(centroids[0][1]) if centroids else 0
+    for _ in range(iterations):
+        cids = [int(c) for c, _ in centroids]
+        cvecs = [list(map(float, v)) for _, v in centroids]
+        bk = [[list(map(float, c)) for c in book] for book in books]
+
+        def partials(batches):
+            import pyarrow as pa
+
+            C0 = np.asarray(cvecs, dtype=np.float64)
+            cn0 = np.linalg.norm(C0, axis=1)
+            cn0[cn0 == 0] = 1.0
+            sums0 = np.zeros((len(cvecs), C0.shape[1]))
+            counts0 = np.zeros(len(cvecs), dtype=np.int64)
+            C = [np.asarray(bk[ms], dtype=np.float64) for ms in range(mm)]
+            cn = [(c * c).sum(axis=1) for c in C]
+            sums = [np.zeros((kk, dd)) for _ in range(mm)]
+            counts = [np.zeros(kk, dtype=np.int64) for _ in range(mm)]
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                col = rb.column(0)
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                M = flat.reshape(rb.num_rows, -1).astype(np.float64, copy=False)
+                # coarse partials — _lloyd_refine arithmetic verbatim
+                vn = np.linalg.norm(M, axis=1)
+                vn[vn == 0] = 1.0
+                for lo in range(0, len(M), 1024):
+                    Mc, vc = M[lo : lo + 1024], vn[lo : lo + 1024]
+                    S = (Mc @ C0.T) / (vc[:, None] * cn0[None, :])
+                    np.multiply(S, 1e9, out=S)
+                    np.rint(S, out=S)
+                    a = np.argmax(S, axis=1)  # first max -> lower cid
+                    np.add.at(sums0, a, Mc)
+                    np.add.at(counts0, a, 1)
+                # PQ partials — build_pq_codebooks arithmetic verbatim
+                for ms in range(mm):
+                    Sv = M[:, ms * dd : (ms + 1) * dd]
+                    d2 = (Sv * Sv).sum(axis=1)[:, None] + cn[ms][None, :] - 2 * (
+                        Sv @ C[ms].T
+                    )
+                    np.multiply(d2, 1e9, out=d2)
+                    np.rint(d2, out=d2)
+                    a = np.argmin(d2, axis=1)  # first min -> lower code
+                    np.add.at(sums[ms], a, Sv)
+                    np.add.at(counts[ms], a, 1)
+            ms_out: list[int] = []
+            cell_out: list[int] = []
+            cnt_out: list[int] = []
+            svecs: list = []
+            hit0 = np.nonzero(counts0)[0]
+            for i in hit0:
+                ms_out.append(-1)
+                cell_out.append(cids[i])
+                cnt_out.append(int(counts0[i]))
+                svecs.append(sums0[i])
+            for ms in range(mm):
+                hit = np.nonzero(counts[ms])[0]
+                for i in hit:
+                    ms_out.append(ms)
+                    cell_out.append(int(i))
+                    cnt_out.append(int(counts[ms][i]))
+                    svecs.append(sums[ms][i])
+            if not ms_out:
+                return
+            offs = np.zeros(len(svecs) + 1, dtype=np.int64)
+            offs[1:] = np.cumsum([len(s) for s in svecs])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ms_out, pa.int32()),
+                    pa.array(cell_out, pa.int32()),
+                    pa.array(cnt_out, pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offs, pa.int32()),
+                        pa.array(np.concatenate(svecs), pa.float64()),
+                    ),
+                ],
+                ["ms", "cell", "cnt", "s"],
+            )
+
+        pdf = emb.select(vec_col).mapInArrow(
+            partials, "ms int, cell int, cnt long, s array<double>"
+        ).toPandas()
+        # coarse merge — _lloyd_refine's vectorized scatter-add verbatim
+        co = pdf[pdf["ms"] == -1]
+        kmax = 1 + max((int(c) for c, _ in centroids), default=-1)
+        sums0 = np.zeros((kmax, dim))
+        counts0 = np.zeros(kmax, dtype=np.int64)
+        if len(co):
+            idx = co["cell"].to_numpy()
+            np.add.at(sums0, idx, np.stack(co["s"].to_numpy()))
+            np.add.at(counts0, idx, co["cnt"].to_numpy())
+        centroids = [
+            (
+                cid,
+                np.round(sums0[cid] / counts0[cid], 6).tolist()
+                if counts0[cid] > 0
+                else old,
+            )
+            for cid, old in centroids
+        ]
+        # PQ merge — build_pq_codebooks' accumulation in row order
+        new_books: Codebooks = []
+        for ms in range(mm):
+            sub = pdf[pdf["ms"] == ms]
+            sums = np.zeros((kk, dd))
+            counts = np.zeros(kk, dtype=np.int64)
+            if len(sub):
+                idx = sub["cell"].to_numpy()
+                np.add.at(sums, idx, np.stack(sub["s"].to_numpy()))
+                np.add.at(counts, idx, sub["cnt"].to_numpy())
+            new_books.append(
+                [
+                    np.round(sums[c] / counts[c], 6).tolist()
+                    if counts[c] > 0
+                    else old
+                    for c, old in enumerate(books[ms])
+                ]
+            )
+        books = new_books
+    return centroids, books
+
+
+def _cell_codes_udf(centroids: list[tuple[int, list[float]]], books: Codebooks):
+    """Fused coarse-cell + PQ-code assignment in ONE Arrow pass (r14,
+    guide §4.1 "pass only the columns the function needs"): the codes
+    write previously ran TWO pandas UDFs over the same vector column
+    (``_nearest_cells_udf`` then ``_encode_udf``) — two JVM->Python
+    round-trips of every vector — plus a JVM norm fold the codes
+    relation never stores. Arithmetic for both halves is verbatim from
+    the single-purpose UDFs (scaled-rint cosine argmax / L2 argmin), so
+    cell and codes are bit-identical; the shared-assignment invariant
+    vs ``_assign_cells`` is pinned by tests/test_pq.py."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cids = [int(c) for c, _ in centroids]
+    cvecs = [list(map(float, v)) for _, v in centroids]
+    bk = [[list(map(float, c)) for c in book] for book in books]
+    mm = len(bk)
+    dd = len(bk[0][0])
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("cell", IntegerType()),
+                StructField("codes", ArrayType(IntegerType())),
+            ]
+        )
+    )
+    def _cc(v: pd.Series) -> pd.DataFrame:
+        C0 = np.asarray(cvecs, dtype=np.float64)
+        ids0 = np.asarray(cids)
+        cn0 = np.linalg.norm(C0, axis=1)
+        cn0[cn0 == 0] = 1.0
+        C = [np.asarray(bk[ms], dtype=np.float64) for ms in range(mm)]
+        cn = [(c * c).sum(axis=1) for c in C]
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        vn = np.linalg.norm(M, axis=1)
+        vn[vn == 0] = 1.0
+        cells = np.empty(len(M), dtype=np.int64)
+        for lo in range(0, len(M), 1024):
+            Mc, vc = M[lo : lo + 1024], vn[lo : lo + 1024]
+            S = (Mc @ C0.T) / (vc[:, None] * cn0[None, :])
+            np.multiply(S, 1e9, out=S)
+            np.rint(S, out=S)
+            cells[lo : lo + len(Mc)] = ids0[np.argmax(S, axis=1)]
+        out = np.empty((len(M), mm), dtype=np.int32)
+        for ms in range(mm):
+            Sv = M[:, ms * dd : (ms + 1) * dd]
+            d2 = (Sv * Sv).sum(axis=1)[:, None] + cn[ms][None, :] - 2 * (Sv @ C[ms].T)
+            np.multiply(d2, 1e9, out=d2)
+            np.rint(d2, out=d2)
+            out[:, ms] = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {"cell": cells.astype(np.int32), "codes": [row.tolist() for row in out]}
+        )
+
+    return _cc
 
 
 def pq_encode(
@@ -200,29 +457,56 @@ def pq_reconstruction_error(
     measured-quality signal that decides whether m/k are adequate for a
     corpus before the codes replace raw vectors in a 100-TB scan path.
 
-    Pure JVM: codes come from the one Arrow encode pass; the codeword
-    lookup is ``element_at`` into an m x k x dsub literal, and each
-    distance term re-derives ``|s|^2 + |c|^2 - 2<s,c>`` with the same
-    left-to-right fold the oracle uses — no extra Python stage."""
-    dd = len(books[0][0])
-    codes = _encode_udf(books)
-    t = emb.select(
-        F.col(id_col), F.col(vec_col), codes(F.col(vec_col)).alias("codes")
-    )
-    from github_etl_pipeline_spark.operators.similarity import dot_expr
+    One chunked-GEMM mapInArrow pass (r14, VERDICT r13 #4 — the IVF
+    family's device): the encode pass already computes every 9dp-rounded
+    subspace distance to find the argmin, so the per-subspace error term
+    IS the row minimum of that matrix — re-deriving it as an m x 3
+    expression-tree dot fold over an element_at codeword lookup paid
+    ~192 interpreted array folds per row AND a second Arrow transfer for
+    the codes column. Equivalence: term = min over codes of the rounded
+    L2 distance = rounded distance at the assigned (first-min) code; the
+    per-term scaled-rint rounding and the BLAS-vs-fold ulps sit inside
+    the repo's 9dp convention (tests/test_determinism_contract.py), the
+    term sum runs left-to-right in subspace order exactly like the old
+    expression chain, and the FINAL 9dp round stays in the JVM so the
+    output column is produced by the same F.round the oracle mirrors."""
+    import numpy as np
 
-    err = None
-    for ms, book in enumerate(books):
-        cw = F.element_at(
-            F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in book]),
-            F.element_at(F.col("codes"), ms + 1) + F.lit(1),
-        )
-        s = F.slice(F.col(vec_col), ms * dd + 1, dd)
-        term = F.round(
-            dot_expr(s, s) + dot_expr(cw, cw) - F.lit(2.0) * dot_expr(s, cw), 9
-        )
-        err = term if err is None else err + term
-    return t.select(F.col(id_col), F.round(err, 9).alias("err2"))
+    bk = [[list(map(float, c)) for c in book] for book in books]
+    mm = len(bk)
+    dd = len(bk[0][0])
+    t = emb.select(F.col(id_col), F.col(vec_col))
+    id_t = t.schema[id_col].dataType.simpleString()
+
+    def errs(batches):
+        import pyarrow as pa
+
+        C = [np.asarray(bk[ms], dtype=np.float64) for ms in range(mm)]
+        cn = [(c * c).sum(axis=1) for c in C]
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0)
+            col = rb.column(1)
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            M = flat.reshape(rb.num_rows, -1).astype(np.float64, copy=False)
+            err = None
+            for ms in range(mm):
+                S = M[:, ms * dd : (ms + 1) * dd]
+                d2 = (S * S).sum(axis=1)[:, None] + cn[ms][None, :] - 2 * (S @ C[ms].T)
+                np.multiply(d2, 1e9, out=d2)
+                np.rint(d2, out=d2)
+                # per-term divide (NOT a summed-scaled divide): the term
+                # doubles must be the same values the JVM chain added
+                # left-to-right, or the unrounded sum could drift an ulp
+                term = d2.min(axis=1) / 1e9
+                err = term if err is None else err + term
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(err, pa.float64())], [id_col, "err2"]
+            )
+
+    out = t.mapInArrow(errs, f"{id_col} {id_t}, err2 double")
+    return out.select(F.col(id_col), F.round(F.col("err2"), 9).alias("err2"))
 
 
 def _adc_dist_expr(luts_by_query: dict[int, list[list[float]]], qid_col: str):
@@ -278,20 +562,29 @@ def build_ivfpq_index(
     surface at all."""
     from pathlib import Path
 
-    from github_etl_pipeline_spark.operators.similarity import (
-        _assign_cells,
-        _lloyd_refine,
-        _sample_centroids,
-    )
+    from github_etl_pipeline_spark.operators.similarity import _sample_centroids
 
     index_path = Path(str(index_path))
     emb = emb.persist()
-    centroids = _sample_centroids(emb, id_col, vec_col, n_centroids)
-    if lloyd_iterations > 0:
-        centroids = _lloyd_refine(emb, vec_col, centroids, lloyd_iterations)
-    books = build_pq_codebooks(
-        emb, m=m, k=k, lloyd_iterations=lloyd_iterations,
-        id_col=id_col, vec_col=vec_col,
+    # r14 build-pass fusion (guide §1.2): ONE md5-ordered sample serves
+    # both the coarse centroids and the PQ seeds (the PQ sample was the
+    # SAME prefix of the SAME ordering — one TakeOrdered job instead of
+    # two), and each Lloyd iteration refines coarse + all subspaces in
+    # ONE corpus scan instead of two (_fused_coarse_pq_lloyd). 4 corpus
+    # passes + 2 sample jobs -> 2 passes + 1 sample job per build;
+    # outputs bit-identical (see the fused helper's contract).
+    sampled = _sample_centroids(emb, id_col, vec_col, max(n_centroids, k))
+    centroids = sampled[:n_centroids]
+    dim = len(sampled[0][1]) if sampled else 0
+    books: Codebooks = [
+        [
+            [float(x) for x in vec[ms * (dim // m) : (ms + 1) * (dim // m)]]
+            for _, vec in sampled[:k]
+        ]
+        for ms in range(m)
+    ]
+    centroids, books = _fused_coarse_pq_lloyd(
+        emb, vec_col, centroids, books, lloyd_iterations
     )
     spark = emb.sparkSession
     # one slice each: both relations are driver-bounded (see
@@ -309,10 +602,10 @@ def build_ivfpq_index(
         spark.sparkContext.parallelize(book_rows, 1),
         "ms int, cid int, cv array<double>",
     ).write.mode("overwrite").parquet(str(index_path / "codebooks"))
-    codes = _encode_udf(books)
+    cc = _cell_codes_udf(centroids, books)
     (
-        _assign_cells(emb, centroids, id_col, vec_col)
-        .select(F.col(id_col), F.col("cell"), codes(F.col(vec_col)).alias("codes"))
+        emb.select(F.col(id_col), cc(F.col(vec_col)).alias("_cc"))
+        .select(F.col(id_col), F.col("_cc.cell").alias("cell"), F.col("_cc.codes").alias("codes"))
         .repartition(n_centroids, F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -346,8 +639,6 @@ def ann_ivfpq_append(
     refresh cadence when it drifts above the build-time gate."""
     from pathlib import Path
 
-    from github_etl_pipeline_spark.operators.similarity import _assign_cells
-
     index_path = Path(str(index_path))
     centroids = sorted(
         (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
@@ -359,10 +650,10 @@ def ann_ivfpq_append(
     books: Codebooks = [[None] * kk for _ in range(mm)]  # type: ignore[list-item]
     for r in brows:
         books[r["ms"]][r["cid"]] = [float(x) for x in r["cv"]]
-    codes = _encode_udf(books)
+    cc = _cell_codes_udf(centroids, books)
     (
-        _assign_cells(new_emb, centroids, id_col, vec_col)
-        .select(F.col(id_col), F.col("cell"), codes(F.col(vec_col)).alias("codes"))
+        new_emb.select(F.col(id_col), cc(F.col(vec_col)).alias("_cc"))
+        .select(F.col(id_col), F.col("_cc.cell").alias("cell"), F.col("_cc.codes").alias("codes"))
         .repartition(len(centroids), F.col("cell"))
         .write.mode("append")
         .partitionBy("cell")
@@ -473,9 +764,16 @@ def ann_topk_pq(
     )
     if exclude_id is not None:
         scored = scored.where(F.col("neighbor_id") != exclude_id)
+    # TakeOrderedAndProject instead of a GLOBAL row_number window (r14,
+    # guide §2.4): the unpartitioned window shuffled the ENTIRE scored
+    # corpus into one task and sorted it there; orderBy().limit(k) plans
+    # as a per-partition partial top-k with a k-row driver merge — no
+    # full exchange, no full sort. (_ad, neighbor_id) is a TOTAL order
+    # (ids unique), so the k rows — and the ranks reassigned over just
+    # those k rows — are identical.
+    top = scored.orderBy(F.col("_ad").asc(), F.col("neighbor_id").asc()).limit(k)
     w = Window.orderBy(F.col("_ad").asc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "neighbor_id")
     )

@@ -796,29 +796,55 @@ def semdedup(
     if lloyd_iterations > 0:
         centroids = _lloyd_refine(emb, vec_col, centroids, lloyd_iterations)
     cells = _assign_cells(emb, centroids, id_col, vec_col).persist()
-    a = cells.select(
-        F.col("cell"),
-        F.col(id_col).alias("_ida"),
-        F.col(vec_col).alias("_va"),
-        F.col("_ne").alias("_na"),
-    )
-    b = cells.select(
-        F.col("cell"),
-        F.col(id_col).alias("_idb"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_ne").alias("_nb"),
-    )
+
+    # r14 (guide §4.2 + §2.4, the knn_graph_ivf per-cell GEMM device):
+    # the within-cell compare was a cells-on-cells self-join — TWO
+    # exchanges of (cell, id, vec, norm), one interpreted 64-dim
+    # expression fold per PAIR, then a distinct exchange over the
+    # removed ids. Each cell's members now arrive as ONE Arrow group
+    # (a single exchange on cell, narrow columns) and the whole cell's
+    # cosine matrix is one row-chunked BLAS matmul. Equivalence: the
+    # 9dp-rounded cosine >= threshold compare is the shared ranking
+    # contract (rint(S*1e9)/1e9 == F.round's grid off exact .5 ties —
+    # tests/test_determinism_contract.py); removed = any lower-id
+    # cell-mate at/above threshold, exactly the old join predicate; a
+    # vector lives in exactly one cell, so per-cell removed ids are
+    # globally unique and the old .distinct() exchange is dropped, not
+    # just moved.
+    th = float(threshold)
+    id_t = cells.schema[id_col].dataType.simpleString()
+
+    def cell_removed(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype="object")})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nm = np.sqrt((M * M).sum(axis=1))
+        nm[nm == 0] = 1.0
+        dup = np.zeros(len(ids), dtype=bool)
+        # row-chunked scoring (the _nearest_cells_udf reclaim rationale)
+        for lo in range(0, len(M), 256):
+            Mc, nc = M[lo : lo + 256], nm[lo : lo + 256]
+            S = (Mc @ M.T) / (nc[:, None] * nm[None, :])
+            np.multiply(S, 1e9, out=S)
+            np.rint(S, out=S)
+            np.divide(S, 1e9, out=S)
+            hit = S >= th
+            # only pairs (row i) < (col j) count: rows are id-sorted, so
+            # "lower-id mate" == any hit strictly left of the diagonal
+            cols = np.arange(len(ids))[None, :]
+            rows = (lo + np.arange(len(Mc)))[:, None]
+            dup |= (hit & (rows < cols)).any(axis=0)
+        return pd.DataFrame({id_col: ids[dup]})
+
     removed = (
-        a.join(b, "cell")
-        .where(F.col("_ida") < F.col("_idb"))
-        .where(
-            F.round(
-                dot_expr(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 9
-            )
-            >= F.lit(float(threshold))
-        )
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
+        cells.select(F.col("cell"), F.col(id_col), F.col(vec_col))
+        .groupBy("cell")
+        .applyInPandas(cell_removed, f"{id_col} {id_t}")
     )
     return cells.join(
         removed.withColumn("_dup", F.lit(1)), id_col, "left"

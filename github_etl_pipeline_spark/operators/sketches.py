@@ -39,16 +39,29 @@ def _key(col: Column | str) -> Column:
     return c.cast("string")
 
 
-def _cms_keys_expr(key: Column, depth: int, width: int) -> Column:
-    """array<struct<row,bucket>>: the ``depth`` (row, md5-bucket) pairs
-    for one key — seeds 'cms{i}:' make the rows independent hashes."""
+def _cms_bucket(key: Column, i: int, width: int, hash_fn: str) -> Column:
+    """Row-``i`` bucket for one key. ``md5`` is the portable default
+    (bit-reproducible in DuckDB — REQUIRED wherever an oracle mirrors
+    the sketch estimate: cms_user_purchase_counts, join_size_estimate).
+    ``xxhash64`` is the codegen-native fast path for consumers whose
+    OUTPUT is sketch-independent (the CMS-prune + exact-verify pattern:
+    any never-underestimating sketch yields the identical final answer,
+    so the hash only moves the candidate volume, never the result)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(i), key), F.lit(width))
+    return portable_hash32(F.concat(F.lit(f"cms{i}:"), key)) % width
+
+
+def _cms_keys_expr(
+    key: Column, depth: int, width: int, hash_fn: str = "md5"
+) -> Column:
+    """array<struct<row,bucket>>: the ``depth`` (row, bucket) pairs for
+    one key — per-row seeds make the rows independent hashes."""
     return F.array(
         *[
             F.struct(
                 F.lit(i).alias("row"),
-                (portable_hash32(F.concat(F.lit(f"cms{i}:"), key)) % width).alias(
-                    "bucket"
-                ),
+                _cms_bucket(key, i, width, hash_fn).alias("bucket"),
             )
             for i in range(depth)
         ]
@@ -61,6 +74,7 @@ def cms_sketch(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     weight_col: str | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Count-min sketch of the key column: (row, bucket, cnt) with at most
     ``depth * width`` rows, built by one exploded groupBy — the partial
@@ -86,7 +100,7 @@ def cms_sketch(
             )
         )
     e = df.select(
-        F.explode(_cms_keys_expr(_key(key_col), depth, width)).alias("rb"),
+        F.explode(_cms_keys_expr(_key(key_col), depth, width, hash_fn)).alias("rb"),
         w.cast("long").alias("_w"),
     )
     return (
@@ -636,8 +650,21 @@ def cms_heavy_hitters(
             width *= 2
     import math
 
+    # r14 (guide §1.2 per-task work): both CMS passes hash with
+    # codegen-native xxhash64 instead of the md5-hex-conv chain. The
+    # output is EXACT regardless of the sketch hash (never-underestimate
+    # + exact verify — the function's own correctness argument), so the
+    # portable-md5 requirement that pins the MIRRORED sketches
+    # (cms_user_purchase_counts, join_size_estimate) does not apply
+    # here; the old form paid 2*depth md5 string evaluations per
+    # OCCURRENCE (8/gram for heavy_grams — the dominant per-row term at
+    # scale; measured gram multiplicity is only ~1.13x, so a weighted
+    # (gram, cnt) pre-aggregate would add a full-cardinality shuffle to
+    # save 13% of the hashing and was rejected).
     counters = [[0] * width for _ in range(depth)]
-    for r in cms_sketch(df, key_col, depth, width, weight_col=weight_col).collect():
+    for r in cms_sketch(
+        df, key_col, depth, width, weight_col=weight_col, hash_fn="xxhash64"
+    ).collect():
         counters[r["row"]][r["bucket"]] = r["cnt"]
     n_total = sum(counters[0])
     tau = max(1, math.ceil(phi * n_total))
@@ -655,10 +682,7 @@ def cms_heavy_hitters(
         *[
             F.element_at(
                 lit_rows[i],
-                (
-                    portable_hash32(F.concat(F.lit(f"cms{i}:"), key)) % width
-                ).cast("int")
-                + 1,
+                _cms_bucket(key, i, width, "xxhash64").cast("int") + 1,
             )
             for i in range(depth)
         ]

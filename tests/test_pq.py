@@ -223,3 +223,58 @@ def test_lookup_tables_match_brute_force(books):
     for c in range(K):
         expect = round(float(s @ s + C0[c] @ C0[c] - 2 * (s @ C0[c])), 9)
         assert abs(luts[3][c] - expect) < 1e-9
+
+
+def test_fused_build_matches_twopass(spark, emb, books):
+    """The r14 fused build (one shared sample + one fused Lloyd scan per
+    iteration + one fused cell/codes UDF) must reproduce the two-pass
+    form bit-for-bit: coarse centroids == _lloyd_refine's, codebooks ==
+    build_pq_codebooks', and the codes relation's (cell, codes) ==
+    _assign_cells + _encode_udf composed."""
+    from github_etl_pipeline_spark.operators.pq import (
+        _cell_codes_udf,
+        _encode_udf,
+        _fused_coarse_pq_lloyd,
+    )
+    from github_etl_pipeline_spark.operators.similarity import (
+        _assign_cells,
+        _lloyd_refine,
+        _sample_centroids,
+    )
+
+    n_centroids = 16
+    e = emb.persist()
+    sampled = _sample_centroids(e, "vec_id", "embedding", max(n_centroids, K))
+    seed_centroids = sampled[:n_centroids]
+    dim = len(sampled[0][1])
+    seed_books = [
+        [
+            [float(x) for x in vec[ms * (dim // M) : (ms + 1) * (dim // M)]]
+            for _, vec in sampled[:K]
+        ]
+        for ms in range(M)
+    ]
+    # two-pass reference
+    ref_centroids = _lloyd_refine(e, "embedding", seed_centroids, 2)
+    ref_books = build_pq_codebooks(e, m=M, k=K, lloyd_iterations=2)
+    # fused
+    got_centroids, got_books = _fused_coarse_pq_lloyd(
+        e, "embedding", seed_centroids, seed_books, 2
+    )
+    assert got_centroids == ref_centroids
+    assert got_books == ref_books
+    # fused assignment+encode == the single-purpose UDFs composed
+    cc = _cell_codes_udf(got_centroids, got_books)
+    fused = {
+        r["vec_id"]: (r["c"]["cell"], tuple(r["c"]["codes"]))
+        for r in e.select("vec_id", cc(F.col("embedding")).alias("c")).collect()
+    }
+    codes = _encode_udf(ref_books)
+    ref = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"]))
+        for r in _assign_cells(e, ref_centroids, "vec_id", "embedding")
+        .select("vec_id", "cell", codes(F.col("embedding")).alias("codes"))
+        .collect()
+    }
+    e.unpersist()
+    assert fused == ref
