@@ -34,9 +34,52 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from github_etl_pipeline_spark.operators.similarity import _sample_centroids
+from github_etl_pipeline_spark.operators.similarity import (
+    _sample_centroids,
+    _tiny_parquet_overwrite,
+    _tiny_parquet_read,
+    read_centroids,
+    write_centroids,
+)
 
 Codebooks = list[list[list[float]]]  # [m][k][dsub]
+
+
+def write_codebooks(path, books: Codebooks) -> None:
+    """Persist the PQ codebooks under ``path`` driver-side (the
+    write_centroids rationale, guide §5 — m x k rows is driver data at
+    any corpus size). Schema matches the previous Spark write exactly:
+    ms int32, cid int32, cv list<double>."""
+    import pyarrow as pa
+
+    rows = [
+        (ms, cid, [float(x) for x in cv])
+        for ms, book in enumerate(books)
+        for cid, cv in enumerate(book)
+    ]
+    table = pa.table(
+        {
+            "ms": pa.array([r[0] for r in rows], pa.int32()),
+            "cid": pa.array([r[1] for r in rows], pa.int32()),
+            "cv": pa.array([r[2] for r in rows], pa.list_(pa.float64())),
+        }
+    )
+    _tiny_parquet_overwrite(path, table)
+
+
+def read_codebooks(path) -> Codebooks:
+    """Load the PQ codebooks from ``path`` (driver-side; accepts both
+    pyarrow- and Spark-written directories)."""
+    t = _tiny_parquet_read(path)
+    ms_l = t.column("ms").to_pylist()
+    cid_l = t.column("cid").to_pylist()
+    cv_l = t.column("cv").to_pylist()
+    mm = 1 + max(ms_l)
+    kk = 1 + max(cid_l)
+    books: Codebooks = [[None] * kk for _ in range(mm)]  # type: ignore[list-item]
+    for ms, cid, cv in zip(ms_l, cid_l, cv_l):
+        books[ms][cid] = [float(x) for x in cv]
+    return books
 
 
 def build_pq_codebooks(
@@ -586,22 +629,10 @@ def build_ivfpq_index(
     centroids, books = _fused_coarse_pq_lloyd(
         emb, vec_col, centroids, books, lloyd_iterations
     )
-    spark = emb.sparkSession
-    # one slice each: both relations are driver-bounded (see
-    # build_ivf_index's parallelize(rows, 1) rationale)
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(list(centroids), 1),
-        "centroid_id int, centroid array<double>",
-    ).write.mode("overwrite").parquet(str(index_path / "centroids"))
-    book_rows = [
-        (ms, cid, [float(x) for x in cv])
-        for ms, book in enumerate(books)
-        for cid, cv in enumerate(book)
-    ]
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(book_rows, 1),
-        "ms int, cid int, cv array<double>",
-    ).write.mode("overwrite").parquet(str(index_path / "codebooks"))
+    # r14: both relations are driver-bounded — write them driver-side
+    # instead of paying one Spark job each (guide §5; see write_centroids)
+    write_centroids(index_path / "centroids", centroids)
+    write_codebooks(index_path / "codebooks", books)
     cc = _cell_codes_udf(centroids, books)
     (
         emb.select(F.col(id_col), cc(F.col(vec_col)).alias("_cc"))
@@ -640,16 +671,10 @@ def ann_ivfpq_append(
     from pathlib import Path
 
     index_path = Path(str(index_path))
-    centroids = sorted(
-        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(str(index_path / "centroids")).collect()
-    )
-    brows = spark.read.parquet(str(index_path / "codebooks")).collect()
-    mm = 1 + max(r["ms"] for r in brows)
-    kk = 1 + max(r["cid"] for r in brows)
-    books: Codebooks = [[None] * kk for _ in range(mm)]  # type: ignore[list-item]
-    for r in brows:
-        books[r["ms"]][r["cid"]] = [float(x) for x in r["cv"]]
+    # r14: driver-side reads of the driver-bounded index tables — each
+    # Spark read+collect was a full job (guide §5; see read_centroids)
+    centroids = read_centroids(index_path / "centroids")
+    books = read_codebooks(index_path / "codebooks")
     cc = _cell_codes_udf(centroids, books)
     (
         new_emb.select(F.col(id_col), cc(F.col(vec_col)).alias("_cc"))
@@ -682,16 +707,10 @@ def ann_ivfpq_search(
     import numpy as np
 
     index_path = Path(str(index_path))
-    centroids = sorted(
-        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(str(index_path / "centroids")).collect()
-    )
-    brows = spark.read.parquet(str(index_path / "codebooks")).collect()
-    mm = 1 + max(r["ms"] for r in brows)
-    kk = 1 + max(r["cid"] for r in brows)
-    books: Codebooks = [[None] * kk for _ in range(mm)]  # type: ignore[list-item]
-    for r in brows:
-        books[r["ms"]][r["cid"]] = [float(x) for x in r["cv"]]
+    # r14: driver-side reads of the driver-bounded index tables — each
+    # Spark read+collect was a full job (guide §5; see read_centroids)
+    centroids = read_centroids(index_path / "centroids")
+    books = read_codebooks(index_path / "codebooks")
     qrows = queries.select(query_id_col, query_vec_col).collect()
     if not qrows:
         return spark.createDataFrame([], f"{query_id_col} long, rank int, neighbor_id long")

@@ -48,6 +48,69 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+# ---------------------------------------------------------------------------
+# Driver-side IO for DRIVER-BOUNDED index relations (centroids, PQ
+# codebooks — O(n_centroids x dim) values by construction at ANY corpus
+# size). r14, guide §5: the driver should do almost no data work — and
+# conversely, driver-scale data should never pay distributed-execution
+# overhead. A Spark write of 16 rows costs a whole job (parallelize
+# slice -> Python worker handoff -> task -> commit protocol) and a
+# Spark read+collect costs another; both are pure fixed overhead
+# (~0.2-0.5s each at local[32], and a full scheduler round-trip on a
+# cluster). pyarrow on the driver writes/reads the same parquet
+# directory layout: spark.read.parquet consumes pyarrow-written dirs
+# unchanged, and pyarrow's dataset reader ignores '_'/'.'-prefixed
+# files, so Spark-written dirs (with _SUCCESS markers) from older
+# builds read back identically — the on-disk contract is unchanged.
+# ---------------------------------------------------------------------------
+def _tiny_parquet_overwrite(path, table) -> None:
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as papq
+
+    p = Path(str(path))
+    shutil.rmtree(p, ignore_errors=True)
+    p.mkdir(parents=True, exist_ok=True)
+    papq.write_table(table, str(p / "part-00000.parquet"))
+
+
+def _tiny_parquet_read(path):
+    import pyarrow.parquet as papq
+
+    return papq.read_table(str(path))
+
+
+def write_centroids(path, centroids: list[tuple[int, list[float]]]) -> None:
+    """Persist the centroid table under ``path`` (driver-side; see the
+    block comment above). Schema matches the previous Spark write
+    exactly: centroid_id int32, centroid list<double>."""
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "centroid_id": pa.array([int(c) for c, _ in centroids], pa.int32()),
+            "centroid": pa.array(
+                [[float(x) for x in v] for _, v in centroids],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    _tiny_parquet_overwrite(path, table)
+
+
+def read_centroids(path) -> list[tuple[int, list[float]]]:
+    """Load the centroid table from ``path``, sorted by centroid id (the
+    ties->lower-id tie-break downstream needs cids ascending)."""
+    t = _tiny_parquet_read(path)
+    return sorted(
+        (int(c), [float(x) for x in v])
+        for c, v in zip(
+            t.column("centroid_id").to_pylist(), t.column("centroid").to_pylist()
+        )
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -544,17 +607,11 @@ def build_ivf_index(
     centroids = _sample_centroids(emb, id_col, vec_col, n_centroids)
     if lloyd_iterations > 0:
         centroids = _lloyd_refine(emb, vec_col, centroids, lloyd_iterations)
-    spark = emb.sparkSession
-    # ONE slice, not createDataFrame(...).coalesce(1): a Python-list
-    # DataFrame parallelizes into defaultParallelism pickled slices, and
-    # coalesce(1)'s single task then evaluates all of them SEQUENTIALLY
-    # through the Python worker — measured ~5s for 16 rows at local[32]
-    # (~0.15s per slice handoff), the dominant fixed cost of the whole
-    # index build. parallelize(rows, 1) is one slice -> one worker pass.
-    spark.createDataFrame(
-        spark.sparkContext.parallelize([(cid, vec) for cid, vec in centroids], 1),
-        "centroid_id int, centroid array<double>",
-    ).write.mode("overwrite").parquet(str(index_path / "centroids"))
+    # r14: the centroid table is driver-bounded — write it driver-side
+    # (one pyarrow file, same schema/layout) instead of paying a whole
+    # Spark job to move n_centroids rows (guide §5; the r13 form already
+    # collapsed 32 slice handoffs to one, this removes the job outright)
+    write_centroids(index_path / "centroids", centroids)
     (
         _assign_cells(emb, centroids, id_col, vec_col)
         # co-locate each cell before the partitioned write: one file per
@@ -593,10 +650,9 @@ def ann_ivf_append(
     from pathlib import Path
 
     index_path = Path(str(index_path))
-    centroids = sorted(
-        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(str(index_path / "centroids")).collect()
-    )
+    # r14: driver-side read of the driver-bounded centroid table — the
+    # Spark read+collect was a full job for n_centroids rows (guide §5)
+    centroids = read_centroids(index_path / "centroids")
     (
         _assign_cells(new_emb, centroids, id_col, vec_col)
         .repartition(len(centroids), F.col("cell"))
@@ -618,7 +674,7 @@ def ann_ivf_search(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Serve IVF top-k from a persisted index (``build_ivf_index``):
-    load the centroid table (one bounded collect of ``n_centroids``
+    load the centroid table (one driver-side read of ``n_centroids``
     rows), assign each query its ``n_probe`` nearest cells, and join the
     broadcast query set against ONLY those cell partitions of the stored
     corpus — the ``cell IN (...)`` literal filter prunes at the partition
@@ -636,13 +692,10 @@ def ann_ivf_search(
     import numpy as np
 
     index_path = Path(str(index_path))
-    # sorted(): Spark read/collect order is not guaranteed to follow the
-    # written row order even for a coalesce(1) file — the ties->lower-id
-    # tie-break below needs cids ascending (ADVICE r5)
-    centroids = sorted(
-        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(str(index_path / "centroids")).collect()
-    )
+    # r14: driver-side read (sorted by cid inside the helper — the
+    # ties->lower-id tie-break below needs cids ascending, ADVICE r5);
+    # the Spark read+collect was a full job for n_centroids rows
+    centroids = read_centroids(index_path / "centroids")
     qrows = queries.select(query_id_col, query_vec_col).collect()
     if not qrows:
         return spark.createDataFrame(

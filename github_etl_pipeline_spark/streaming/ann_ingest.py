@@ -50,29 +50,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from github_etl_pipeline_spark.operators.pq import (
-    Codebooks,
     _encode_udf,
     build_pq_codebooks,
+    read_codebooks,
+    write_codebooks,
 )
 from github_etl_pipeline_spark.operators.similarity import (
     _assign_cells,
     _lloyd_refine,
     _sample_centroids,
+    read_centroids,
+    write_centroids,
 )
 
 
 def _load_frozen(spark: SparkSession, index_path: Path):
-    centroids = sorted(
-        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(str(index_path / "centroids")).collect()
+    # r14: driver-side reads of the driver-bounded frozen state — each
+    # Spark read+collect was a full job PER MICRO-BATCH (guide §5)
+    return (
+        read_centroids(index_path / "centroids"),
+        read_codebooks(index_path / "codebooks"),
     )
-    brows = spark.read.parquet(str(index_path / "codebooks")).collect()
-    mm = 1 + max(r["ms"] for r in brows)
-    kk = 1 + max(r["cid"] for r in brows)
-    books: Codebooks = [[None] * kk for _ in range(mm)]  # type: ignore[list-item]
-    for r in brows:
-        books[r["ms"]][r["cid"]] = [float(x) for x in r["cv"]]
-    return centroids, books
 
 
 def run_ann_ingest(
@@ -116,19 +114,10 @@ def run_ann_ingest(
                     batch_df, m=m, k=k, lloyd_iterations=lloyd_iterations,
                     id_col=id_col, vec_col=vec_col,
                 )
-                spark.createDataFrame(
-                    spark.sparkContext.parallelize(list(centroids), 1),
-                    "centroid_id int, centroid array<double>",
-                ).write.mode("overwrite").parquet(str(index_path / "centroids"))
-                book_rows = [
-                    (ms, cid, [float(x) for x in cv])
-                    for ms, book in enumerate(books)
-                    for cid, cv in enumerate(book)
-                ]
-                spark.createDataFrame(
-                    spark.sparkContext.parallelize(book_rows, 1),
-                    "ms int, cid int, cv array<double>",
-                ).write.mode("overwrite").parquet(str(index_path / "codebooks"))
+                # r14: driver-side writes (write_centroids rationale) —
+                # a replayed bootstrap still rewrites identical values
+                write_centroids(index_path / "centroids", centroids)
+                write_codebooks(index_path / "codebooks", books)
             else:
                 centroids, books = _load_frozen(spark, index_path)
 
