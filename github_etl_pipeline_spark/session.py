@@ -50,6 +50,34 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # r14 (guide §3.1/§9): allow shuffled hash join when a side fits
+        # a per-partition hash map — sort-merge SORTS both sides, and the
+        # banded-verify joins stream tens of millions of array-carrying
+        # candidate rows whose sort dominated the whole pipeline (30x
+        # decomposition: the second verify join added 54s of an 84s
+        # minhash_recall_tuned; SHJ builds on the corpus side and never
+        # sorts the wide stream). 30x same-session A/B: the tuned gate
+        # 90.9 -> 66.9s, minhash_dup_pairs 1.27x, containment 1.17x,
+        # split_leakage 1.10x, tpch q9/q21/q13 1.08-1.16x. The bound is
+        # per-partition BYTES (stats < broadcastThreshold x shuffle
+        # partitions, and 3x smaller than the stream side) — scale-
+        # independent by construction; broadcast joins still win first
+        # when a side is under the broadcast threshold. Env knob forces
+        # SMJ back for A/B or for memory-tight clusters.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        # AQE's runtime SMJ->SHJ rewrite is DELIBERATELY left off (its
+        # default): measured at 30x it re-converted joins whose static
+        # plans were identical and cost tpch_q18 a reproducible ~10%
+        # (hash-map build beats sort only when the downstream doesn't
+        # reuse the sort order; AQE's byte test cannot see that). The
+        # static flip above carries all of the measured win.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "0"),
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
