@@ -1155,61 +1155,24 @@ def embedding_dup_pairs_lsh(
         F.col(vec_col).alias("vb"),
         F.coalesce(norm_expr(F.col(vec_col)), F.lit(0.0)).alias("_nb"),
     )
-    joined = cand.join(va, "id_a").join(vb, "id_b").select(
-        "id_a", "id_b", "va", "vb", "_na", "_nb"
-    )
-    # r14 (guide §4.2): the per-pair cosine verify was an INTERPRETED
-    # zip_with + aggregate fold — ArrayAggregate gets no whole-stage
-    # codegen and allocates a 64-element array per pair (the r12 probe
-    # measured the same shape at ~16us/fold, 216s at the 100x tier on
-    # the knn build before its GEMM rewrite). One mapInArrow pass now
-    # verifies whole batches: the fold is replayed as 64 vectorized
-    # column ops in the SAME left-to-right element order over the SAME
-    # float64 values (acc starts at 0.0, += x_i*y_i per dimension), so
-    # every per-pair dot — and the unrounded >= threshold compare the
-    # oracle mirrors — is BIT-identical to the expression form, not
-    # merely ulp-close (no BLAS pairwise summation anywhere).
-    id_t = emb.schema[id_col].dataType.simpleString()
-    thr = float(threshold)
-
-    def verify(batches):
-        import numpy as np
-        import pyarrow as pa
-
-        for rb in batches:
-            if rb.num_rows == 0:
-                continue
-            va_col = rb.column(2)
-            vb_col = rb.column(3)
-            A = (
-                va_col.flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(rb.num_rows, -1)
-                .astype(np.float64, copy=False)
-            )
-            B = (
-                vb_col.flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(rb.num_rows, -1)
-                .astype(np.float64, copy=False)
-            )
-            na = rb.column(4).to_numpy(zero_copy_only=False)
-            nb = rb.column(5).to_numpy(zero_copy_only=False)
-            acc = np.zeros(rb.num_rows, dtype=np.float64)
-            for j in range(A.shape[1]):
-                acc += A[:, j] * B[:, j]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                keep = (acc / (na * nb)) >= thr
-            if not keep.any():
-                continue
-            mask = pa.array(keep)
-            yield pa.RecordBatch.from_arrays(
-                [rb.column(0).filter(mask), rb.column(1).filter(mask)],
-                ["id_a", "id_b"],
-            )
-
-    return joined.mapInArrow(
-        verify, f"id_a {id_t}, id_b {id_t}"
+    # r14 finding (guide §4.2 caveat, REVERTED rewrite): a mapInArrow
+    # batch verify of this cosine was tried and measured a 19x
+    # REGRESSION at the 30x tier on embedding_lsh_recall_tuned
+    # (9.7s -> 183s same-session A/B) while flat on
+    # embedding_high_sim_pairs. Root cause: the recall gates apply a
+    # seed predicate (id_a % k = 0) ON TOP of this miner, and with the
+    # pure expression form Catalyst pushes that filter BELOW the whole
+    # pair-mining pipeline (six Filter nodes in the before-plan — only
+    # seed ids are mined). A MapInArrow node is an optimizer barrier:
+    # the filter stays above it, every pair gets mined and verified,
+    # and the gate pays the full corpus. The interpreted zip_with fold
+    # costs less than what the barrier forfeits, so the expression form
+    # stays (plans/r14/embedding_lsh_recall_tuned_*).
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")) >= threshold)
+        .select("id_a", "id_b")
     )
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from github_etl_pipeline_spark.operators import dedup as D
 from github_etl_pipeline_spark.operators import pq as PQ
 from github_etl_pipeline_spark.operators import similarity as S
+from github_etl_pipeline_spark.operators import curation as CUR
 from github_etl_pipeline_spark.operators import sketches as SK
 from github_etl_pipeline_spark.plans import REGISTRY
 from github_etl_pipeline_spark.session import get_spark, managed_caches, sweep_caches
@@ -338,6 +339,42 @@ def old_read_codebooks(path):
     return books
 
 
+def old_containment_gram_pairs(docs, text_col="text", id_col="doc_id", k=2,
+                               threshold=0.8, max_doc_freq=32):
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from github_etl_pipeline_spark.operators.dedup import hash_array_or_shingles
+
+    gh = hash_array_or_shingles(docs, text_col, k)
+    g = docs.select(F.col(id_col), F.explode(gh).alias("_gh"))
+    wf = Window.partitionBy("_gh")
+    rare = (
+        g.withColumn("_df", F.count(F.lit(1)).over(wf))
+        .where(F.col("_df") <= max_doc_freq)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nr"))
+    m = rare.where(F.col("_df") >= 2)
+    a = m.select("_gh", F.col(id_col).alias("id_a"))
+    b = m.select("_gh", F.col(id_col).alias("id_b"))
+    common = (
+        a.join(b, "_gh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_nr").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_nr").alias("_nb"))
+    cont = F.col("_nc").cast("double") / F.least("_na", "_nb")
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(cont >= threshold)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 def old_cms_bucket(key, i, width, hash_fn):
     # pre-r14 form: md5-hex-conv for EVERY consumer (ignores hash_fn)
     return SK.portable_hash32(F.concat(F.lit(f"cms{i}:"), key)) % width
@@ -349,6 +386,7 @@ OLD = {
     "pq_reconstruction_error": old_pq_reconstruction_error,
     "embedding_dup_pairs_lsh": old_embedding_dup_pairs_lsh,
     "cms_bucket": old_cms_bucket,
+    "containment_gram_pairs": old_containment_gram_pairs,
     "write_centroids": old_write_centroids,
     "read_centroids": old_read_centroids,
     "write_codebooks": old_write_codebooks,
@@ -360,6 +398,7 @@ NEW = {
     "pq_reconstruction_error": PQ.pq_reconstruction_error,
     "embedding_dup_pairs_lsh": D.embedding_dup_pairs_lsh,
     "cms_bucket": SK._cms_bucket,
+    "containment_gram_pairs": CUR.containment_gram_pairs,
     "write_centroids": S.write_centroids,
     "read_centroids": S.read_centroids,
     "write_codebooks": PQ.write_codebooks,
@@ -372,6 +411,7 @@ def _patch(which: dict) -> None:
     S.semdedup = which["semdedup"]
     D.embedding_dup_pairs_lsh = which["embedding_dup_pairs_lsh"]
     SK._cms_bucket = which["cms_bucket"]
+    CUR.containment_gram_pairs = which["containment_gram_pairs"]
     PQ.pq_reconstruction_error = which["pq_reconstruction_error"]
     # tiny-IO seams: pq.py imported the similarity names into its own
     # namespace, so both modules' globals need re-pointing
