@@ -32,8 +32,10 @@ FLAGSHIPS = {
     "minhash_dup_pairs_documents": (
         "Linear-time near-dup mining: shingle/signature expressions inside "
         "the scan stage, banding explode, groupBy(band, bh) Exchange of "
-        "16-byte keys only, per-bucket pair generation, exact verify joined "
-        "back by id — no all-pairs node anywhere."
+        "fixed-width raw signature tuples only (r14: the exact int64 tuple "
+        "replaced md5 hex — zero collisions, no per-band md5), per-bucket "
+        "pair generation, exact verify joined back by id — no all-pairs "
+        "node anywhere."
     ),
     "curation_pipeline_documents": (
         "Four independent keep signals intersected over a narrow (doc_id, "
