@@ -70,10 +70,11 @@ FLAGSHIPS = {
     "semdedup_embeddings": (
         "SemDeDup cluster-then-cosine dedup: the literal-centroid Arrow "
         "assignment is a shuffle-free projection feeding ONE persisted "
-        "cells relation (InMemoryTableScan on both self-join sides and the "
-        "final flag projection); the within-cell SortMergeJoin keys on "
-        "`cell` only, so compare volume is cells x target_cell^2 — linear "
-        "in rows at the adaptive cell count max(16, ceil(n/64))."
+        "cells relation; the within-cell compare is ONE "
+        "groupBy(cell).applyInPandas GEMM (r14 — the cells self-join, its "
+        "two Exchanges and the removed-ids distinct are gone), so compare "
+        "volume is cells x target_cell^2 — linear in rows at the adaptive "
+        "cell count max(16, ceil(n/64))."
     ),
     "tpch_q5_local_supplier": (
         "The spark.sql entry path plans like the DataFrame one: 6-way join "
